@@ -1,0 +1,368 @@
+"""Core Collection: CRUD + exact/ANN search + filters + persistence.
+
+Capability parity with the reference's optimized engine
+(vectordb_optimized.py:207-739) on a TPU-native substrate:
+
+  * vectors live on-device in a DeviceVectorStore (core/store.py) — there is
+    no separate index object holding the data, and no lazily-rebuilt matrix
+    cache (vectordb_optimized.py:236-269 is unnecessary by construction);
+  * ``search``/``search_batch`` are the *same* fused kernel — a single query
+    is a batch of one.  Filters compile to device masks fused into top-k,
+    replacing over-fetch + per-hit Python evaluation
+    (vectordb_optimized.py:531, 550-573);
+  * deletes tombstone the validity mask (mark_deleted semantics,
+    vectordb_optimized.py:467-501) and ``compact()`` physically reclaims;
+  * persistence is one FPVT container per collection instead of
+    {index.bin, metadata.json, state.json, config.json}
+    (vectordb_optimized.py:306-331).
+"""
+
+from __future__ import annotations
+
+import threading
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..kernels import topk as topk_mod
+from ..persist.format import load_container, save_container
+from .filters import ColumnView, Filter
+from .store import DeviceVectorStore
+from .types import CollectionConfig, DistanceMetric, SearchResult, as_f32_matrix
+
+STORE_FILE = "collection.fpvt"
+
+
+class Collection:
+    """A named set of vectors with string ids and metadata dicts."""
+
+    def __init__(self, config: CollectionConfig,
+                 base_path: Optional[Path] = None):
+        self.config = config
+        self.base_path = Path(base_path) if base_path is not None else None
+        self._lock = threading.RLock()
+        self._store = DeviceVectorStore(config.dimensions,
+                                        storage_dtype=config.storage_dtype)
+        self._id_to_row: Dict[str, int] = {}
+        self._row_to_id: List[Optional[str]] = []
+        self._metadata: List[Optional[dict]] = []
+        self._version = 0  # bumped on any mutation; invalidates caches
+        self._columns: Optional[ColumnView] = None
+        self._columns_version = -1
+        self._mask_cache: Dict[str, Tuple[int, np.ndarray]] = {}
+        self._ann = None  # optional ANN index (ann/ivf.py), built on demand
+        self._quantized = None  # optional quantized scan state (quant/)
+        if self.base_path is not None and (self.base_path / STORE_FILE).exists():
+            self._load()
+
+    # ------------------------------------------------------------------
+    # CRUD
+    # ------------------------------------------------------------------
+    def insert(self, vector, id: Optional[str] = None,
+               metadata: Optional[dict] = None) -> str:
+        ids = self.insert_batch(as_f32_matrix(vector, self.config.dimensions),
+                                [id] if id is not None else None,
+                                [metadata] if metadata is not None else None)
+        return ids[0]
+
+    def insert_batch(self, vectors, ids: Optional[Sequence[str]] = None,
+                     metadatas: Optional[Sequence[Optional[dict]]] = None
+                     ) -> List[str]:
+        arr = as_f32_matrix(vectors, self.config.dimensions)
+        n = arr.shape[0]
+        if ids is None:
+            import uuid
+            ids = [str(uuid.uuid4()) for _ in range(n)]
+        else:
+            ids = [str(i) for i in ids]
+            if len(ids) != n:
+                raise ValueError(
+                    f"got {len(ids)} ids for {n} vectors")
+            if len(set(ids)) != n:
+                raise ValueError("duplicate ids within batch")
+        if metadatas is not None and len(metadatas) != n:
+            raise ValueError(f"got {len(metadatas)} metadatas for {n} vectors")
+        with self._lock:
+            dup = [i for i in ids if i in self._id_to_row]
+            if dup:
+                raise ValueError(f"IDs already exist: {dup[:8]}")
+            rows = self._store.append(arr)
+            for j, (rid, row) in enumerate(zip(ids, rows)):
+                self._id_to_row[rid] = int(row)
+            self._row_to_id.extend(ids)
+            self._metadata.extend(
+                [dict(m) if m else {} for m in metadatas] if metadatas is not None
+                else [{} for _ in range(n)])
+            self._bump()
+        return list(ids)
+
+    def upsert(self, vector, id: str, metadata: Optional[dict] = None) -> str:
+        with self._lock:
+            if id in self._id_to_row:
+                self.delete(id)
+            return self.insert(vector, id, metadata)
+
+    def get(self, id: str, include_vector: bool = False) -> Optional[dict]:
+        return self.get_batch([id], include_vector)[0]
+
+    def get_batch(self, ids: Sequence[str], include_vectors: bool = False
+                  ) -> List[Optional[dict]]:
+        with self._lock:
+            rows, found = [], []
+            for i in ids:
+                r = self._id_to_row.get(str(i))
+                found.append(r)
+                if r is not None:
+                    rows.append(r)
+            vecs = (self._store.get_rows(np.asarray(rows, dtype=np.int64))
+                    if include_vectors and rows else None)
+            out: List[Optional[dict]] = []
+            vi = 0
+            for i, r in zip(ids, found):
+                if r is None:
+                    out.append(None)
+                    continue
+                d = {"id": str(i), "metadata": dict(self._metadata[r] or {})}
+                if include_vectors:
+                    d["vector"] = vecs[vi]
+                    vi += 1
+                out.append(d)
+            return out
+
+    def delete(self, id: str) -> bool:
+        return self.delete_batch([id]) == 1
+
+    def delete_batch(self, ids: Sequence[str]) -> int:
+        with self._lock:
+            rows = []
+            for i in ids:
+                r = self._id_to_row.pop(str(i), None)
+                if r is not None:
+                    rows.append(r)
+                    self._row_to_id[r] = None
+                    self._metadata[r] = None
+            if rows:
+                self._store.delete_rows(np.asarray(rows, dtype=np.int64))
+                self._bump()
+            return len(rows)
+
+    def update_metadata(self, id: str, metadata: dict, merge: bool = True) -> bool:
+        with self._lock:
+            r = self._id_to_row.get(str(id))
+            if r is None:
+                return False
+            if merge and self._metadata[r]:
+                self._metadata[r] = {**self._metadata[r], **metadata}
+            else:
+                self._metadata[r] = dict(metadata)
+            self._bump()
+            return True
+
+    # ------------------------------------------------------------------
+    # Search
+    # ------------------------------------------------------------------
+    def search(self, query, k: int = 10, filter: Optional[Filter] = None,
+               include_vectors: bool = False, exact: Optional[bool] = None
+               ) -> List[SearchResult]:
+        return self.search_batch(as_f32_matrix(query, self.config.dimensions),
+                                 k, filter, include_vectors, exact)[0]
+
+    def search_batch(self, queries, k: int = 10,
+                     filter: Optional[Filter] = None,
+                     include_vectors: bool = False,
+                     exact: Optional[bool] = None
+                     ) -> List[List[SearchResult]]:
+        q = as_f32_matrix(queries, self.config.dimensions)
+        with self._lock:
+            if self._store.n_valid == 0:
+                return [[] for _ in range(q.shape[0])]
+            use_ann = (exact is False) or (
+                exact is None and self.config.index != "flat"
+                and self._ann is not None)
+            mask = self._filter_mask(filter)
+            if use_ann and self._ann is not None:
+                dists, rows = self._ann.search(
+                    q, k, mask=mask,
+                    overfetch=self.config.overfetch if filter is not None else 1)
+            else:
+                dists, rows = self._store.search(
+                    q, k, self.config.metric, extra_mask=mask,
+                    compute_dtype=self.config.compute_dtype)
+            return self._assemble(q, dists, rows, k, include_vectors)
+
+    def brute_force_search(self, query, k: int = 10,
+                           filter: Optional[Filter] = None,
+                           include_vectors: bool = False
+                           ) -> List[SearchResult]:
+        """Exact search (always the flat path).  On TPU this *is* the primary
+        path, unlike the reference where brute force is the slow fallback
+        (vectordb_optimized.py:650-721)."""
+        return self.search(query, k, filter, include_vectors, exact=True)
+
+    def _assemble(self, q: np.ndarray, dists: np.ndarray, rows: np.ndarray,
+                  k: int, include_vectors: bool) -> List[List[SearchResult]]:
+        ok = np.asarray(topk_mod.valid_hits(dists))
+        results: List[List[SearchResult]] = []
+        if include_vectors:
+            flat_rows = rows[ok]
+            vecs = self._store.get_rows(flat_rows.astype(np.int64))
+            vec_iter = iter(vecs)
+        for bi in range(q.shape[0]):
+            hits: List[SearchResult] = []
+            for ki in range(dists.shape[1]):
+                if not ok[bi, ki] or len(hits) >= k:
+                    continue
+                row = int(rows[bi, ki])
+                rid = self._row_to_id[row] if row < len(self._row_to_id) else None
+                if rid is None:
+                    continue  # tombstoned between mask build and assembly
+                hits.append(SearchResult(
+                    id=rid,
+                    score=float(dists[bi, ki]),
+                    metadata=dict(self._metadata[row] or {}),
+                    vector=(next(vec_iter) if include_vectors else None),
+                ))
+            results.append(hits)
+        return results
+
+    # ------------------------------------------------------------------
+    # Filters
+    # ------------------------------------------------------------------
+    def _column_view(self) -> ColumnView:
+        if self._columns is None or self._columns_version != self._version:
+            self._columns = ColumnView(self._metadata)
+            self._columns_version = self._version
+        return self._columns
+
+    def _filter_mask(self, filter: Optional[Filter]) -> Optional[np.ndarray]:
+        """Compile a Filter to a host boolean mask over rows [0, count)."""
+        if filter is None:
+            return None
+        fp = filter.fingerprint()
+        cached = self._mask_cache.get(fp)
+        if cached is not None and cached[0] == self._version:
+            return cached[1]
+        mask = filter.mask(self._column_view())
+        if len(self._mask_cache) > 64:
+            self._mask_cache.clear()
+        self._mask_cache[fp] = (self._version, mask)
+        return mask
+
+    def _bump(self) -> None:
+        self._version += 1
+        if self._ann is not None:
+            self._ann.mark_stale()
+        if self._quantized is not None:
+            self._quantized = None
+
+    # ------------------------------------------------------------------
+    # ANN / quantization hooks (implemented in ann/ and quant/)
+    # ------------------------------------------------------------------
+    def build_ann(self, **kwargs) -> None:
+        from ..ann.ivf import IVFIndex
+        with self._lock:
+            self._ann = IVFIndex.build(self, **kwargs)
+            self.config.index = "ivf"
+
+    def enable_quantized_scan(self, kind: str = "int8", **kwargs):
+        from ..quant.scan import QuantizedScan
+        with self._lock:
+            self._quantized = QuantizedScan.build(self, kind=kind, **kwargs)
+            return self._quantized
+
+    def search_quantized(self, queries, k: int = 10, rerank: int = 4,
+                         filter: Optional[Filter] = None
+                         ) -> List[List[SearchResult]]:
+        """Two-stage compressed scan -> exact re-rank (the reference's hybrid
+        pipelines, parallel_search.py:895-947 / benchmark_quantization.py:
+        321-362) as two fused device stages."""
+        q = as_f32_matrix(queries, self.config.dimensions)
+        with self._lock:
+            if self._quantized is None:
+                self.enable_quantized_scan()
+            mask = self._filter_mask(filter)
+            dists, rows = self._quantized.search(q, k, rerank=rerank, mask=mask)
+            return self._assemble(q, dists, rows, k, False)
+
+    # ------------------------------------------------------------------
+    # Introspection
+    # ------------------------------------------------------------------
+    def count(self) -> int:
+        return self._store.n_valid
+
+    def __len__(self) -> int:
+        return self.count()
+
+    def list_ids(self, limit: int = 100, offset: int = 0) -> List[str]:
+        with self._lock:
+            live = [i for i in self._row_to_id if i is not None]
+            return live[offset: offset + limit]
+
+    def all_ids(self) -> List[str]:
+        with self._lock:
+            return [i for i in self._row_to_id if i is not None]
+
+    def stats(self) -> dict:
+        return {
+            "name": self.config.name,
+            "count": self.count(),
+            "allocated_rows": self._store.count,
+            "capacity": self._store.capacity,
+            "dimensions": self.config.dimensions,
+            "metric": self.config.metric.value,
+            "index": self.config.index,
+            "device_bytes": int(self._store.capacity * self.config.dimensions
+                                * np.dtype(self.config.storage_dtype
+                                           if hasattr(np, "dtype") else "float32"
+                                           ).itemsize),
+        }
+
+    # ------------------------------------------------------------------
+    # Maintenance
+    # ------------------------------------------------------------------
+    def compact(self) -> int:
+        """Physically remove tombstones; returns rows reclaimed."""
+        with self._lock:
+            before = self._store.count
+            live = self._store.compact()
+            old_ids, old_meta = self._row_to_id, self._metadata
+            self._row_to_id = [old_ids[r] for r in live]
+            self._metadata = [old_meta[r] for r in live]
+            self._id_to_row = {i: j for j, i in enumerate(self._row_to_id)}
+            self._bump()
+            return before - self._store.count
+
+    # ------------------------------------------------------------------
+    # Persistence
+    # ------------------------------------------------------------------
+    def save(self) -> None:
+        if self.base_path is None:
+            raise ValueError("collection has no base_path; cannot save")
+        with self._lock:
+            self.base_path.mkdir(parents=True, exist_ok=True)
+            arrays = self._store.export_arrays()
+            save_container(
+                self.base_path / STORE_FILE,
+                {
+                    "vectors": arrays["vectors"],
+                    "valid": arrays["valid"],
+                    "ids": self._row_to_id,
+                    "metadata": self._metadata,
+                },
+                meta={"config": self.config.to_dict(), "kind": "collection"},
+            )
+
+    def _load(self) -> None:
+        c = load_container(self.base_path / STORE_FILE)
+        cfg = CollectionConfig.from_dict(c.meta["config"])
+        self.config = cfg
+        vectors = np.asarray(c.read("vectors"), dtype=np.float32)
+        valid = np.asarray(c.read("valid"), dtype=bool)
+        self._store = DeviceVectorStore.from_arrays(
+            vectors, valid, storage_dtype=cfg.storage_dtype)
+        self._row_to_id = list(c.read("ids"))
+        self._metadata = list(c.read("metadata"))
+        self._id_to_row = {i: r for r, i in enumerate(self._row_to_id)
+                           if i is not None and valid[r]}
+        self._bump()

@@ -1,0 +1,350 @@
+"""Metadata filter engine.
+
+Capability parity with the reference's 10-op closure-based filter DSL
+(vectordb_optimized.py:59-184): EQ NE GT GTE LT LTE IN NIN CONTAINS REGEX
+plus AND / OR / NOT composition and ``from_dict`` (a plain dict means AND of
+equality checks).  Missing fields never match (including under NE), matching
+the reference's ``evaluate`` semantics (vectordb_optimized.py:79-105).
+
+The architecture differs deliberately: filters here are *expression trees*,
+not opaque closures, so one filter supports two execution modes:
+
+  1. ``evaluate(metadata) -> bool`` — per-row, for host-side paths.
+  2. ``mask(columns, n) -> np.ndarray[bool]`` — vectorized over a columnar
+     view of all row metadata.  This mask is shipped to the device and fused
+     into the top-k (kernels/distances.py:search_kernel), replacing the
+     reference's over-fetch-then-post-filter Python loop
+     (vectordb_optimized.py:531, 550-573).
+
+``fingerprint()`` gives a stable hash so collections can cache device masks
+across repeated queries with the same filter.
+"""
+
+from __future__ import annotations
+
+import enum
+import json
+import re
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class FilterOp(str, enum.Enum):
+    EQ = "eq"
+    NE = "ne"
+    GT = "gt"
+    GTE = "gte"
+    LT = "lt"
+    LTE = "lte"
+    IN = "in"
+    NIN = "nin"
+    CONTAINS = "contains"
+    REGEX = "regex"
+
+
+_MISSING = object()
+
+
+def _cmp_scalar(op: FilterOp, value: Any, target: Any) -> bool:
+    try:
+        if op == FilterOp.EQ:
+            return bool(value == target)
+        if op == FilterOp.NE:
+            return bool(value != target)
+        if op == FilterOp.GT:
+            return bool(value > target)
+        if op == FilterOp.GTE:
+            return bool(value >= target)
+        if op == FilterOp.LT:
+            return bool(value < target)
+        if op == FilterOp.LTE:
+            return bool(value <= target)
+        if op == FilterOp.IN:
+            return value in target
+        if op == FilterOp.NIN:
+            return value not in target
+        if op == FilterOp.CONTAINS:
+            return isinstance(value, str) and str(target) in value
+        if op == FilterOp.REGEX:
+            return isinstance(value, str) and re.search(str(target), value) is not None
+    except TypeError:
+        return False
+    raise ValueError(f"unknown op {op}")
+
+
+class ColumnView:
+    """Columnar cache over a list of per-row metadata dicts.
+
+    Built lazily per metadata key; invalidated wholesale by the collection on
+    mutation (cheap — rebuilding a column is a single O(N) pass).
+    """
+
+    def __init__(self, rows: Sequence[Optional[dict]]):
+        self._rows = rows
+        self._obj: Dict[str, np.ndarray] = {}
+        self._num: Dict[str, np.ndarray] = {}
+        self._present: Dict[str, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self._rows)
+
+    def present(self, key: str) -> np.ndarray:
+        if key not in self._present:
+            self._present[key] = np.fromiter(
+                ((r is not None and key in r) for r in self._rows),
+                dtype=bool,
+                count=len(self._rows),
+            )
+        return self._present[key]
+
+    def objects(self, key: str) -> np.ndarray:
+        if key not in self._obj:
+            col = np.empty(len(self._rows), dtype=object)
+            for i, r in enumerate(self._rows):
+                col[i] = r.get(key, _MISSING) if r is not None else _MISSING
+            self._obj[key] = col
+        return self._obj[key]
+
+    def numeric(self, key: str) -> np.ndarray:
+        """float64 view of a column; non-numeric / missing entries are NaN."""
+        if key not in self._num:
+            out = np.full(len(self._rows), np.nan, dtype=np.float64)
+            for i, r in enumerate(self._rows):
+                if r is None:
+                    continue
+                v = r.get(key, _MISSING)
+                if isinstance(v, bool):
+                    out[i] = float(v)
+                elif isinstance(v, (int, float)):
+                    out[i] = v
+            self._num[key] = out
+        return self._num[key]
+
+
+class Filter:
+    """Base filter node. Use the static constructors (Filter.eq, ...)."""
+
+    def evaluate(self, metadata: Optional[dict]) -> bool:
+        raise NotImplementedError
+
+    def mask(self, cols: ColumnView) -> np.ndarray:
+        raise NotImplementedError
+
+    def to_dict(self) -> dict:
+        raise NotImplementedError
+
+    def fingerprint(self) -> str:
+        return json.dumps(self.to_dict(), sort_keys=True, default=str)
+
+    # -- composition -------------------------------------------------------
+    @staticmethod
+    def eq(field: str, value: Any) -> "Filter":
+        return Condition(FilterOp.EQ, field, value)
+
+    @staticmethod
+    def ne(field: str, value: Any) -> "Filter":
+        return Condition(FilterOp.NE, field, value)
+
+    @staticmethod
+    def gt(field: str, value: Any) -> "Filter":
+        return Condition(FilterOp.GT, field, value)
+
+    @staticmethod
+    def gte(field: str, value: Any) -> "Filter":
+        return Condition(FilterOp.GTE, field, value)
+
+    @staticmethod
+    def lt(field: str, value: Any) -> "Filter":
+        return Condition(FilterOp.LT, field, value)
+
+    @staticmethod
+    def lte(field: str, value: Any) -> "Filter":
+        return Condition(FilterOp.LTE, field, value)
+
+    @staticmethod
+    def in_(field: str, values: Sequence[Any]) -> "Filter":
+        return Condition(FilterOp.IN, field, list(values))
+
+    @staticmethod
+    def nin(field: str, values: Sequence[Any]) -> "Filter":
+        return Condition(FilterOp.NIN, field, list(values))
+
+    @staticmethod
+    def contains(field: str, substring: str) -> "Filter":
+        return Condition(FilterOp.CONTAINS, field, substring)
+
+    @staticmethod
+    def regex(field: str, pattern: str) -> "Filter":
+        return Condition(FilterOp.REGEX, field, pattern)
+
+    @staticmethod
+    def and_(filters: Sequence["Filter"]) -> "Filter":
+        return And(list(filters))
+
+    @staticmethod
+    def or_(filters: Sequence["Filter"]) -> "Filter":
+        return Or(list(filters))
+
+    @staticmethod
+    def not_(f: "Filter") -> "Filter":
+        return Not(f)
+
+    @staticmethod
+    def from_dict(d: Optional[dict]) -> Optional["Filter"]:
+        """A plain dict means AND-of-equalities, with optional Mongo-style
+        operator objects: ``{"price": {"$gt": 5}, "tag": "x"}``.
+        (Reference accepts only the equality form, vectordb_optimized.py:180.)
+        """
+        if d is None:
+            return None
+        ops = {
+            "$eq": FilterOp.EQ, "$ne": FilterOp.NE, "$gt": FilterOp.GT,
+            "$gte": FilterOp.GTE, "$lt": FilterOp.LT, "$lte": FilterOp.LTE,
+            "$in": FilterOp.IN, "$nin": FilterOp.NIN,
+            "$contains": FilterOp.CONTAINS, "$regex": FilterOp.REGEX,
+        }
+        parts: List[Filter] = []
+        for key, val in d.items():
+            if isinstance(val, dict) and val and all(k in ops for k in val):
+                for opk, opv in val.items():
+                    parts.append(Condition(ops[opk], key, opv))
+            else:
+                parts.append(Condition(FilterOp.EQ, key, val))
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else And(parts)
+
+
+class Condition(Filter):
+    def __init__(self, op: FilterOp, field: str, value: Any):
+        self.op = FilterOp(op)
+        self.field = field
+        self.value = value
+
+    def evaluate(self, metadata: Optional[dict]) -> bool:
+        if metadata is None or self.field not in metadata:
+            return False
+        return _cmp_scalar(self.op, metadata[self.field], self.value)
+
+    def mask(self, cols: ColumnView) -> np.ndarray:
+        present = cols.present(self.field)
+        op, val = self.op, self.value
+        if op in (FilterOp.GT, FilterOp.GTE, FilterOp.LT, FilterOp.LTE) and isinstance(
+            val, (int, float)
+        ) and not isinstance(val, bool):
+            col = cols.numeric(self.field)
+            with np.errstate(invalid="ignore"):
+                if op == FilterOp.GT:
+                    m = col > val
+                elif op == FilterOp.GTE:
+                    m = col >= val
+                elif op == FilterOp.LT:
+                    m = col < val
+                else:
+                    m = col <= val
+            return m & present
+        col = cols.objects(self.field)
+        if op == FilterOp.EQ:
+            return present & np.fromiter(
+                (c is not _MISSING and c == val for c in col), bool, len(col)
+            )
+        if op == FilterOp.NE:
+            return present & np.fromiter(
+                (c is not _MISSING and c != val for c in col), bool, len(col)
+            )
+        if op == FilterOp.IN:
+            vs = set(val) if not isinstance(val, set) else val
+            return present & np.fromiter(
+                (c in vs if c is not _MISSING else False for c in col), bool, len(col)
+            )
+        if op == FilterOp.NIN:
+            vs = set(val) if not isinstance(val, set) else val
+            return present & np.fromiter(
+                (c not in vs if c is not _MISSING else False for c in col),
+                bool, len(col),
+            )
+        if op == FilterOp.CONTAINS:
+            sub = str(val)
+            return present & np.fromiter(
+                (isinstance(c, str) and sub in c for c in col), bool, len(col)
+            )
+        if op == FilterOp.REGEX:
+            pat = re.compile(str(val))
+            return present & np.fromiter(
+                (isinstance(c, str) and pat.search(c) is not None for c in col),
+                bool, len(col),
+            )
+        # generic comparison ops on non-numeric targets: row-wise fallback
+        return present & np.fromiter(
+            (c is not _MISSING and _cmp_scalar(op, c, val) for c in col),
+            bool, len(col),
+        )
+
+    def to_dict(self) -> dict:
+        return {"type": "cond", "op": self.op.value, "field": self.field,
+                "value": self.value}
+
+
+class And(Filter):
+    def __init__(self, filters: List[Filter]):
+        self.filters = filters
+
+    def evaluate(self, metadata: Optional[dict]) -> bool:
+        return all(f.evaluate(metadata) for f in self.filters)
+
+    def mask(self, cols: ColumnView) -> np.ndarray:
+        m = np.ones(len(cols), dtype=bool)
+        for f in self.filters:
+            m &= f.mask(cols)
+        return m
+
+    def to_dict(self) -> dict:
+        return {"type": "and", "filters": [f.to_dict() for f in self.filters]}
+
+
+class Or(Filter):
+    def __init__(self, filters: List[Filter]):
+        self.filters = filters
+
+    def evaluate(self, metadata: Optional[dict]) -> bool:
+        return any(f.evaluate(metadata) for f in self.filters)
+
+    def mask(self, cols: ColumnView) -> np.ndarray:
+        m = np.zeros(len(cols), dtype=bool)
+        for f in self.filters:
+            m |= f.mask(cols)
+        return m
+
+    def to_dict(self) -> dict:
+        return {"type": "or", "filters": [f.to_dict() for f in self.filters]}
+
+
+class Not(Filter):
+    def __init__(self, f: Filter):
+        self.f = f
+
+    def evaluate(self, metadata: Optional[dict]) -> bool:
+        return not self.f.evaluate(metadata)
+
+    def mask(self, cols: ColumnView) -> np.ndarray:
+        return ~self.f.mask(cols)
+
+    def to_dict(self) -> dict:
+        return {"type": "not", "filter": self.f.to_dict()}
+
+
+def filter_from_tree(d: Optional[dict]) -> Optional[Filter]:
+    """Inverse of Filter.to_dict (used by the REST server)."""
+    if d is None:
+        return None
+    t = d.get("type")
+    if t == "cond":
+        return Condition(FilterOp(d["op"]), d["field"], d["value"])
+    if t == "and":
+        return And([filter_from_tree(x) for x in d["filters"]])
+    if t == "or":
+        return Or([filter_from_tree(x) for x in d["filters"]])
+    if t == "not":
+        return Not(filter_from_tree(d["filter"]))
+    raise ValueError(f"bad filter tree: {d!r}")

@@ -1,0 +1,215 @@
+"""Device-resident corpus buffer with power-of-two capacity bucketing.
+
+The reference keeps vectors inside the hnswlib C++ index and lazily rebuilds
+an (N, D) NumPy matrix for brute-force ops (vectordb_optimized.py:236-269).
+Here the corpus *lives on the TPU* as a pre-allocated ``(cap, D)`` buffer
+(the pre-allocation pattern of the reference's mmap store,
+parallel_search.py:516-559) so that search is a zero-copy jitted dispatch:
+
+  * ``cap`` is always a power of two (>= 1024) so XLA compiles one kernel per
+    capacity bucket, not per insert.
+  * inserts pad the incoming batch to a power-of-two block and write it with
+    ``lax.dynamic_update_slice``; a row-validity vector distinguishes real
+    rows from padding and tombstones.
+  * deletes are tombstones in the validity mask (mark_deleted semantics,
+    vectordb_optimized.py:474) — but unlike hnswlib, ``compact()`` can
+    physically reclaim space.
+  * per-row norm caches (squared norms + reciprocal norms) are maintained
+    incrementally for the cosine / L2 kernels.
+
+Donated jitted updaters keep inserts in-place on device (no host round-trip,
+no buffer copy).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels import distances as K
+
+MIN_CAPACITY = 1024
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def pad_rows(arr: np.ndarray, to: int) -> np.ndarray:
+    """Pad the leading axis of ``arr`` with zeros up to ``to`` rows."""
+    n = arr.shape[0]
+    if n == to:
+        return arr
+    pad = [(0, to - n)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _write_block(
+    vectors: jnp.ndarray,
+    valid: jnp.ndarray,
+    sq: jnp.ndarray,
+    rinv: jnp.ndarray,
+    block: jnp.ndarray,
+    n_real: jnp.ndarray,
+    start: jnp.ndarray,
+):
+    """Write a padded block of rows at ``start``; update caches in place."""
+    p = block.shape[0]
+    vectors = jax.lax.dynamic_update_slice(vectors, block.astype(vectors.dtype),
+                                           (start, jnp.int32(0)))
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (p,), 0)
+    new_valid = row_ids < n_real
+    valid = jax.lax.dynamic_update_slice(valid, new_valid, (start,))
+    bsq = jnp.einsum("nd,nd->n", block, block, preferred_element_type=jnp.float32)
+    brinv = jnp.where(bsq > 0, jax.lax.rsqrt(jnp.maximum(bsq, 1e-30)), 0.0)
+    sq = jax.lax.dynamic_update_slice(sq, bsq, (start,))
+    rinv = jax.lax.dynamic_update_slice(rinv, brinv, (start,))
+    return vectors, valid, sq, rinv
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _tombstone(valid: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    return valid.at[rows].set(False, mode="drop")
+
+
+class DeviceVectorStore:
+    """Append-only device buffer of float32 vectors with tombstone deletes."""
+
+    def __init__(self, dims: int, capacity: int = MIN_CAPACITY,
+                 storage_dtype: str = "float32"):
+        self.dims = int(dims)
+        self.storage_dtype = jnp.dtype(storage_dtype)
+        cap = _next_pow2(max(capacity, MIN_CAPACITY))
+        self.vectors = jnp.zeros((cap, self.dims), dtype=self.storage_dtype)
+        self.valid = jnp.zeros((cap,), dtype=bool)
+        self.sq = jnp.zeros((cap,), dtype=jnp.float32)
+        self.rinv = jnp.zeros((cap,), dtype=jnp.float32)
+        self.count = 0          # rows ever allocated (monotonic high-water mark)
+        self.n_valid = 0        # live rows (count minus tombstones)
+
+    @property
+    def capacity(self) -> int:
+        return self.vectors.shape[0]
+
+    def _grow(self, needed: int) -> None:
+        new_cap = _next_pow2(needed)
+        pad = new_cap - self.capacity
+        self.vectors = jnp.pad(self.vectors, ((0, pad), (0, 0)))
+        self.valid = jnp.pad(self.valid, ((0, pad),))
+        self.sq = jnp.pad(self.sq, ((0, pad),))
+        self.rinv = jnp.pad(self.rinv, ((0, pad),))
+
+    def append(self, vecs: np.ndarray) -> np.ndarray:
+        """Append a (n, D) float32 batch; returns the assigned row indices."""
+        n = vecs.shape[0]
+        if n == 0:
+            return np.empty((0,), dtype=np.int64)
+        if self.count + n > self.capacity:
+            self._grow(self.count + n)
+        block = pad_rows(np.ascontiguousarray(vecs, dtype=np.float32),
+                         _next_pow2(max(n, 8)))
+        self.vectors, self.valid, self.sq, self.rinv = _write_block(
+            self.vectors, self.valid, self.sq, self.rinv,
+            jnp.asarray(block), jnp.int32(n), jnp.int32(self.count),
+        )
+        rows = np.arange(self.count, self.count + n, dtype=np.int64)
+        self.count += n
+        self.n_valid += n
+        return rows
+
+    def delete_rows(self, rows: np.ndarray) -> None:
+        rows = np.asarray(rows, dtype=np.int32)
+        if rows.size == 0:
+            return
+        self.valid = _tombstone(self.valid, jnp.asarray(rows))
+        self.n_valid -= int(rows.size)
+
+    def get_rows(self, rows: np.ndarray) -> np.ndarray:
+        rows = np.asarray(rows, dtype=np.int32)
+        if rows.size == 0:
+            return np.empty((0, self.dims), dtype=np.float32)
+        out = jnp.take(self.vectors, jnp.asarray(rows), axis=0)
+        return np.asarray(out, dtype=np.float32)
+
+    # -- search -----------------------------------------------------------
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        metric,
+        extra_mask: Optional[np.ndarray] = None,
+        compute_dtype: str = "float32",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Masked exact top-k over the live rows.
+
+        queries: (B, D) float32. extra_mask: optional host bool mask over
+        rows [0, count) (a compiled Filter mask).  Returns (dists (B, k'),
+        rows (B, k')) with k' = min(k, n_valid-ish) — callers trim
+        masked-out sentinel hits via kernels.topk.valid_hits.
+        """
+        b = queries.shape[0]
+        bp = _next_pow2(max(b, 8))
+        q = pad_rows(np.ascontiguousarray(queries, dtype=np.float32), bp)
+        if extra_mask is not None:
+            m = np.zeros((self.capacity,), dtype=bool)
+            m[: extra_mask.shape[0]] = extra_mask
+            mask = jnp.logical_and(self.valid, jnp.asarray(m))
+        else:
+            mask = self.valid
+        kk = min(k, self.capacity)
+        vals, rows = K.search_kernel(
+            jnp.asarray(q), self.vectors, self.sq, self.rinv, mask,
+            metric=metric, k=kk, compute_dtype=compute_dtype,
+        )
+        return np.asarray(vals)[:b], np.asarray(rows)[:b]
+
+    # -- maintenance ------------------------------------------------------
+    def live_rows_host(self) -> np.ndarray:
+        """Row indices of live rows (host copy of the validity mask)."""
+        v = np.asarray(self.valid[: max(self.count, 1)])
+        return np.nonzero(v[: self.count])[0]
+
+    def compact(self) -> np.ndarray:
+        """Physically drop tombstoned rows.  Returns old-row -> position map
+        (the caller must remap its id <-> row tables).  hnswlib can never do
+        this (vectordb_optimized.py:474 keeps tombstones forever)."""
+        live = self.live_rows_host()
+        vecs = self.get_rows(live)
+        cap = _next_pow2(max(live.size, MIN_CAPACITY))
+        self.vectors = jnp.zeros((cap, self.dims), dtype=self.storage_dtype)
+        self.valid = jnp.zeros((cap,), dtype=bool)
+        self.sq = jnp.zeros((cap,), dtype=jnp.float32)
+        self.rinv = jnp.zeros((cap,), dtype=jnp.float32)
+        self.count = 0
+        self.n_valid = 0
+        if live.size:
+            self.append(vecs)
+        return live
+
+    # -- persistence helpers ---------------------------------------------
+    def export_arrays(self) -> dict:
+        n = self.count
+        return {
+            "vectors": np.asarray(self.vectors[:n], dtype=np.float32),
+            "valid": np.asarray(self.valid[:n]),
+        }
+
+    @classmethod
+    def from_arrays(cls, vectors: np.ndarray, valid: np.ndarray,
+                    storage_dtype: str = "float32") -> "DeviceVectorStore":
+        n, d = vectors.shape
+        store = cls(d, capacity=max(n, MIN_CAPACITY), storage_dtype=storage_dtype)
+        if n:
+            store.append(vectors)
+            dead = np.nonzero(~np.asarray(valid, dtype=bool))[0]
+            if dead.size:
+                store.delete_rows(dead)
+        return store

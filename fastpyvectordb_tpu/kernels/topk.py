@@ -1,0 +1,57 @@
+"""Top-k utilities: masked top-k and partial-result merging.
+
+The reference merges per-chunk top-k lists host-side with vstack +
+argpartition (parallel_search.py:137-156).  On TPU the same merge is a
+concatenate + ``lax.top_k`` and stays on device; the sharded variant in
+dist/sharded.py uses the identical merge after an ``all_gather`` over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .distances import MASKED
+
+
+def masked_top_k(
+    scores: jnp.ndarray,
+    k: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Smallest-k of a (B, N) score matrix with optional boolean mask.
+
+    Returns (vals (B,k), idx (B,k)); disqualified rows surface with score
+    >= MASKED so callers can trim them.
+    """
+    if mask is not None:
+        if mask.ndim == 1:
+            mask = mask[None, :]
+        scores = jnp.where(mask, scores, MASKED)
+    neg, idx = jax.lax.top_k(-scores, k)
+    return -neg, idx
+
+
+def merge_top_k(
+    vals_parts: jnp.ndarray,
+    idx_parts: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge P partial top-k lists per query.
+
+    vals_parts: (P, B, k_p) partial scores (lower = better)
+    idx_parts:  (P, B, k_p) global row indices
+    Returns (vals (B,k), idx (B,k)).
+    """
+    p, b, kp = vals_parts.shape
+    vals = jnp.moveaxis(vals_parts, 0, 1).reshape(b, p * kp)
+    idxs = jnp.moveaxis(idx_parts, 0, 1).reshape(b, p * kp)
+    top_vals, pos = jax.lax.top_k(-vals, k)
+    return -top_vals, jnp.take_along_axis(idxs, pos, axis=1)
+
+
+def valid_hits(vals: jnp.ndarray) -> jnp.ndarray:
+    """Boolean (B, k) marking hits that were not masked out."""
+    return vals < MASKED * 0.5

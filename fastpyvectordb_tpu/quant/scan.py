@@ -1,0 +1,131 @@
+"""Two-stage quantized scan: compressed first pass -> exact f32 re-rank.
+
+This is the TPU rendition of the reference's hybrid pipelines — BQ/SQ
+pre-filter followed by exact re-ranking (parallel_search.py:895-947,
+examples/benchmark_quantization.py:321-362) — with both stages on device:
+
+  stage 1: quantized distances over all rows (int8 dequant-matmul, packed
+           Hamming, or PQ ADC) + masked top-(k*rerank) candidate selection;
+  stage 2: gather the candidates' f32 rows and apply the exact metric,
+           then final top-k.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import DistanceMetric
+from ..kernels.distances import MASKED
+from ..kernels.topk import masked_top_k
+from .binary import BinaryQuantizer
+from .product import ProductQuantizer
+from .scalar import ScalarQuantizer
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k"))
+def _rerank(queries: jnp.ndarray, cand_vecs: jnp.ndarray,
+            cand_rows: jnp.ndarray, cand_ok: jnp.ndarray, *,
+            metric: DistanceMetric, k: int):
+    """Exact metric over gathered candidates.
+
+    queries (B, D); cand_vecs (B, C, D); cand_rows (B, C); cand_ok (B, C).
+    Returns (dists (B, k), rows (B, k)).
+    """
+    q = queries.astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST  # exact f32 re-ranking even on the MXU
+    if metric == DistanceMetric.COSINE:
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        vn = cand_vecs / jnp.maximum(
+            jnp.linalg.norm(cand_vecs, axis=-1, keepdims=True), 1e-30)
+        s = 1.0 - jnp.einsum("bd,bcd->bc", qn, vn,
+                             preferred_element_type=jnp.float32, precision=hp)
+    elif metric == DistanceMetric.L2:
+        diff = cand_vecs - q[:, None, :]
+        s = jnp.sqrt(jnp.maximum(
+            jnp.einsum("bcd,bcd->bc", diff, diff,
+                       preferred_element_type=jnp.float32, precision=hp), 0.0))
+    else:
+        s = -jnp.einsum("bd,bcd->bc", q, cand_vecs,
+                        preferred_element_type=jnp.float32, precision=hp)
+    s = jnp.where(cand_ok, s, MASKED)
+    neg, pos = jax.lax.top_k(-s, k)
+    return -neg, jnp.take_along_axis(cand_rows, pos, axis=1)
+
+
+class QuantizedScan:
+    """Compressed snapshot of a collection's live rows + 2-stage search."""
+
+    def __init__(self, kind: str, quantizer, codes: jnp.ndarray,
+                 store, metric: DistanceMetric):
+        self.kind = kind
+        self.quantizer = quantizer
+        self.codes = codes
+        self._store = store
+        self.metric = metric
+
+    @classmethod
+    def build(cls, collection, kind: str = "int8", **kwargs) -> "QuantizedScan":
+        store = collection._store
+        n = store.count
+        vecs = np.asarray(store.vectors[:max(n, 1)], dtype=np.float32)[:n]
+        if kind in ("int8", "sq", "scalar"):
+            qz = ScalarQuantizer().train(vecs)
+            codes = qz.encode(vecs)
+            kind = "int8"
+        elif kind in ("binary", "bq", "hamming"):
+            qz = BinaryQuantizer().train(vecs, **kwargs)
+            codes = qz.encode(vecs)
+            kind = "binary"
+        elif kind in ("pq", "product"):
+            qz = ProductQuantizer(m=kwargs.pop("m", 8),
+                                  k=kwargs.pop("k", 256))
+            qz.train(vecs, **kwargs)
+            codes = qz.encode(vecs)
+            kind = "pq"
+        else:
+            raise ValueError(f"unknown quantized scan kind {kind!r}")
+        return cls(kind, qz, codes, store, collection.config.metric)
+
+    def coarse_distances(self, q: np.ndarray) -> jnp.ndarray:
+        if self.kind == "int8":
+            return self.quantizer.distances(q, self.codes, metric=self.metric)
+        if self.kind == "binary":
+            return self.quantizer.hamming_distances(q, self.codes
+                                                    ).astype(jnp.float32)
+        return self.quantizer.distances(q, self.codes)
+
+    def search(self, queries: np.ndarray, k: int, rerank: int = 4,
+               mask: Optional[np.ndarray] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        n = self.codes.shape[0]
+        coarse = self.coarse_distances(q)
+        # combine the caller's filter mask with store validity (tombstones)
+        valid = self._store.valid[:n]
+        if mask is not None:
+            m = jnp.asarray(mask[:n]) & valid
+        else:
+            m = valid
+        c = min(max(k * max(rerank, 1), k), n)
+        cvals, crows = masked_top_k(coarse, c, m)
+        if rerank <= 1:
+            vals, rows = cvals, crows
+            if self.kind == "binary":
+                vals = jnp.asarray(cvals)
+            return np.asarray(vals)[:, :k], np.asarray(crows)[:, :k]
+        cand_ok = cvals < MASKED * 0.5
+        cand_vecs = jnp.take(self._store.vectors, crows, axis=0)
+        dists, rows = _rerank(jnp.asarray(q), cand_vecs.astype(jnp.float32),
+                              crows, jnp.asarray(cand_ok),
+                              metric=self.metric, k=min(k, c))
+        return np.asarray(dists), np.asarray(rows)
+
+    def memory_usage(self) -> dict:
+        return self.quantizer.memory_usage(self.codes.shape[0])

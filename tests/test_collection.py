@@ -1,0 +1,194 @@
+"""Core Collection + VectorDB behavior tests (reference parity:
+vectordb_optimized.py CRUD/search/persistence semantics)."""
+
+import numpy as np
+import pytest
+
+from fastpyvectordb_tpu import (
+    Collection,
+    CollectionConfig,
+    DistanceMetric,
+    Filter,
+    VectorDB,
+)
+
+
+def make_collection(metric="cosine", dims=16, **kw):
+    return Collection(CollectionConfig(name="t", dimensions=dims,
+                                       metric=metric, **kw))
+
+
+def test_insert_and_count(rng):
+    col = make_collection()
+    ids = col.insert_batch(rng.standard_normal((10, 16)).astype(np.float32))
+    assert col.count() == 10 and len(ids) == 10
+    col.insert(rng.standard_normal(16).astype(np.float32), id="x")
+    assert col.count() == 11
+    assert col.get("x") is not None
+
+
+def test_duplicate_id_rejected(rng):
+    col = make_collection()
+    col.insert(rng.standard_normal(16), id="a")
+    with pytest.raises(ValueError):
+        col.insert(rng.standard_normal(16), id="a")
+
+
+def test_dimension_mismatch_rejected(rng):
+    col = make_collection(dims=8)
+    with pytest.raises(ValueError):
+        col.insert(rng.standard_normal(16))
+
+
+def test_search_returns_self_nearest(rng):
+    col = make_collection(metric="cosine")
+    v = rng.standard_normal((50, 16)).astype(np.float32)
+    ids = [f"v{i}" for i in range(50)]
+    col.insert_batch(v, ids)
+    hits = col.search(v[7], k=1)
+    assert hits[0].id == "v7"
+    assert hits[0].score == pytest.approx(0.0, abs=1e-3)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2", "ip"])
+def test_search_matches_numpy_ranking(rng, metric):
+    col = make_collection(metric=metric)
+    v = rng.standard_normal((40, 16)).astype(np.float32)
+    col.insert_batch(v, [f"v{i}" for i in range(40)])
+    q = rng.standard_normal(16).astype(np.float32)
+    hits = col.search(q, k=5)
+    if metric == "cosine":
+        qn, vn = q / np.linalg.norm(q), v / np.linalg.norm(v, axis=1, keepdims=True)
+        want = np.argsort(1 - vn @ qn)[:5]
+    elif metric == "l2":
+        want = np.argsort(np.linalg.norm(v - q, axis=1))[:5]
+    else:
+        want = np.argsort(-(v @ q))[:5]
+    assert [h.id for h in hits] == [f"v{i}" for i in want]
+
+
+def test_filtered_search(rng):
+    col = make_collection()
+    v = rng.standard_normal((30, 16)).astype(np.float32)
+    metas = [{"cat": "a" if i % 2 == 0 else "b", "n": i} for i in range(30)]
+    col.insert_batch(v, [f"v{i}" for i in range(30)], metas)
+    hits = col.search(v[0], k=30, filter=Filter.eq("cat", "b"))
+    assert hits and all(h.metadata["cat"] == "b" for h in hits)
+    assert len(hits) == 15
+    hits = col.search(v[0], k=30,
+                      filter=Filter.and_([Filter.eq("cat", "a"),
+                                          Filter.lt("n", 10)]))
+    assert {h.id for h in hits} == {f"v{i}" for i in range(0, 10, 2)}
+
+
+def test_filter_no_match_returns_empty(rng):
+    col = make_collection()
+    col.insert_batch(rng.standard_normal((5, 16)), [f"v{i}" for i in range(5)],
+                     [{"x": 1}] * 5)
+    assert col.search(rng.standard_normal(16), k=3,
+                      filter=Filter.eq("x", 99)) == []
+
+
+def test_delete_and_tombstone(rng):
+    col = make_collection()
+    v = rng.standard_normal((10, 16)).astype(np.float32)
+    col.insert_batch(v, [f"v{i}" for i in range(10)])
+    assert col.delete("v3")
+    assert not col.delete("v3")
+    assert col.count() == 9
+    assert col.get("v3") is None
+    hits = col.search(v[3], k=10)
+    assert "v3" not in [h.id for h in hits]
+
+
+def test_compact_reclaims_and_preserves(rng):
+    col = make_collection()
+    v = rng.standard_normal((20, 16)).astype(np.float32)
+    col.insert_batch(v, [f"v{i}" for i in range(20)])
+    col.delete_batch([f"v{i}" for i in range(0, 20, 2)])
+    reclaimed = col.compact()
+    assert reclaimed == 10 and col.count() == 10
+    hits = col.search(v[7], k=1)
+    assert hits[0].id == "v7"
+    got = col.get("v9", include_vector=True)
+    np.testing.assert_allclose(got["vector"], v[9], rtol=1e-6)
+
+
+def test_upsert(rng):
+    col = make_collection()
+    a, b = (rng.standard_normal(16).astype(np.float32) for _ in range(2))
+    col.upsert(a, "x", {"ver": 1})
+    col.upsert(b, "x", {"ver": 2})
+    assert col.count() == 1
+    got = col.get("x", include_vector=True)
+    assert got["metadata"]["ver"] == 2
+    np.testing.assert_allclose(got["vector"], b, rtol=1e-6)
+
+
+def test_get_batch_with_vectors(rng):
+    col = make_collection()
+    v = rng.standard_normal((5, 16)).astype(np.float32)
+    col.insert_batch(v, [f"v{i}" for i in range(5)], [{"i": i} for i in range(5)])
+    out = col.get_batch(["v1", "nope", "v4"], include_vectors=True)
+    assert out[1] is None
+    np.testing.assert_allclose(out[0]["vector"], v[1], rtol=1e-6)
+    np.testing.assert_allclose(out[2]["vector"], v[4], rtol=1e-6)
+
+
+def test_search_batch(rng):
+    col = make_collection(metric="l2")
+    v = rng.standard_normal((64, 16)).astype(np.float32)
+    col.insert_batch(v, [f"v{i}" for i in range(64)])
+    res = col.search_batch(v[[3, 9, 41]], k=1)
+    assert [r[0].id for r in res] == ["v3", "v9", "v41"]
+
+
+def test_growth_beyond_initial_capacity(rng):
+    col = make_collection()
+    v = rng.standard_normal((1500, 16)).astype(np.float32)
+    col.insert_batch(v[:600], [f"a{i}" for i in range(600)])
+    col.insert_batch(v[600:], [f"b{i}" for i in range(900)])
+    assert col.count() == 1500
+    assert col.search(v[1200], k=1)[0].id == "b600"
+
+
+def test_persistence_roundtrip(rng, tmp_db_path):
+    db = VectorDB(str(tmp_db_path))
+    col = db.create_collection("docs", 16, metric="l2")
+    v = rng.standard_normal((25, 16)).astype(np.float32)
+    col.insert_batch(v, [f"v{i}" for i in range(25)],
+                     [{"i": i, "tag": "t"} for i in range(25)])
+    col.delete("v5")
+    db.save()
+
+    db2 = VectorDB(str(tmp_db_path))
+    assert db2.list_collections() == ["docs"]
+    col2 = db2["docs"]
+    assert col2.count() == 24
+    assert col2.config.metric == DistanceMetric.L2
+    assert col2.get("v5") is None
+    assert col2.search(v[8], k=1)[0].id == "v8"
+    assert col2.get("v8")["metadata"]["i"] == 8
+
+
+def test_vectordb_collection_management(tmp_db_path):
+    db = VectorDB(str(tmp_db_path))
+    db.create_collection("a", 8)
+    db.create_collection("b", 8)
+    with pytest.raises(ValueError):
+        db.create_collection("a", 8)
+    assert db.list_collections() == ["a", "b"]
+    assert db.delete_collection("a")
+    assert not db.delete_collection("a")
+    assert "a" not in db
+    with pytest.raises(KeyError):
+        db.get_collection("a")
+
+
+def test_update_metadata(rng):
+    col = make_collection()
+    col.insert(rng.standard_normal(16), "x", {"a": 1, "b": 2})
+    col.update_metadata("x", {"b": 3, "c": 4})
+    assert col.get("x")["metadata"] == {"a": 1, "b": 3, "c": 4}
+    col.update_metadata("x", {"only": 1}, merge=False)
+    assert col.get("x")["metadata"] == {"only": 1}

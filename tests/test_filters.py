@@ -1,0 +1,89 @@
+"""Filter engine tests: 10 ops, composition, dict form, vectorized masks."""
+
+import numpy as np
+import pytest
+
+from fastpyvectordb_tpu.core.filters import (
+    ColumnView,
+    Filter,
+    filter_from_tree,
+)
+
+ROWS = [
+    {"price": 10, "cat": "book", "title": "Deep Learning"},
+    {"price": 25.5, "cat": "toy", "title": "Robot Kit"},
+    {"price": 3, "cat": "book", "title": "ML Basics"},
+    {"cat": "misc"},  # missing price/title
+    None,             # tombstoned row
+]
+
+
+def mask_of(f):
+    return f.mask(ColumnView(ROWS)).tolist()
+
+
+def test_eq_ne():
+    assert mask_of(Filter.eq("cat", "book")) == [True, False, True, False, False]
+    # NE still requires the field to exist (reference semantics,
+    # vectordb_optimized.py:88-90)
+    assert mask_of(Filter.ne("price", 10)) == [False, True, True, False, False]
+
+
+def test_numeric_comparisons():
+    assert mask_of(Filter.gt("price", 5)) == [True, True, False, False, False]
+    assert mask_of(Filter.gte("price", 10)) == [True, True, False, False, False]
+    assert mask_of(Filter.lt("price", 10)) == [False, False, True, False, False]
+    assert mask_of(Filter.lte("price", 10)) == [True, False, True, False, False]
+
+
+def test_in_nin():
+    assert mask_of(Filter.in_("cat", ["book", "toy"])) == [True, True, True, False, False]
+    assert mask_of(Filter.nin("cat", ["book"])) == [False, True, False, True, False]
+
+
+def test_contains_regex():
+    assert mask_of(Filter.contains("title", "Learn")) == [True, False, False, False, False]
+    assert mask_of(Filter.regex("title", r"^ML")) == [False, False, True, False, False]
+
+
+def test_composition():
+    f = Filter.and_([Filter.eq("cat", "book"), Filter.gt("price", 5)])
+    assert mask_of(f) == [True, False, False, False, False]
+    f = Filter.or_([Filter.eq("cat", "toy"), Filter.lt("price", 5)])
+    assert mask_of(f) == [False, True, True, False, False]
+    f = Filter.not_(Filter.eq("cat", "book"))
+    assert mask_of(f) == [False, True, False, True, True]
+
+
+def test_from_dict_and_mongo_ops():
+    f = Filter.from_dict({"cat": "book", "price": {"$gte": 5}})
+    assert mask_of(f) == [True, False, False, False, False]
+    assert Filter.from_dict(None) is None
+    assert Filter.from_dict({}) is None
+
+
+def test_evaluate_matches_mask():
+    filters = [
+        Filter.eq("cat", "book"),
+        Filter.gt("price", 5),
+        Filter.contains("title", "o"),
+        Filter.not_(Filter.in_("cat", ["misc"])),
+        Filter.or_([Filter.lte("price", 3), Filter.regex("title", "Kit")]),
+    ]
+    cols = ColumnView(ROWS)
+    for f in filters:
+        assert f.mask(cols).tolist() == [f.evaluate(r) for r in ROWS]
+
+
+def test_tree_roundtrip():
+    f = Filter.and_([Filter.eq("a", 1),
+                     Filter.or_([Filter.gt("b", 2), Filter.not_(Filter.in_("c", [1, 2]))])])
+    f2 = filter_from_tree(f.to_dict())
+    assert f2.fingerprint() == f.fingerprint()
+
+
+def test_type_mismatch_is_false_not_error():
+    rows = [{"price": "not-a-number"}, {"price": 7}]
+    m = Filter.gt("price", 5).mask(ColumnView(rows))
+    assert m.tolist() == [False, True]
+    assert Filter.gt("price", 5).evaluate(rows[0]) is False

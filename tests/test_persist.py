@@ -1,0 +1,75 @@
+"""Unified FPVT container + streaming writer/reader + compression tests."""
+
+import numpy as np
+import pytest
+
+from fastpyvectordb_tpu.persist.format import (
+    Container,
+    StreamingVectorReader,
+    StreamingVectorWriter,
+    compress_vectors,
+    decompress_vectors,
+    load_container,
+    save_container,
+)
+
+
+def test_container_roundtrip(tmp_path, rng):
+    path = tmp_path / "c.fpvt"
+    arr = rng.standard_normal((17, 9)).astype(np.float32)
+    codes = rng.integers(0, 255, (17, 4)).astype(np.uint8)
+    save_container(path, {
+        "vectors": arr,
+        "codes": codes,
+        "ids": ["a", "b", None],
+        "blob": b"\x00\x01raw",
+    }, meta={"kind": "test", "n": 17})
+    c = load_container(path)
+    assert set(c.keys()) == {"vectors", "codes", "ids", "blob"}
+    assert c.meta == {"kind": "test", "n": 17}
+    np.testing.assert_array_equal(np.asarray(c.read("vectors")), arr)
+    np.testing.assert_array_equal(np.asarray(c.read("codes")), codes)
+    assert c.read("ids") == ["a", "b", None]
+    assert c.read("blob") == b"\x00\x01raw"
+
+
+def test_container_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.fpvt"
+    p.write_bytes(b"NOTAMAGICFILE")
+    with pytest.raises(ValueError):
+        Container(p)
+
+
+def test_streaming_roundtrip(tmp_path, rng):
+    path = tmp_path / "stream.fpvs"
+    vecs = rng.standard_normal((12, 6)).astype(np.float32)
+    with StreamingVectorWriter(path, dims=6) as w:
+        for i in range(4):
+            w.append(vecs[i], id=f"v{i}", metadata={"i": i})
+        w.append_batch(vecs[4:], ids=[f"v{i}" for i in range(4, 12)])
+    with StreamingVectorReader(path) as r:
+        assert len(r) == 12 and r.dims == 6
+        np.testing.assert_allclose(r.load_batch(3, 5), vecs[3:8], rtol=1e-6)
+        assert r.ids[:4] == ["v0", "v1", "v2", "v3"]
+        rows = list(r)
+        np.testing.assert_allclose(np.stack(rows), vecs, rtol=1e-6)
+
+
+def test_streaming_header_consistent_prefix(tmp_path, rng):
+    # header count must always describe fully-written data
+    path = tmp_path / "s.fpvs"
+    w = StreamingVectorWriter(path, dims=4)
+    w.append_batch(rng.standard_normal((3, 4)).astype(np.float32))
+    # simulate crash: no close()
+    r = StreamingVectorReader(path)
+    assert len(r) == 3
+
+
+@pytest.mark.parametrize("method,ratio", [("none", 1), ("fp16", 2), ("int8", 4)])
+def test_compression(rng, method, ratio):
+    v = rng.standard_normal((100, 32)).astype(np.float32)
+    payload, params = compress_vectors(v, method)
+    assert v.nbytes / payload.nbytes == pytest.approx(ratio, rel=0.01)
+    back = decompress_vectors(payload, params)
+    tol = {"none": 1e-7, "fp16": 1e-2, "int8": 0.05}[method]
+    np.testing.assert_allclose(back, v, atol=tol * np.abs(v).max())

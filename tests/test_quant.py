@@ -1,0 +1,178 @@
+"""Quantizer tests: SQ/BQ/PQ round-trips, distances, recall, persistence."""
+
+import numpy as np
+import pytest
+
+from fastpyvectordb_tpu import Collection, CollectionConfig
+from fastpyvectordb_tpu.core.types import DistanceMetric
+from fastpyvectordb_tpu.quant.binary import BinaryQuantizer
+from fastpyvectordb_tpu.quant.kmeans import assign_chunked, kmeans_fit
+from fastpyvectordb_tpu.quant.product import ProductQuantizer
+from fastpyvectordb_tpu.quant.scalar import ScalarQuantizer
+
+
+def recall_at_k(approx_idx, exact_idx, k):
+    hits = 0
+    for a, e in zip(approx_idx, exact_idx):
+        hits += len(set(a[:k].tolist()) & set(e[:k].tolist()))
+    return hits / (len(approx_idx) * k)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    n, d = 2000, 32
+    # clustered data so quantizers have structure to exploit
+    centers = rng.standard_normal((16, d)).astype(np.float32) * 3
+    v = centers[rng.integers(0, 16, n)] + rng.standard_normal(
+        (n, d)).astype(np.float32)
+    q = centers[rng.integers(0, 16, 8)] + rng.standard_normal(
+        (8, d)).astype(np.float32)
+    exact = np.argsort(
+        np.linalg.norm(v[None, :, :] - q[:, None, :], axis=-1), axis=1)
+    return v, q, exact
+
+
+def test_kmeans_reduces_distortion(rng):
+    import jax
+    data = rng.standard_normal((512, 8)).astype(np.float32)
+    c = kmeans_fit(jax.numpy.asarray(data), jax.random.PRNGKey(0), k=16,
+                   iters=8, chunk=256)
+    a = np.asarray(assign_chunked(jax.numpy.asarray(data), c, chunk=256))
+    assert a.shape == (512,) and a.min() >= 0 and a.max() < 16
+    # distortion must be far below the random-assignment baseline
+    d = np.linalg.norm(data - np.asarray(c)[a], axis=1).mean()
+    base = np.linalg.norm(data - data.mean(0), axis=1).mean()
+    assert d < base * 0.95
+
+
+class TestScalar:
+    def test_roundtrip_error(self, corpus):
+        v, _, _ = corpus
+        sq = ScalarQuantizer().train(v)
+        back = sq.decode(sq.encode(v))
+        scale = np.asarray(sq.scale)
+        assert np.abs(back - v).max() <= scale.max() / 255 * 0.51 + 1e-5
+
+    @pytest.mark.parametrize("metric", ["l2", "cosine", "ip"])
+    def test_distance_recall(self, corpus, metric):
+        v, q, _ = corpus
+        sq = ScalarQuantizer().train(v)
+        codes = sq.encode(v)
+        _, idx = sq.search(q, codes, k=10, metric=metric)
+        if metric == "l2":
+            exact = np.argsort(
+                np.linalg.norm(v[None] - q[:, None], axis=-1), axis=1)
+        elif metric == "cosine":
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            exact = np.argsort(1 - qn @ vn.T, axis=1)
+        else:
+            exact = np.argsort(-(q @ v.T), axis=1)
+        assert recall_at_k(idx, exact, 10) >= 0.9  # ref claims ~95-97% (README.md:506)
+
+    def test_compression_and_save(self, corpus, tmp_path):
+        v, _, _ = corpus
+        sq = ScalarQuantizer().train(v)
+        mem = sq.memory_usage(len(v))
+        assert mem["compression_ratio"] > 3.5
+        sq.save(tmp_path / "sq.fpvt")
+        sq2 = ScalarQuantizer.load(tmp_path / "sq.fpvt")
+        np.testing.assert_array_equal(np.asarray(sq2.encode(v[:5])),
+                                      np.asarray(sq.encode(v[:5])))
+
+
+class TestBinary:
+    def test_hamming_exactness(self, rng):
+        # hand-check: hamming distance equals bit disagreement count
+        v = rng.standard_normal((20, 70)).astype(np.float32)  # non-multiple of 32
+        bq = BinaryQuantizer().train(v)
+        d = np.asarray(bq.hamming_distances(v[:4], bq.encode(v)))
+        bits = (v > np.asarray(bq.thresholds)[None, :])
+        want = (bits[:4, None, :] != bits[None, :, :]).sum(-1)
+        np.testing.assert_array_equal(d, want)
+        assert d[np.arange(4), np.arange(4)].max() == 0
+
+    def test_search_recall_high_dim(self):
+        # binary signatures need dimensionality to discriminate; at 128-d the
+        # reference claims 80-90% recall (README.md:507)
+        rng = np.random.default_rng(3)
+        n, d = 2000, 128
+        centers = rng.standard_normal((16, d)).astype(np.float32) * 3
+        v = centers[rng.integers(0, 16, n)] + rng.standard_normal(
+            (n, d)).astype(np.float32)
+        q = centers[rng.integers(0, 16, 8)] + rng.standard_normal(
+            (8, d)).astype(np.float32)
+        exact = np.argsort(
+            np.linalg.norm(v[None, :, :] - q[:, None, :], axis=-1), axis=1)
+        bq = BinaryQuantizer().train(v)
+        # BQ is a pre-filter: measure whether the exact top-10 survives a
+        # 10x-overfetch Hamming candidate pass (the reference's hybrid
+        # pipeline shape, parallel_search.py:895-947)
+        _, cand = bq.search(q, bq.encode(v), k=100)
+        prefilter_recall = np.mean([
+            len(set(c.tolist()) & set(e[:10].tolist())) / 10
+            for c, e in zip(cand, exact)])
+        assert prefilter_recall >= 0.6
+
+    def test_compression_and_save(self, corpus, tmp_path):
+        v, _, _ = corpus
+        bq = BinaryQuantizer().train(v)
+        assert bq.memory_usage(len(v))["compression_ratio"] > 25
+        bq.save(tmp_path / "bq.fpvt")
+        bq2 = BinaryQuantizer.load(tmp_path / "bq.fpvt")
+        np.testing.assert_array_equal(np.asarray(bq2.encode(v[:3])),
+                                      np.asarray(bq.encode(v[:3])))
+
+
+class TestProduct:
+    def test_encode_decode_distortion(self, corpus):
+        v, _, _ = corpus
+        pq = ProductQuantizer(m=8).train(v, iters=8)
+        back = pq.decode(pq.encode(v))
+        # PQ reconstruction must beat the global-mean baseline by a wide margin
+        err = np.linalg.norm(back - v, axis=1).mean()
+        base = np.linalg.norm(v - v.mean(0), axis=1).mean()
+        assert err < base * 0.7
+
+    def test_search_recall(self, corpus):
+        v, q, exact = corpus
+        pq = ProductQuantizer(m=8).train(v, iters=10)
+        _, idx = pq.search(q, pq.encode(v), k=10)
+        assert recall_at_k(idx, exact, 10) >= 0.6  # ref claims 90-95% at scale
+
+    def test_compression_and_save(self, corpus, tmp_path):
+        v, _, _ = corpus
+        pq = ProductQuantizer(m=8).train(v, iters=4)
+        # 32-d f32 -> 8 bytes: 16x before codebook overhead
+        assert pq.memory_usage(100_000)["compression_ratio"] > 10
+        pq.save(tmp_path / "pq.fpvt")
+        pq2 = ProductQuantizer.load(tmp_path / "pq.fpvt")
+        np.testing.assert_array_equal(np.asarray(pq2.encode(v[:3])),
+                                      np.asarray(pq.encode(v[:3])))
+
+
+class TestQuantizedScan:
+    @pytest.mark.parametrize("kind", ["int8", "binary"])
+    def test_two_stage_matches_exact(self, corpus, kind):
+        v, q, _ = corpus
+        col = Collection(CollectionConfig(name="t", dimensions=32, metric="l2"))
+        col.insert_batch(v, [f"v{i}" for i in range(len(v))])
+        col.enable_quantized_scan(kind)
+        exact = [[h.id for h in hits] for hits in col.search_batch(q, k=10)]
+        approx = [[h.id for h in hits]
+                  for hits in col.search_quantized(q, k=10, rerank=8)]
+        # re-ranked two-stage search should closely match exact top-10
+        overlap = np.mean([len(set(a) & set(e)) / 10
+                           for a, e in zip(approx, exact)])
+        assert overlap >= (0.9 if kind == "int8" else 0.6)
+
+    def test_respects_filter(self, corpus):
+        from fastpyvectordb_tpu import Filter
+        v, q, _ = corpus
+        col = Collection(CollectionConfig(name="t", dimensions=32, metric="l2"))
+        col.insert_batch(v, [f"v{i}" for i in range(len(v))],
+                         [{"p": i % 3} for i in range(len(v))])
+        col.enable_quantized_scan("int8")
+        res = col.search_quantized(q[:2], k=5, filter=Filter.eq("p", 1))
+        assert all(h.metadata["p"] == 1 for hits in res for h in hits)
