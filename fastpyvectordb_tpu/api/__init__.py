@@ -1,1 +1,3 @@
+from .client import Client, Collection, GetResult, QueryResult  # noqa: F401
 
+__all__ = ["Client", "Collection", "GetResult", "QueryResult"]
