@@ -1,0 +1,173 @@
+"""HybridCollection: vector + BM25 keyword search with score fusion.
+
+Parity with the reference's HybridCollection (hybrid_search.py:222-477):
+configured ``text_fields`` (or every string metadata field) are indexed into
+BM25 on insert and removed on delete; ``keyword_search`` is pure BM25 with
+post-filtering; ``hybrid_search`` over-fetches from both systems, min-max
+normalizes each score space (vector distance -> similarity ``1 - d/max_d``,
+BM25 -> score/max), α-blends, filters, and returns combined results with
+per-component scores.
+
+Unlike the reference (which subclasses the *legacy* engine,
+hybrid_search.py:33), this subclasses the one core Collection, so hybrid
+collections get the fused-mask TPU search path for the vector stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..core.collection import Collection
+from ..core.filters import Filter
+from ..core.types import CollectionConfig, as_f32_matrix
+from ..persist.format import load_container, save_container
+from .bm25 import BM25Config, BM25Index
+
+BM25_FILE = "bm25.fpvt"
+
+
+@dataclasses.dataclass
+class HybridSearchResult:
+    id: str
+    score: float          # fused score (higher = better)
+    vector_score: float   # normalized vector similarity in [0, 1]
+    keyword_score: float  # normalized BM25 in [0, 1]
+    metadata: dict
+
+
+class HybridCollection(Collection):
+    def __init__(self, config: CollectionConfig,
+                 base_path: Optional[Path] = None,
+                 text_fields: Optional[Sequence[str]] = None,
+                 bm25_config: Optional[BM25Config] = None):
+        self.text_fields = list(text_fields) if text_fields else None
+        self._bm25 = BM25Index(bm25_config)
+        super().__init__(config, base_path)
+        if self.base_path is not None and (self.base_path / BM25_FILE).exists():
+            self._load_bm25()
+
+    # ------------------------------------------------------------------
+    def _indexable_text(self, metadata: Optional[dict]) -> str:
+        if not metadata:
+            return ""
+        if self.text_fields is not None:
+            parts = [str(metadata[f]) for f in self.text_fields
+                     if f in metadata]
+        else:
+            parts = [v for k, v in metadata.items() if isinstance(v, str)]
+        return " ".join(parts)
+
+    def insert_batch(self, vectors, ids=None, metadatas=None) -> List[str]:
+        out_ids = super().insert_batch(vectors, ids, metadatas)
+        metas = metadatas if metadatas is not None else [None] * len(out_ids)
+        for rid, meta in zip(out_ids, metas):
+            text = self._indexable_text(meta)
+            if text:
+                self._bm25.add_document(rid, text)
+        return out_ids
+
+    def delete_batch(self, ids: Sequence[str]) -> int:
+        n = super().delete_batch(ids)
+        for rid in ids:
+            self._bm25.remove_document(str(rid))
+        return n
+
+    def update_metadata(self, id: str, metadata: dict, merge: bool = True
+                        ) -> bool:
+        ok = super().update_metadata(id, metadata, merge)
+        if ok:
+            row = self._id_to_row[str(id)]
+            text = self._indexable_text(self._metadata[row])
+            if text:
+                self._bm25.add_document(str(id), text)
+        return ok
+
+    # ------------------------------------------------------------------
+    def keyword_search(self, query: str, k: int = 10,
+                       filter: Optional[Filter] = None
+                       ) -> List[HybridSearchResult]:
+        fetch = k * 10 if filter is not None else k
+        hits = self._bm25.search(query, fetch)
+        out = []
+        for rid, score in hits:
+            row = self._id_to_row.get(rid)
+            if row is None:
+                continue
+            meta = self._metadata[row] or {}
+            if filter is not None and not filter.evaluate(meta):
+                continue
+            out.append(HybridSearchResult(
+                id=rid, score=score, vector_score=0.0, keyword_score=score,
+                metadata=dict(meta)))
+            if len(out) >= k:
+                break
+        return out
+
+    def hybrid_search(self, query_vector, query_text: str, k: int = 10,
+                      alpha: float = 0.5,
+                      vector_weight: Optional[float] = None,
+                      keyword_weight: Optional[float] = None,
+                      filter: Optional[Filter] = None,
+                      fetch_factor: int = 5) -> List[HybridSearchResult]:
+        """Fused search.  ``alpha`` is the vector weight; explicit
+        vector_weight/keyword_weight override it (normalized), mirroring
+        hybrid_search.py:393-395."""
+        if vector_weight is not None or keyword_weight is not None:
+            vw = vector_weight if vector_weight is not None else 0.5
+            kw = keyword_weight if keyword_weight is not None else 0.5
+            total = vw + kw
+            alpha = vw / total if total > 0 else 0.5
+        q = as_f32_matrix(query_vector, self.config.dimensions)
+
+        fetch = max(k * fetch_factor, k)
+        vec_hits = self.search_batch(q, k=fetch)[0]
+        kw_hits = self._bm25.search(query_text, fetch)
+
+        # normalize vector distances -> similarity in [0, 1]
+        vec_scores = {}
+        if vec_hits:
+            max_d = max(h.score for h in vec_hits) or 1.0
+            if max_d <= 0:
+                max_d = 1.0
+            for h in vec_hits:
+                vec_scores[h.id] = 1.0 - h.score / max_d
+
+        kw_scores = {}
+        if kw_hits:
+            max_s = max(s for _, s in kw_hits) or 1.0
+            for rid, s in kw_hits:
+                kw_scores[rid] = s / max_s
+
+        out = []
+        for rid in set(vec_scores) | set(kw_scores):
+            row = self._id_to_row.get(rid)
+            if row is None:
+                continue
+            meta = self._metadata[row] or {}
+            if filter is not None and not filter.evaluate(meta):
+                continue
+            vs = vec_scores.get(rid, 0.0)
+            ks = kw_scores.get(rid, 0.0)
+            out.append(HybridSearchResult(
+                id=rid, score=alpha * vs + (1.0 - alpha) * ks,
+                vector_score=vs, keyword_score=ks, metadata=dict(meta)))
+        out.sort(key=lambda r: (-r.score, r.id))
+        return out[:k]
+
+    # ------------------------------------------------------------------
+    def save(self) -> None:
+        super().save()
+        save_container(self.base_path / BM25_FILE,
+                       {"bm25": self._bm25.to_dict(),
+                        "text_fields": self.text_fields},
+                       meta={"kind": "bm25"})
+
+    def _load_bm25(self) -> None:
+        c = load_container(self.base_path / BM25_FILE)
+        self._bm25 = BM25Index.from_dict(c.read("bm25"))
+        tf = c.read("text_fields")
+        self.text_fields = list(tf) if tf else None

@@ -1,0 +1,118 @@
+"""HybridGraphVectorDB tests (parity: reference test_comprehensive.py
+suite 3: seeds vs expansion, filters, reranking, persistence)."""
+
+import numpy as np
+import pytest
+
+from fastpyvectordb_tpu.graphdb.hybrid import HybridGraphVectorDB
+
+
+def unit(v):
+    v = np.asarray(v, dtype=np.float32)
+    return v / np.linalg.norm(v)
+
+
+@pytest.fixture()
+def db(tmp_path):
+    db = HybridGraphVectorDB(path=str(tmp_path / "hg"), dimensions=8)
+    # three "topic" directions
+    ml = unit([1, 0, 0, 0, 0, 0, 0, 0])
+    bio = unit([0, 1, 0, 0, 0, 0, 0, 0])
+    fin = unit([0, 0, 1, 0, 0, 0, 0, 0])
+    db.add_node_with_embedding(["Paper"], {"title": "deep nets", "year": 2020},
+                               ml, id="p_ml")
+    db.add_node_with_embedding(["Paper"], {"title": "genomics", "year": 2019},
+                               bio, id="p_bio")
+    db.add_node_with_embedding(["Paper"], {"title": "markets", "year": 2021},
+                               fin, id="p_fin")
+    db.add_node_with_embedding(["Author"], {"name": "Ann"},
+                               unit([0.9, 0.1, 0, 0, 0, 0, 0, 0]), id="ann")
+    # authors/citations (graph-only node too)
+    db.graph.create_node(["Venue"], {"name": "NeurIPS"}, id="venue")
+    db.graph.create_edge("ann", "p_ml", "WROTE")
+    db.graph.create_edge("p_ml", "venue", "PUBLISHED_AT")
+    db.graph.create_edge("p_ml", "p_bio", "CITES")
+    db.add_edge_with_embedding("p_bio", "p_fin", "CITES",
+                               unit([0, 1, 1, 0, 0, 0, 0, 0]))
+    return db
+
+
+def test_vector_search_basic(db):
+    hits = db.vector_search(unit([1, 0.05, 0, 0, 0, 0, 0, 0]), k=2)
+    assert hits[0].node.id == "p_ml"
+    assert hits[0].score > hits[1].score
+    assert 0 <= hits[0].score <= 1.0 + 1e-6
+
+
+def test_vector_search_label_filter(db):
+    hits = db.vector_search(unit([1, 0, 0, 0, 0, 0, 0, 0]), k=4,
+                            labels=["Author"])
+    assert [h.node.id for h in hits] == ["ann"]
+
+
+def test_vector_search_property_filter(db):
+    hits = db.vector_search(unit([1, 1, 1, 0, 0, 0, 0, 0]), k=4,
+                            properties={"year": 2019})
+    assert [h.node.id for h in hits] == ["p_bio"]
+
+
+def test_semantic_graph_search_expands(db):
+    q = unit([1, 0, 0, 0, 0, 0, 0, 0])
+    res = db.semantic_graph_search(q, k=10, expand_hops=2)
+    ids = [r.node.id for r in res]
+    assert ids[0] == "p_ml"              # seed keeps top score
+    assert "venue" in ids                # graph-only node reached by hop
+    venue = next(r for r in res if r.node.id == "venue")
+    assert venue.hops >= 1 and venue.graph_score > 0
+    seed = next(r for r in res if r.node.id == "p_ml")
+    assert seed.hops == 0 and seed.vector_score > venue.vector_score
+
+
+def test_semantic_graph_search_hop_decay(db):
+    q = unit([1, 0, 0, 0, 0, 0, 0, 0])
+    res = db.semantic_graph_search(q, k=10, expand_hops=2,
+                                   vector_weight=1.0, graph_weight=0.0)
+    by_id = {r.node.id: r for r in res}
+    # 1-hop expansion from the best seed scores seed_sim/2
+    assert by_id["venue"].score == pytest.approx(
+        by_id["p_ml"].vector_score / 2, rel=1e-5)
+
+
+def test_semantic_graph_search_filters(db):
+    q = unit([1, 0, 0, 0, 0, 0, 0, 0])
+    res = db.semantic_graph_search(q, k=10, expand_hops=2, labels=["Venue"])
+    assert [r.node.id for r in res] == ["venue"]
+    res = db.semantic_graph_search(q, k=10, expand_hops=1,
+                                   properties={"year": 2019})
+    assert [r.node.id for r in res] == ["p_bio"]
+
+
+def test_edge_vector_search(db):
+    hits = db.edge_vector_search(unit([0, 1, 1, 0, 0, 0, 0, 0]), k=2)
+    assert hits and hits[0][0].type == "CITES"
+    assert hits[0][0].source == "p_bio"
+
+
+def test_graph_search_with_reranking(db):
+    q = unit([0, 1, 0, 0, 0, 0, 0, 0])
+    res = db.graph_search_with_reranking("ann", q, max_depth=3, k=5)
+    ids = [r.node.id for r in res]
+    assert "p_bio" in ids  # reachable via WROTE->CITES and most similar
+    assert ids[0] == "p_bio"
+
+
+def test_delete_node_cleans_vectors(db):
+    assert db.delete_node("p_ml")
+    assert db.node_vectors.get("p_ml") is None
+    hits = db.vector_search(unit([1, 0, 0, 0, 0, 0, 0, 0]), k=4)
+    assert "p_ml" not in [h.node.id for h in hits]
+
+
+def test_persistence_roundtrip(db, tmp_path):
+    db.save()
+    db2 = HybridGraphVectorDB(path=str(db.path), dimensions=8)
+    assert db2.stats() == db.stats()
+    hits = db2.vector_search(unit([1, 0, 0, 0, 0, 0, 0, 0]), k=1)
+    assert hits[0].node.id == "p_ml"
+    res = db2.semantic_graph_search(unit([1, 0, 0, 0, 0, 0, 0, 0]), k=5)
+    assert res[0].node.id == "p_ml"
