@@ -1,0 +1,213 @@
+"""HTTP client for the REST server.
+
+Parity with the reference's httpx client (client.py:32-281): mirrors every
+endpoint, context-manager lifecycle, 404 -> None on gets.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import httpx
+import numpy as np
+
+
+class VectorDBClient:
+    def __init__(self, base_url: str = "http://localhost:8000",
+                 timeout: float = 30.0):
+        self.base_url = base_url.rstrip("/")
+        self._client = httpx.Client(base_url=self.base_url, timeout=timeout)
+
+    # ------------------------------------------------------------------
+    def health(self) -> dict:
+        return self._get("/health")
+
+    # collections ------------------------------------------------------
+    def list_collections(self) -> List[dict]:
+        return self._get("/collections")["collections"]
+
+    def create_collection(self, name: str, dimensions: int,
+                          metric: str = "cosine", index: str = "flat") -> dict:
+        return self._post("/collections", {
+            "name": name, "dimensions": dimensions, "metric": metric,
+            "index": index})
+
+    def get_collection(self, name: str) -> Optional[dict]:
+        return self._get(f"/collections/{name}", none_on_404=True)
+
+    def delete_collection(self, name: str) -> bool:
+        r = self._client.delete(f"/collections/{name}")
+        return r.status_code == 200
+
+    # vectors ----------------------------------------------------------
+    def insert(self, collection: str, vector, id: Optional[str] = None,
+               metadata: Optional[dict] = None) -> str:
+        return self._post(f"/collections/{collection}/vectors", {
+            "vector": np.asarray(vector, dtype=float).tolist(),
+            "id": id, "metadata": metadata})["id"]
+
+    def insert_batch(self, collection: str, vectors,
+                     ids: Optional[Sequence[str]] = None,
+                     metadatas: Optional[Sequence[dict]] = None) -> List[str]:
+        return self._post(f"/collections/{collection}/vectors/batch", {
+            "vectors": np.asarray(vectors, dtype=float).tolist(),
+            "ids": list(ids) if ids else None,
+            "metadatas": list(metadatas) if metadatas else None})["ids"]
+
+    def upsert(self, collection: str, vector, id: str,
+               metadata: Optional[dict] = None) -> dict:
+        return self._put(f"/collections/{collection}/vectors", {
+            "vector": np.asarray(vector, dtype=float).tolist(),
+            "id": id, "metadata": metadata})
+
+    def insert_text(self, collection: str, text: str,
+                    id: Optional[str] = None,
+                    metadata: Optional[dict] = None) -> str:
+        return self._post(f"/collections/{collection}/texts", {
+            "text": text, "id": id, "metadata": metadata})["id"]
+
+    def get(self, collection: str, id: str,
+            include_vector: bool = False) -> Optional[dict]:
+        return self._get(
+            f"/collections/{collection}/vectors/{id}"
+            f"?include_vector={'true' if include_vector else 'false'}",
+            none_on_404=True)
+
+    def delete(self, collection: str, id: str) -> bool:
+        return self._client.delete(
+            f"/collections/{collection}/vectors/{id}").status_code == 200
+
+    def list_ids(self, collection: str, limit: int = 100,
+                 offset: int = 0) -> List[str]:
+        return self._get(f"/collections/{collection}/ids"
+                         f"?limit={limit}&offset={offset}")["ids"]
+
+    # search -----------------------------------------------------------
+    def search(self, collection: str, vector=None, text: Optional[str] = None,
+               k: int = 10, where: Optional[dict] = None,
+               filter_tree: Optional[dict] = None,
+               exact: Optional[bool] = None) -> dict:
+        body: Dict[str, Any] = {"k": k, "where": where,
+                                "filter_tree": filter_tree, "exact": exact}
+        if vector is not None:
+            body["vector"] = np.asarray(vector, dtype=float).tolist()
+        if text is not None:
+            body["text"] = text
+        return self._post(f"/collections/{collection}/search", body)
+
+    def search_batch(self, collection: str, vectors=None,
+                     texts: Optional[Sequence[str]] = None, k: int = 10,
+                     where: Optional[dict] = None) -> dict:
+        body: Dict[str, Any] = {"k": k, "where": where}
+        if vectors is not None:
+            body["vectors"] = np.asarray(vectors, dtype=float).tolist()
+        if texts is not None:
+            body["texts"] = list(texts)
+        return self._post(f"/collections/{collection}/search/batch", body)
+
+    # graph ------------------------------------------------------------
+    def create_node(self, labels=None, properties=None,
+                    id: Optional[str] = None) -> dict:
+        return self._post("/graph/nodes", {"labels": labels,
+                                           "properties": properties, "id": id})
+
+    def get_node(self, id: str) -> Optional[dict]:
+        return self._get(f"/graph/nodes/{id}", none_on_404=True)
+
+    def update_node(self, id: str, properties=None, add_labels=None,
+                    remove_labels=None, merge: bool = True) -> Optional[dict]:
+        r = self._client.put(f"/graph/nodes/{id}", json={
+            "properties": properties, "add_labels": add_labels,
+            "remove_labels": remove_labels, "merge": merge})
+        if r.status_code == 404:
+            return None
+        r.raise_for_status()
+        return r.json()
+
+    def delete_node(self, id: str) -> bool:
+        return self._client.delete(f"/graph/nodes/{id}").status_code == 200
+
+    def find_nodes(self, label: Optional[str] = None,
+                   properties: Optional[dict] = None) -> List[dict]:
+        import json as _json
+        params = {}
+        if label:
+            params["label"] = label
+        if properties:
+            params["properties"] = _json.dumps(properties)
+        r = self._client.get("/graph/nodes", params=params)
+        r.raise_for_status()
+        return r.json()["nodes"]
+
+    def create_edge(self, source: str, target: str, type: str,
+                    properties=None) -> dict:
+        return self._post("/graph/edges", {
+            "source": source, "target": target, "type": type,
+            "properties": properties})
+
+    def neighbors(self, id: str, direction: str = "both",
+                  edge_type: Optional[str] = None) -> List[dict]:
+        params = {"direction": direction}
+        if edge_type:
+            params["edge_type"] = edge_type
+        r = self._client.get(f"/graph/neighbors/{id}", params=params)
+        r.raise_for_status()
+        return r.json()["neighbors"]
+
+    def graph_query(self, query: str) -> List[dict]:
+        return self._post("/graph/query", {"query": query})["rows"]
+
+    def traverse(self, start: str, max_depth: int = 3,
+                 edge_type: Optional[str] = None,
+                 direction: str = "out") -> List[List[str]]:
+        return self._post("/graph/traverse", {
+            "start": start, "max_depth": max_depth, "edge_type": edge_type,
+            "direction": direction})["paths"]
+
+    def shortest_path(self, source: str, target: str,
+                      edge_type: Optional[str] = None) -> Optional[List[str]]:
+        return self._post("/graph/shortest-path", {
+            "source": source, "target": target,
+            "edge_type": edge_type})["path"]
+
+    # embeddings -------------------------------------------------------
+    def embed(self, text: str) -> np.ndarray:
+        return np.asarray(self._post("/embeddings/embed",
+                                     {"text": text})["embedding"],
+                          dtype=np.float32)
+
+    def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        return np.asarray(self._post("/embeddings/embed-batch",
+                                     {"texts": list(texts)})["embeddings"],
+                          dtype=np.float32)
+
+    # admin ------------------------------------------------------------
+    def save(self) -> bool:
+        return self._post("/admin/save", {})["saved"]
+
+    # ------------------------------------------------------------------
+    def _get(self, path: str, none_on_404: bool = False):
+        r = self._client.get(path)
+        if none_on_404 and r.status_code == 404:
+            return None
+        r.raise_for_status()
+        return r.json()
+
+    def _post(self, path: str, body: dict):
+        r = self._client.post(path, json=body)
+        r.raise_for_status()
+        return r.json()
+
+    def _put(self, path: str, body: dict):
+        r = self._client.put(path, json=body)
+        r.raise_for_status()
+        return r.json()
+
+    def close(self) -> None:
+        self._client.close()
+
+    def __enter__(self) -> "VectorDBClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -1,0 +1,532 @@
+"""REST + WebSocket server (aiohttp).
+
+Parity with both reference server tiers — vector-only (server.py:136-449)
+and full (server_full.py: graph REST, text auto-embed, embeddings
+endpoints, WebSocket change feeds) — as one application factory with
+feature flags.  FastAPI/uvicorn are not available in this environment, so
+the app is built on aiohttp with pydantic request validation
+(server/schemas.py).
+
+TPU-specific: single-query search requests are transparently coalesced
+into batched device dispatches (server/batcher.py).
+
+Endpoints (vector tier):
+  GET  /health
+  GET/POST /collections ; GET/DELETE /collections/{name}
+  POST /collections/{name}/vectors[/batch] ; PUT .../vectors (upsert)
+  GET/DELETE /collections/{name}/vectors/{id}
+  POST /collections/{name}/search[/batch]      (vector or text)
+  GET  /collections/{name}/ids
+  POST /admin/save
+Full tier adds:
+  POST /collections/{name}/texts
+  /graph/nodes|edges|hyperedges CRUD, /graph/query, /graph/traverse,
+  /graph/shortest-path, /graph/neighbors/{id}
+  POST /embeddings/embed[-batch]
+  WS   /ws , /ws/{collection}
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+from typing import Optional
+
+import numpy as np
+
+try:
+    from aiohttp import web, WSMsgType
+    HAS_AIOHTTP = True
+except ImportError:  # pragma: no cover
+    HAS_AIOHTTP = False
+    web = None
+
+from pydantic import ValidationError
+
+from ..core.filters import Filter, filter_from_tree
+from ..core.vectordb import VectorDB
+from ..embeddings import get_embedder
+from ..graphdb import GraphDB
+from ..realtime import AsyncConnectionManager, Event, EventType, Subscription
+from . import schemas as S
+from .batcher import QueryBatcher
+
+JSON = "application/json"
+
+
+def _json_error(status: int, message: str):
+    return web.json_response({"detail": message}, status=status)
+
+
+def _parse(model, payload: dict):
+    try:
+        return model.model_validate(payload or {})
+    except ValidationError as e:
+        raise web.HTTPUnprocessableEntity(
+            text=json.dumps({"detail": json.loads(e.json())}),
+            content_type=JSON)
+
+
+async def _body(request) -> dict:
+    try:
+        return await request.json()
+    except json.JSONDecodeError:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"detail": "invalid JSON body"}),
+            content_type=JSON)
+
+
+def _filter_of(req) -> Optional[Filter]:
+    if getattr(req, "filter_tree", None):
+        return filter_from_tree(req.filter_tree)
+    return Filter.from_dict(getattr(req, "where", None))
+
+
+def _hit_dict(h, include_vector=False) -> dict:
+    d = {"id": h.id, "score": h.score, "metadata": h.metadata}
+    if include_vector and h.vector is not None:
+        d["vector"] = np.asarray(h.vector).tolist()
+    return d
+
+
+def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
+               embedding_provider: str = "auto",
+               graph_path: Optional[str] = None,
+               batch_window_ms: float = 2.0,
+               cors: bool = True) -> "web.Application":
+    if not HAS_AIOHTTP:
+        raise RuntimeError("aiohttp is required for the server")
+
+    app = web.Application(client_max_size=256 * 1024 * 1024)
+    state = app["state"] = {
+        "db": VectorDB(db_path),
+        "graph": GraphDB(graph_path or f"{db_path}/_graph") if full else None,
+        "embedder": None,
+        "embedding_provider": embedding_provider,
+        "ws": AsyncConnectionManager(),
+        "batcher": QueryBatcher(window_ms=batch_window_ms),
+        "started": time.time(),
+        "full": full,
+    }
+
+    def embedder():
+        if state["embedder"] is None:
+            state["embedder"] = get_embedder(state["embedding_provider"])
+        return state["embedder"]
+
+    def db() -> VectorDB:
+        return state["db"]
+
+    def collection_or_404(name: str):
+        try:
+            return db().get_collection(name)
+        except KeyError:
+            raise web.HTTPNotFound(
+                text=json.dumps({"detail": f"collection {name!r} not found"}),
+                content_type=JSON)
+
+    async def broadcast(event: Event):
+        await state["ws"].broadcast(event)
+
+    # ------------------------------------------------------------------
+    # health / collections
+    # ------------------------------------------------------------------
+    async def health(request):
+        info = {
+            "status": "ok",
+            "uptime_s": round(time.time() - state["started"], 3),
+            "collections": len(db().list_collections()),
+            "websocket_connections": state["ws"].connection_count,
+        }
+        if state["graph"] is not None:
+            info["graph"] = state["graph"].stats()
+        if state["embedder"] is not None:
+            info["embedder"] = state["embedder"].model_name
+        return web.json_response(info)
+
+    async def list_collections(request):
+        out = []
+        for name in db().list_collections():
+            c = db()[name]
+            out.append(S.CollectionInfo(
+                name=name, dimensions=c.config.dimensions,
+                metric=c.config.metric.value, count=c.count(),
+                index=c.config.index).model_dump())
+        return web.json_response({"collections": out})
+
+    async def create_collection(request):
+        req = _parse(S.CreateCollectionRequest, await _body(request))
+        try:
+            c = db().create_collection(req.name, req.dimensions,
+                                       metric=req.metric, index=req.index)
+        except ValueError as e:
+            return _json_error(409, str(e))
+        await broadcast(Event(EventType.COLLECTION_CREATED, req.name))
+        return web.json_response(
+            {"name": req.name, "dimensions": c.config.dimensions}, status=201)
+
+    async def get_collection(request):
+        c = collection_or_404(request.match_info["name"])
+        return web.json_response(S.CollectionInfo(
+            name=c.config.name, dimensions=c.config.dimensions,
+            metric=c.config.metric.value, count=c.count(),
+            index=c.config.index).model_dump())
+
+    async def delete_collection(request):
+        name = request.match_info["name"]
+        if not db().delete_collection(name):
+            return _json_error(404, f"collection {name!r} not found")
+        await broadcast(Event(EventType.COLLECTION_DELETED, name))
+        return web.json_response({"deleted": name})
+
+    # ------------------------------------------------------------------
+    # vectors
+    # ------------------------------------------------------------------
+    async def insert_vector(request):
+        name = request.match_info["name"]
+        c = collection_or_404(name)
+        req = _parse(S.InsertVectorRequest, await _body(request))
+        try:
+            rid = c.insert(np.asarray(req.vector, dtype=np.float32),
+                           req.id, req.metadata)
+        except ValueError as e:
+            return _json_error(400, str(e))
+        await broadcast(Event(EventType.INSERT, name,
+                              {"id": rid, "metadata": req.metadata or {}}))
+        return web.json_response({"id": rid}, status=201)
+
+    async def insert_batch(request):
+        name = request.match_info["name"]
+        c = collection_or_404(name)
+        req = _parse(S.InsertBatchRequest, await _body(request))
+        try:
+            ids = c.insert_batch(np.asarray(req.vectors, dtype=np.float32),
+                                 req.ids, req.metadatas)
+        except ValueError as e:
+            return _json_error(400, str(e))
+        await broadcast(Event(EventType.BATCH_INSERT, name,
+                              {"count": len(ids)}))
+        return web.json_response({"ids": ids, "count": len(ids)}, status=201)
+
+    async def upsert_vector(request):
+        name = request.match_info["name"]
+        c = collection_or_404(name)
+        req = _parse(S.InsertVectorRequest, await _body(request))
+        if req.id is None:
+            return _json_error(400, "upsert requires an id")
+        existed = c.get(req.id) is not None
+        rid = c.upsert(np.asarray(req.vector, dtype=np.float32), req.id,
+                       req.metadata)
+        await broadcast(Event(
+            EventType.UPDATE if existed else EventType.INSERT, name,
+            {"id": rid, "metadata": req.metadata or {}}))
+        return web.json_response({"id": rid, "updated": existed})
+
+    async def get_vector(request):
+        c = collection_or_404(request.match_info["name"])
+        rid = request.match_info["id"]
+        include = request.query.get("include_vector", "false") == "true"
+        row = c.get(rid, include_vector=include)
+        if row is None:
+            return _json_error(404, f"id {rid!r} not found")
+        if include:
+            row["vector"] = np.asarray(row["vector"]).tolist()
+        return web.json_response(row)
+
+    async def delete_vector(request):
+        name = request.match_info["name"]
+        c = collection_or_404(name)
+        rid = request.match_info["id"]
+        if not c.delete(rid):
+            return _json_error(404, f"id {rid!r} not found")
+        await broadcast(Event(EventType.DELETE, name, {"id": rid}))
+        return web.json_response({"deleted": rid})
+
+    async def list_ids(request):
+        c = collection_or_404(request.match_info["name"])
+        limit = int(request.query.get("limit", 100))
+        offset = int(request.query.get("offset", 0))
+        return web.json_response({"ids": c.list_ids(limit, offset),
+                                  "count": c.count()})
+
+    # ------------------------------------------------------------------
+    # search
+    # ------------------------------------------------------------------
+    def _query_vector(req, c):
+        if req.vector is not None:
+            return np.asarray(req.vector, dtype=np.float32)
+        if req.text is not None:
+            if not state["full"]:
+                raise web.HTTPBadRequest(
+                    text=json.dumps(
+                        {"detail": "text search requires the full server"}),
+                    content_type=JSON)
+            return embedder().embed(req.text)
+        raise web.HTTPBadRequest(
+            text=json.dumps({"detail": "vector or text required"}),
+            content_type=JSON)
+
+    async def search(request):
+        name = request.match_info["name"]
+        c = collection_or_404(name)
+        req = _parse(S.SearchRequest, await _body(request))
+        q = _query_vector(req, c)
+        t0 = time.perf_counter()
+        hits = await state["batcher"].search(c, q, req.k, _filter_of(req),
+                                             req.exact)
+        took = (time.perf_counter() - t0) * 1000
+        return web.json_response(
+            {"results": [_hit_dict(h) for h in hits],
+             "took_ms": round(took, 3)})
+
+    async def search_batch(request):
+        name = request.match_info["name"]
+        c = collection_or_404(name)
+        req = _parse(S.SearchBatchRequest, await _body(request))
+        if req.vectors is not None:
+            q = np.asarray(req.vectors, dtype=np.float32)
+        elif req.texts is not None and state["full"]:
+            q = embedder().embed_batch(req.texts)
+        else:
+            return _json_error(400, "vectors or texts required")
+        t0 = time.perf_counter()
+        batches = await asyncio.get_running_loop().run_in_executor(
+            None, lambda: c.search_batch(q, req.k, _filter_of(req)))
+        took = (time.perf_counter() - t0) * 1000
+        return web.json_response(
+            {"results": [[_hit_dict(h) for h in hits] for hits in batches],
+             "took_ms": round(took, 3)})
+
+    async def insert_text(request):
+        name = request.match_info["name"]
+        c = collection_or_404(name)
+        req = _parse(S.InsertTextRequest, await _body(request))
+        vec = embedder().embed(req.text)
+        meta = dict(req.metadata or {})
+        meta["_text"] = req.text
+        try:
+            rid = c.insert(vec, req.id, meta)
+        except ValueError as e:
+            return _json_error(400, str(e))
+        await broadcast(Event(EventType.INSERT, name,
+                              {"id": rid, "metadata": meta}))
+        return web.json_response({"id": rid}, status=201)
+
+    async def admin_save(request):
+        db().save()
+        if state["graph"] is not None and state["graph"].path is not None:
+            state["graph"].save()
+        return web.json_response({"saved": True})
+
+    # ------------------------------------------------------------------
+    # graph REST (full tier)
+    # ------------------------------------------------------------------
+    def graph() -> GraphDB:
+        return state["graph"]
+
+    async def create_node(request):
+        req = _parse(S.CreateNodeRequest, await _body(request))
+        try:
+            n = graph().create_node(req.labels, req.properties, req.id)
+        except ValueError as e:
+            return _json_error(409, str(e))
+        return web.json_response(n.to_dict(), status=201)
+
+    async def get_node(request):
+        n = graph().get_node(request.match_info["id"])
+        if n is None:
+            return _json_error(404, "node not found")
+        return web.json_response(n.to_dict())
+
+    async def update_node(request):
+        req = _parse(S.UpdateNodeRequest, await _body(request))
+        n = graph().update_node(request.match_info["id"], req.properties,
+                                req.add_labels, req.remove_labels, req.merge)
+        if n is None:
+            return _json_error(404, "node not found")
+        return web.json_response(n.to_dict())
+
+    async def delete_node(request):
+        if not graph().delete_node(request.match_info["id"]):
+            return _json_error(404, "node not found")
+        return web.json_response({"deleted": request.match_info["id"]})
+
+    async def find_nodes(request):
+        label = request.query.get("label")
+        props = None
+        if "properties" in request.query:
+            props = json.loads(request.query["properties"])
+        nodes = graph().find_nodes(label, props)
+        return web.json_response({"nodes": [n.to_dict() for n in nodes]})
+
+    async def create_edge(request):
+        req = _parse(S.CreateEdgeRequest, await _body(request))
+        try:
+            e = graph().create_edge(req.source, req.target, req.type,
+                                    req.properties, req.id)
+        except ValueError as err:
+            return _json_error(400, str(err))
+        return web.json_response(e.to_dict(), status=201)
+
+    async def get_edge(request):
+        e = graph().get_edge(request.match_info["id"])
+        if e is None:
+            return _json_error(404, "edge not found")
+        return web.json_response(e.to_dict())
+
+    async def delete_edge(request):
+        if not graph().delete_edge(request.match_info["id"]):
+            return _json_error(404, "edge not found")
+        return web.json_response({"deleted": request.match_info["id"]})
+
+    async def create_hyperedge(request):
+        req = _parse(S.CreateHyperedgeRequest, await _body(request))
+        try:
+            h = graph().create_hyperedge(req.nodes, req.type, req.properties,
+                                         req.id)
+        except ValueError as e:
+            return _json_error(400, str(e))
+        return web.json_response(h.to_dict(), status=201)
+
+    async def graph_query(request):
+        req = _parse(S.GraphQueryRequest, await _body(request))
+        try:
+            rows = graph().query(req.query)
+        except ValueError as e:
+            return _json_error(400, str(e))
+        return web.json_response({"rows": rows})
+
+    async def graph_traverse(request):
+        req = _parse(S.TraverseRequest, await _body(request))
+        paths = graph().traverse(req.start, req.max_depth, req.edge_type,
+                                 req.direction)
+        return web.json_response({"paths": paths})
+
+    async def graph_shortest_path(request):
+        req = _parse(S.ShortestPathRequest, await _body(request))
+        path = graph().shortest_path(req.source, req.target, req.edge_type)
+        return web.json_response({"path": path})
+
+    async def graph_neighbors(request):
+        nid = request.match_info["id"]
+        direction = request.query.get("direction", "both")
+        edge_type = request.query.get("edge_type")
+        if graph().get_node(nid) is None:
+            return _json_error(404, "node not found")
+        out = graph().neighbors(nid, direction, edge_type)
+        return web.json_response({"neighbors": [n.to_dict() for n in out]})
+
+    async def graph_stats(request):
+        return web.json_response(graph().stats())
+
+    # ------------------------------------------------------------------
+    # embeddings (full tier)
+    # ------------------------------------------------------------------
+    async def embed_one(request):
+        req = _parse(S.EmbedRequest, await _body(request))
+        vec = embedder().embed(req.text)
+        return web.json_response({"embedding": vec.tolist(),
+                                  "model": embedder().model_name,
+                                  "dimensions": embedder().dimensions})
+
+    async def embed_batch(request):
+        req = _parse(S.EmbedBatchRequest, await _body(request))
+        vecs = embedder().embed_batch(req.texts)
+        return web.json_response({"embeddings": vecs.tolist(),
+                                  "model": embedder().model_name})
+
+    # ------------------------------------------------------------------
+    # websockets (full tier)
+    # ------------------------------------------------------------------
+    async def ws_handler(request):
+        ws = web.WebSocketResponse(heartbeat=30)
+        await ws.prepare(request)
+        collection = request.match_info.get("collection", "*")
+        await state["ws"].connect(ws, Subscription(collection=collection))
+        try:
+            async for msg in ws:
+                if msg.type == WSMsgType.TEXT:
+                    try:
+                        payload = json.loads(msg.data)
+                    except json.JSONDecodeError:
+                        continue
+                    if payload.get("action") == "subscribe":
+                        types = payload.get("event_types")
+                        await state["ws"].update_subscription(ws, Subscription(
+                            collection=payload.get("collection", collection),
+                            event_types=[EventType(t) for t in types]
+                            if types else None,
+                            metadata_filter=payload.get("metadata_filter")))
+                        await ws.send_str(json.dumps({"subscribed": True}))
+                elif msg.type in (WSMsgType.CLOSE, WSMsgType.ERROR):
+                    break
+        finally:
+            await state["ws"].disconnect(ws)
+        return ws
+
+    # ------------------------------------------------------------------
+    # routes
+    # ------------------------------------------------------------------
+    r = app.router
+    r.add_get("/health", health)
+    r.add_get("/collections", list_collections)
+    r.add_post("/collections", create_collection)
+    r.add_get("/collections/{name}", get_collection)
+    r.add_delete("/collections/{name}", delete_collection)
+    r.add_post("/collections/{name}/vectors", insert_vector)
+    r.add_post("/collections/{name}/vectors/batch", insert_batch)
+    r.add_put("/collections/{name}/vectors", upsert_vector)
+    r.add_get("/collections/{name}/vectors/{id}", get_vector)
+    r.add_delete("/collections/{name}/vectors/{id}", delete_vector)
+    r.add_get("/collections/{name}/ids", list_ids)
+    r.add_post("/collections/{name}/search", search)
+    r.add_post("/collections/{name}/search/batch", search_batch)
+    r.add_post("/admin/save", admin_save)
+    if full:
+        r.add_post("/collections/{name}/texts", insert_text)
+        r.add_post("/graph/nodes", create_node)
+        r.add_get("/graph/nodes", find_nodes)
+        r.add_get("/graph/nodes/{id}", get_node)
+        r.add_put("/graph/nodes/{id}", update_node)
+        r.add_delete("/graph/nodes/{id}", delete_node)
+        r.add_get("/graph/neighbors/{id}", graph_neighbors)
+        r.add_post("/graph/edges", create_edge)
+        r.add_get("/graph/edges/{id}", get_edge)
+        r.add_delete("/graph/edges/{id}", delete_edge)
+        r.add_post("/graph/hyperedges", create_hyperedge)
+        r.add_post("/graph/query", graph_query)
+        r.add_post("/graph/traverse", graph_traverse)
+        r.add_post("/graph/shortest-path", graph_shortest_path)
+        r.add_get("/graph/stats", graph_stats)
+        r.add_post("/embeddings/embed", embed_one)
+        r.add_post("/embeddings/embed-batch", embed_batch)
+        r.add_get("/ws", ws_handler)
+        r.add_get("/ws/{collection}", ws_handler)
+
+    if cors:
+        @web.middleware
+        async def cors_mw(request, handler):
+            if request.method == "OPTIONS":
+                resp = web.Response()
+            else:
+                resp = await handler(request)
+            resp.headers["Access-Control-Allow-Origin"] = "*"
+            resp.headers["Access-Control-Allow-Methods"] = "*"
+            resp.headers["Access-Control-Allow-Headers"] = "*"
+            return resp
+        app.middlewares.append(cors_mw)
+
+    async def on_shutdown(app):
+        db().save()
+
+    app.on_shutdown.append(on_shutdown)
+    return app
+
+
+def run_server(host: str = "0.0.0.0", port: int = 8000, **kwargs) -> None:
+    web.run_app(create_app(**kwargs), host=host, port=port)
+
+
+if __name__ == "__main__":
+    run_server()

@@ -1,0 +1,73 @@
+"""Query coalescing: batch concurrent single-query requests into one TPU
+dispatch.
+
+The reference's batch path is 3-6x faster per query than its single path
+(vectordb_optimized.py:577-644 vs :507) but servers only reach it when the
+*client* batches.  On TPU the gap is far larger (one fused GEMM amortizes
+dispatch + HBM streaming over the whole batch), so the server coalesces
+transparently: concurrent requests within a small window are merged into
+one ``search_batch`` call and the results are scattered back to their
+futures.  Requests with different (collection, k, filter) land in separate
+buckets so the fused mask stays per-bucket.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+class QueryBatcher:
+    def __init__(self, window_ms: float = 2.0, max_batch: int = 64):
+        self.window = window_ms / 1000.0
+        self.max_batch = max_batch
+        self._buckets: Dict[Tuple, List] = {}
+        self._lock = asyncio.Lock()
+        self._flusher: Dict[Tuple, asyncio.Task] = {}
+
+    async def search(self, collection, vector: np.ndarray, k: int,
+                     filter=None, exact: Optional[bool] = None):
+        """Await one query's results, transparently batched."""
+        key = (id(collection), k,
+               filter.fingerprint() if filter is not None else None, exact)
+        fut = asyncio.get_running_loop().create_future()
+        async with self._lock:
+            bucket = self._buckets.setdefault(key, [])
+            bucket.append((vector, fut, collection, filter))
+            if len(bucket) >= self.max_batch:
+                self._buckets.pop(key)
+                t = self._flusher.pop(key, None)
+                if t:
+                    t.cancel()
+                asyncio.get_running_loop().create_task(
+                    self._flush(bucket, k, exact))
+            elif key not in self._flusher:
+                self._flusher[key] = asyncio.get_running_loop().create_task(
+                    self._delayed_flush(key, k, exact))
+        return await fut
+
+    async def _delayed_flush(self, key, k, exact):
+        await asyncio.sleep(self.window)
+        async with self._lock:
+            bucket = self._buckets.pop(key, None)
+            self._flusher.pop(key, None)
+        if bucket:
+            await self._flush(bucket, k, exact)
+
+    async def _flush(self, bucket, k, exact):
+        vectors = np.stack([b[0] for b in bucket])
+        collection = bucket[0][2]
+        filt = bucket[0][3]
+        try:
+            results = await asyncio.get_running_loop().run_in_executor(
+                None, lambda: collection.search_batch(
+                    vectors, k, filt, False, exact))
+            for (_, fut, _, _), hits in zip(bucket, results):
+                if not fut.done():
+                    fut.set_result(hits)
+        except Exception as e:
+            for _, fut, _, _ in bucket:
+                if not fut.done():
+                    fut.set_exception(e)

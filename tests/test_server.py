@@ -1,0 +1,193 @@
+"""End-to-end REST/WS server tests: real aiohttp server on a port, driven
+through the httpx VectorDBClient (parity: reference server_full.py API)."""
+
+import asyncio
+import json
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+aiohttp = pytest.importorskip("aiohttp")
+
+from fastpyvectordb_tpu.http_client import VectorDBClient
+from fastpyvectordb_tpu.server.app import create_app
+
+
+def free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+class ServerThread:
+    def __init__(self, tmp_path):
+        self.port = free_port()
+        self.tmp_path = tmp_path
+        self.loop = asyncio.new_event_loop()
+        self.started = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+        assert self.started.wait(15), "server failed to start"
+
+    def _run(self):
+        asyncio.set_event_loop(self.loop)
+        from aiohttp import web
+        app = create_app(db_path=str(self.tmp_path / "srv"),
+                         embedding_provider="hashing",
+                         graph_path=str(self.tmp_path / "srv_graph"))
+        runner = web.AppRunner(app)
+        self.loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, "127.0.0.1", self.port)
+        self.loop.run_until_complete(site.start())
+        self.started.set()
+        self.loop.run_forever()
+
+    def stop(self):
+        self.loop.call_soon_threadsafe(self.loop.stop)
+        self.thread.join(5)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    srv = ServerThread(tmp_path_factory.mktemp("server"))
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture(scope="module")
+def client(server):
+    with VectorDBClient(f"http://127.0.0.1:{server.port}") as c:
+        yield c
+
+
+def test_health(client):
+    h = client.health()
+    assert h["status"] == "ok" and "uptime_s" in h
+
+
+def test_collection_lifecycle(client):
+    client.create_collection("vecs", 8, metric="l2")
+    info = client.get_collection("vecs")
+    assert info["dimensions"] == 8 and info["metric"] == "l2"
+    assert any(c["name"] == "vecs" for c in client.list_collections())
+    assert client.get_collection("missing") is None
+
+
+def test_vector_crud_and_search(client):
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((20, 8)).astype(np.float32)
+    ids = client.insert_batch("vecs", v, [f"v{i}" for i in range(20)],
+                              [{"g": i % 2} for i in range(20)])
+    assert len(ids) == 20
+    one = client.insert("vecs", v[0] * 0.5, "extra", {"g": 9})
+    assert one == "extra"
+    got = client.get("vecs", "v3", include_vector=True)
+    np.testing.assert_allclose(got["vector"], v[3], rtol=1e-5)
+    assert client.get("vecs", "ghost") is None
+
+    res = client.search("vecs", vector=v[7], k=3)
+    assert res["results"][0]["id"] == "v7" and res["took_ms"] >= 0
+    res = client.search("vecs", vector=v[7], k=20, where={"g": 1})
+    assert all(r["metadata"]["g"] == 1 for r in res["results"])
+
+    res = client.search_batch("vecs", vectors=v[[1, 2]], k=1)
+    assert [r[0]["id"] for r in res["results"]] == ["v1", "v2"]
+
+    client.upsert("vecs", v[5] * 2, "v5", {"g": 5})
+    assert client.get("vecs", "v5")["metadata"]["g"] == 5
+    assert client.delete("vecs", "v5")
+    assert not client.delete("vecs", "v5")
+    assert "v0" in client.list_ids("vecs", limit=100)
+
+
+def test_filter_tree_search(client):
+    from fastpyvectordb_tpu import Filter
+    f = Filter.or_([Filter.eq("g", 0), Filter.eq("g", 9)])
+    res = client.search("vecs", vector=np.zeros(8), k=30,
+                        filter_tree=f.to_dict())
+    gs = {r["metadata"]["g"] for r in res["results"]}
+    assert gs <= {0, 9} and 9 in gs
+
+
+def test_text_endpoints(client):
+    client.create_collection("texts", 384)
+    rid = client.insert_text("texts", "the hungry cat", metadata={"lang": "en"})
+    client.insert_text("texts", "stock market news")
+    res = client.search("texts", text="hungry cats eat", k=1)
+    assert res["results"][0]["id"] == rid
+    emb = client.embed("hello world")
+    assert emb.shape == (384,)
+    assert client.embed_batch(["a", "b"]).shape == (2, 384)
+
+
+def test_validation_errors(client):
+    import httpx
+    with pytest.raises(httpx.HTTPStatusError) as ei:
+        client.create_collection("bad", -5)
+    assert ei.value.response.status_code == 422
+    with pytest.raises(httpx.HTTPStatusError) as ei:
+        client.create_collection("vecs", 8)  # duplicate
+    assert ei.value.response.status_code == 409
+    r = httpx.post(f"{client.base_url}/collections/vecs/search",
+                   json={"k": 3})  # neither vector nor text
+    assert r.status_code == 400
+    r = httpx.post(f"{client.base_url}/collections/nope/search",
+                   json={"vector": [0] * 8})
+    assert r.status_code == 404
+
+
+def test_graph_endpoints(client):
+    client.create_node(["Person"], {"name": "Ada"}, id="ada")
+    client.create_node(["Person"], {"name": "Bob"}, id="bobn")
+    client.create_edge("ada", "bobn", "KNOWS")
+    assert client.get_node("ada")["properties"]["name"] == "Ada"
+    assert client.get_node("ghost") is None
+    assert {n["id"] for n in client.find_nodes(label="Person")} == \
+        {"ada", "bobn"}
+    assert [n["id"] for n in client.neighbors("ada", "out")] == ["bobn"]
+    rows = client.graph_query("MATCH (n:Person) RETURN n.name")
+    assert sorted(r["n.name"] for r in rows) == ["Ada", "Bob"]
+    assert client.shortest_path("ada", "bobn") == ["ada", "bobn"]
+    assert client.traverse("ada", 1) == [["ada", "bobn"]]
+    client.update_node("ada", properties={"age": 36})
+    assert client.get_node("ada")["properties"]["age"] == 36
+    assert client.delete_node("bobn")
+
+
+def test_admin_save_and_persistence(client, server):
+    assert client.save()
+    assert (server.tmp_path / "srv" / "vecs").exists()
+
+
+def test_websocket_change_feed(client, server):
+    if client.get_collection("wsfeed") is None:
+        client.create_collection("wsfeed", 8)
+    received = []
+
+    async def listen_and_mutate():
+        import aiohttp
+        async with aiohttp.ClientSession() as session:
+            async with session.ws_connect(
+                    f"http://127.0.0.1:{server.port}/ws/wsfeed") as ws:
+                # trigger an insert from a worker thread while listening
+                def do_insert():
+                    time.sleep(0.2)
+                    client.insert("wsfeed", np.zeros(8), "ws_probe")
+                t = threading.Thread(target=do_insert)
+                t.start()
+                # connect replays history (e.g. collection_created) first;
+                # read until the live insert arrives
+                for _ in range(10):
+                    msg = await asyncio.wait_for(ws.receive(), timeout=10)
+                    received.append(json.loads(msg.data))
+                    if received[-1]["type"] == "insert":
+                        break
+                t.join()
+
+    asyncio.run(listen_and_mutate())
+    assert received and received[-1]["type"] == "insert"
+    assert received[-1]["data"]["id"] == "ws_probe"
+    assert received[-1]["collection"] == "wsfeed"
