@@ -22,6 +22,12 @@ import json
 import time
 
 import jax
+
+# TPU compiles through the axon tunnel are slow (minutes); cache them across
+# bench runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -22,10 +22,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..kernels import pallas_quant
 from ..kernels.topk import masked_top_k
 from ..persist.format import load_container, save_container
 
 CHUNK = 32768
+_BQ_TILE_N = 2048
+_BQ_TILE_B = 8
 
 
 def _n_words(dims: int) -> int:
@@ -102,9 +105,31 @@ class BinaryQuantizer:
             v = v[None, :]
         return _encode(jnp.asarray(v), self.thresholds, dims=self.dims)
 
-    def hamming_distances(self, queries: np.ndarray, codes) -> jnp.ndarray:
+    def hamming_distances(self, queries: np.ndarray, codes,
+                          use_pallas: Optional[bool] = None) -> jnp.ndarray:
         qcodes = self.encode(queries)
+        if use_pallas is None:
+            use_pallas = pallas_quant.on_tpu()
+        if use_pallas:
+            return self.hamming_distances_t(
+                qcodes, jnp.asarray(codes).T,
+                interpret=not pallas_quant.on_tpu())
         return _hamming(qcodes, jnp.asarray(codes))
+
+    def hamming_distances_t(self, qcodes: jnp.ndarray, codes_t: jnp.ndarray,
+                            interpret: bool = False) -> jnp.ndarray:
+        """Pallas path over word-major (W, N) codes (kernels/pallas_quant.py).
+        Callers that scan repeatedly should cache the transposed corpus."""
+        b = qcodes.shape[0]
+        w, n = codes_t.shape
+        bp = (-b) % _BQ_TILE_B
+        npad = (-n) % _BQ_TILE_N
+        q_t = jnp.pad(qcodes.T, ((0, 0), (0, bp)))
+        c_t = jnp.pad(codes_t, ((0, 0), (0, npad))) if npad else codes_t
+        out = pallas_quant.hamming_scores(q_t, c_t, tile_b=_BQ_TILE_B,
+                                          tile_n=_BQ_TILE_N,
+                                          interpret=interpret)
+        return out[:b, :n]
 
     def search(self, queries: np.ndarray, codes, k: int = 10,
                mask: Optional[np.ndarray] = None):

@@ -24,10 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.types import DistanceMetric
+from ..kernels import pallas_quant
 from ..kernels.topk import masked_top_k
 from ..persist.format import load_container, save_container
 
 CHUNK = 16384
+_SQ_TILE = 1024
 
 
 @jax.jit
@@ -121,13 +123,39 @@ class ScalarQuantizer:
         return np.asarray(_decode(jnp.asarray(codes), self.vmin, self.scale))
 
     def distances(self, queries: np.ndarray, codes,
-                  metric: DistanceMetric = DistanceMetric.L2) -> jnp.ndarray:
+                  metric: DistanceMetric = DistanceMetric.L2,
+                  use_pallas: Optional[bool] = None) -> jnp.ndarray:
         self._check()
+        metric = DistanceMetric.parse(metric)
         q = np.ascontiguousarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
-        return _distances(jnp.asarray(q), jnp.asarray(codes), self.vmin,
-                          self.scale, metric=DistanceMetric.parse(metric))
+        codes = jnp.asarray(codes)
+        if use_pallas is None:
+            use_pallas = pallas_quant.on_tpu()
+        if use_pallas:
+            return self._distances_pallas(jnp.asarray(q), codes, metric,
+                                          interpret=not pallas_quant.on_tpu())
+        return _distances(jnp.asarray(q), codes, self.vmin, self.scale,
+                          metric=metric)
+
+    def _distances_pallas(self, q: jnp.ndarray, codes: jnp.ndarray,
+                          metric: DistanceMetric,
+                          interpret: bool = False) -> jnp.ndarray:
+        """Dequant-matmul Pallas kernel path (kernels/pallas_quant.py):
+        pads B to 8, N to the tile size, D to a lane multiple, then slices."""
+        n, d = codes.shape
+        b = q.shape[0]
+        bp = max(8, -(-b // 8) * 8)
+        npad = (-n) % _SQ_TILE
+        dpad = (-d) % 128
+        qp = jnp.pad(q, ((0, bp - b), (0, dpad)))
+        cp = jnp.pad(codes, ((0, npad), (0, dpad)))
+        vmin = jnp.pad(self.vmin, (0, dpad))
+        scale = jnp.pad(self.scale, (0, dpad))
+        out = pallas_quant.sq_scores(qp, cp, vmin, scale, metric=metric,
+                                     tile_n=_SQ_TILE, interpret=interpret)
+        return out[:b, :n]
 
     def search(self, queries: np.ndarray, codes, k: int = 10,
                metric: DistanceMetric = DistanceMetric.L2,

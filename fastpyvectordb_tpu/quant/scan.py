@@ -92,9 +92,17 @@ class QuantizedScan:
         return cls(kind, qz, codes, store, collection.config.metric)
 
     def coarse_distances(self, q: np.ndarray) -> jnp.ndarray:
+        from ..kernels import pallas_quant
         if self.kind == "int8":
             return self.quantizer.distances(q, self.codes, metric=self.metric)
         if self.kind == "binary":
+            if pallas_quant.on_tpu():
+                if not hasattr(self, "_codes_t"):
+                    # cache the word-major layout the Pallas kernel scans
+                    self._codes_t = jnp.asarray(self.codes).T
+                qcodes = self.quantizer.encode(q)
+                return self.quantizer.hamming_distances_t(
+                    qcodes, self._codes_t).astype(jnp.float32)
             return self.quantizer.hamming_distances(q, self.codes
                                                     ).astype(jnp.float32)
         return self.quantizer.distances(q, self.codes)

@@ -1,0 +1,63 @@
+"""Pallas quantized-scan kernels vs reference jnp implementations
+(interpreter mode on CPU; the same kernels compile natively on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fastpyvectordb_tpu.core.types import DistanceMetric
+from fastpyvectordb_tpu.quant.binary import BinaryQuantizer, _hamming
+from fastpyvectordb_tpu.quant.scalar import ScalarQuantizer, _distances
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((300, 40)).astype(np.float32)
+    q = rng.standard_normal((5, 40)).astype(np.float32)
+    return v, q
+
+
+@pytest.mark.parametrize("metric", list(DistanceMetric))
+def test_sq_pallas_matches_jnp(data, metric):
+    v, q = data
+    sq = ScalarQuantizer().train(v)
+    codes = sq.encode(v)
+    want = np.asarray(_distances(jnp.asarray(q), codes, sq.vmin, sq.scale,
+                                 metric=metric))
+    got = np.asarray(sq.distances(q, codes, metric, use_pallas=True))
+    assert got.shape == want.shape == (5, 300)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_sq_pallas_ranking_consistency(data):
+    # top-1 of the pallas path must match the jnp path (rank stability)
+    v, q = data
+    sq = ScalarQuantizer().train(v)
+    codes = sq.encode(v)
+    a = np.asarray(sq.distances(q, codes, "l2", use_pallas=True))
+    b = np.asarray(sq.distances(q, codes, "l2", use_pallas=False))
+    np.testing.assert_array_equal(a.argmin(1), b.argmin(1))
+
+
+def test_hamming_pallas_matches_jnp(data):
+    v, q = data
+    bq = BinaryQuantizer().train(v)
+    codes = bq.encode(v)
+    want = np.asarray(_hamming(bq.encode(q), codes))
+    got = np.asarray(bq.hamming_distances(q, codes, use_pallas=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hamming_pallas_nonaligned_dims():
+    # 70 dims -> 3 words; 13 queries, 100 rows: all tile paddings exercised
+    rng = np.random.default_rng(9)
+    v = rng.standard_normal((100, 70)).astype(np.float32)
+    q = rng.standard_normal((13, 70)).astype(np.float32)
+    bq = BinaryQuantizer().train(v)
+    codes = bq.encode(v)
+    want = np.asarray(_hamming(bq.encode(q), codes))
+    got = np.asarray(bq.hamming_distances(q, codes, use_pallas=True))
+    np.testing.assert_array_equal(got, want)
+    assert got[0].min() >= 0 and got.shape == (13, 100)
