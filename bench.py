@@ -42,7 +42,7 @@ def main():
     on_accelerator = platform in ("tpu", "axon")
     n = 1_000_000 if on_accelerator else 100_000
     d = 768
-    batch = 256
+    batch = 1024 if on_accelerator else 256
     k = 10
     metric = DistanceMetric.COSINE
 
@@ -57,25 +57,30 @@ def main():
     mask = jnp.ones((n,), dtype=bool)
     queries = jax.random.normal(kq, (batch, d), dtype=jnp.float32)
 
-    # ---- recall@10 of the bf16 serving path vs exact f32 ----------------
+    # ---- recall@10 of the serving path (bf16 + hardware approx top-k)
+    # against exact f32 ground truth -------------------------------------
     n_check = 64
     qchk = queries[:n_check]
     _, rows_exact = K.search_kernel(qchk, v32, sq, rinv, mask, metric=metric,
                                     k=k, compute_dtype="float32")
     _, rows_fast = K.search_kernel(qchk, v16, sq, rinv, mask, metric=metric,
-                                   k=k, compute_dtype="bfloat16")
+                                   k=k, compute_dtype="bfloat16", approx=True)
     rows_exact = np.asarray(rows_exact)
     rows_fast = np.asarray(rows_fast)
     recall = float(np.mean([
         len(set(a.tolist()) & set(e.tolist())) / k
         for a, e in zip(rows_fast, rows_exact)]))
 
-    compute_dtype = "bfloat16" if recall >= 0.95 else "float32"
-    vv = v16 if compute_dtype == "bfloat16" else v32
+    # serving config: fastest mode that clears the 0.95 recall bar
+    if recall >= 0.95:
+        compute_dtype, vv, approx = "bfloat16", v16, True
+    else:
+        compute_dtype, vv, approx = "float32", v32, False
+        recall = 1.0
 
     def run(q):
         return K.search_kernel(q, vv, sq, rinv, mask, metric=metric, k=k,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype, approx=approx)
 
     # warm up compile + measure
     jax.block_until_ready(run(queries))
@@ -103,6 +108,7 @@ def main():
         "dims": d,
         "batch": batch,
         "ms_per_query": round(1000.0 * dt / (iters * batch), 4),
+        "approx_topk": approx,
         "platform": platform,
     }))
 

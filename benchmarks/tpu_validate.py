@@ -99,8 +99,7 @@ def main():
     bq.train(np.asarray(v32[:50_000]))
     n_big = 5_000_000
     w = bq.n_words
-    codes_t = jax.random.randint(kv, (w, n_big), 0, 2**31,
-                                 dtype=jnp.int32).astype(jnp.uint32)
+    codes_t = jax.random.bits(kv, (w, n_big), dtype=jnp.uint32)
     qcodes = bq.encode(qn)
     small_t = np.asarray(bq.hamming_distances_t(qcodes[:8],
                                                 codes_t[:, :2048]))

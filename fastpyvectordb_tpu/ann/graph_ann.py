@@ -1,0 +1,314 @@
+"""Graph ANN: fixed-degree neighbor array + batched TPU beam search.
+
+This is the TPU-native replacement for hnswlib's HNSW
+(vectordb_optimized.py:271-280): instead of a C++ pointer-chasing
+multi-layer graph, the index is a flat ``(N, R)`` int32 neighbor table and
+search is a *batched, fixed-shape* best-first beam search compiled by XLA:
+
+  * **Build runs on the TPU.**  The R-NN graph is computed exactly with
+    chunked distance matmuls + hardware approx top-k — a 1M x 768 graph
+    builds in seconds on one chip, where hnswlib needs minutes of
+    multi-threaded C++.  A few pseudo-random long-range links are mixed in
+    for connectivity (diversification), and k-means-medoid entry points
+    seed every search.
+  * **Search is data-parallel over queries.**  Each iteration expands the
+    E best not-yet-expanded beam entries (gather their neighbor lists,
+    one fused distance matmul for all B queries), merges candidates into
+    the beam, and deduplicates by sorting on node id — the visited-set
+    semantics of HNSW expressed in static shapes (duplicate entries get
+    their score forced to +inf; the expanded flag survives the sort by
+    riding a composite sort key).
+
+Recall is controlled by (beam width W, expansion width E, iterations T);
+`tune` picks the cheapest setting clearing a recall target against the
+exact path, mirroring ann/ivf.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import DistanceMetric
+from ..kernels.distances import MASKED, matmul_precision
+from ..quant.kmeans import assign_chunked, kmeans_fit
+
+INVALID = jnp.int32(2_147_483_647)  # sentinel id sorting after all real ids
+
+
+def _scores_vs_rows(q, vecs, metric, compute_dtype):
+    """q (B, D) f32, vecs (B, C, D) -> (B, C) scores (lower=closer)."""
+    prec = matmul_precision(compute_dtype)
+    cd = jnp.dtype(compute_dtype)
+    if metric == DistanceMetric.COSINE:
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        vn = vecs / jnp.maximum(
+            jnp.linalg.norm(vecs, axis=-1, keepdims=True), 1e-30)
+        return 1.0 - jnp.einsum("bd,bcd->bc", qn.astype(cd), vn.astype(cd),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+    if metric == DistanceMetric.L2:
+        diff = vecs - q[:, None, :]
+        return jnp.einsum("bcd,bcd->bc", diff.astype(cd), diff.astype(cd),
+                          preferred_element_type=jnp.float32, precision=prec)
+    return -jnp.einsum("bd,bcd->bc", q.astype(cd), vecs.astype(cd),
+                       preferred_element_type=jnp.float32, precision=prec)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "k", "beam", "expand", "iters",
+                              "compute_dtype"))
+def _beam_search_kernel(
+    q: jnp.ndarray,            # (B, D) f32
+    vectors: jnp.ndarray,      # (cap, D)
+    neighbors: jnp.ndarray,    # (N, R) int32
+    entries: jnp.ndarray,      # (E0,) int32 entry-point rows
+    validmask: jnp.ndarray,    # (cap,) bool
+    *,
+    metric: DistanceMetric,
+    k: int,
+    beam: int = 64,
+    expand: int = 4,
+    iters: int = 12,
+    compute_dtype: str = "bfloat16",
+):
+    b, d = q.shape
+    r = neighbors.shape[1]
+    w = beam
+
+    def gather_scores(rows):  # rows (B, C) int32 -> (B, C) f32
+        safe = jnp.maximum(rows, 0)
+        vecs = jnp.take(vectors, safe, axis=0).astype(jnp.float32)
+        s = _scores_vs_rows(q, vecs, metric, compute_dtype)
+        ok = (rows >= 0) & jnp.take(validmask, safe, axis=0)
+        return jnp.where(ok, s, MASKED)
+
+    # ---- init beam with entry points ---------------------------------
+    e0 = entries.shape[0]
+    init_ids = jnp.broadcast_to(entries[None, :], (b, e0))
+    init_scores = gather_scores(init_ids)
+    pad = w - e0
+    beam_ids = jnp.pad(init_ids, ((0, 0), (0, pad)), constant_values=-1)
+    beam_scores = jnp.pad(init_scores, ((0, 0), (0, pad)),
+                          constant_values=MASKED)
+    beam_exp = jnp.zeros((b, w), dtype=bool)
+
+    def body(state, _):
+        ids, scores_, expanded = state
+        # pick the E best unexpanded entries
+        sel_scores = jnp.where(expanded | (ids < 0), MASKED, scores_)
+        _, pos = jax.lax.top_k(-sel_scores, expand)          # (B, E)
+        exp_ids = jnp.take_along_axis(ids, pos, axis=1)      # (B, E)
+        # mark them expanded (scatter along axis 1 via one-hot OR)
+        onehot = jax.nn.one_hot(pos, w, dtype=jnp.bool_)      # (B, E, W)
+        expanded = expanded | jnp.any(onehot, axis=1)
+        # gather neighbor lists; invalid expansion rows contribute nothing
+        safe = jnp.maximum(exp_ids, 0)
+        cand = jnp.take(neighbors, safe, axis=0).reshape(b, expand * r)
+        cand = jnp.where(
+            jnp.repeat(exp_ids < 0, r, axis=1), jnp.int32(-1), cand)
+        cand_scores = gather_scores(cand)
+        # merge beam + candidates
+        all_ids = jnp.concatenate([ids, cand], axis=1)
+        all_scores = jnp.concatenate([scores_, cand_scores], axis=1)
+        all_exp = jnp.concatenate(
+            [expanded, jnp.zeros((b, expand * r), dtype=bool)], axis=1)
+        # dedup by id: composite key = 2*id + (1 - expanded) so the
+        # expanded copy of a node sorts first and survives.  Keys stay in
+        # int32 range: ids < N, invalid = 2N+2 (x64 is disabled in JAX).
+        n_limit = jnp.int32(neighbors.shape[0])
+        real = (all_ids >= 0) & (all_scores < MASKED * 0.5)
+        id_key = jnp.where(real, all_ids * 2 + (1 - all_exp.astype(jnp.int32)),
+                           n_limit * 2 + 2)
+        order = jnp.argsort(id_key, axis=1)
+        s_ids = jnp.take_along_axis(all_ids, order, axis=1)
+        s_scores = jnp.take_along_axis(all_scores, order, axis=1)
+        s_exp = jnp.take_along_axis(all_exp, order, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((b, 1), dtype=bool), s_ids[:, 1:] == s_ids[:, :-1]],
+            axis=1)
+        s_scores = jnp.where(dup, MASKED, s_scores)
+        # keep best W by score
+        _, keep = jax.lax.top_k(-s_scores, w)
+        new_ids = jnp.take_along_axis(s_ids, keep, axis=1)
+        new_scores = jnp.take_along_axis(s_scores, keep, axis=1)
+        new_exp = jnp.take_along_axis(s_exp, keep, axis=1)
+        new_ids = jnp.where(new_scores >= MASKED * 0.5, -1, new_ids)
+        return (new_ids, new_scores, new_exp), None
+
+    (beam_ids, beam_scores, beam_exp), _ = jax.lax.scan(
+        body, (beam_ids, beam_scores, beam_exp), None, length=iters)
+
+    _, pos = jax.lax.top_k(-beam_scores, min(k, w))
+    out_ids = jnp.take_along_axis(beam_ids, pos, axis=1)
+    out_scores = jnp.take_along_axis(beam_scores, pos, axis=1)
+    if metric == DistanceMetric.L2:
+        out_scores = jnp.where(out_scores >= MASKED * 0.5, out_scores,
+                               jnp.sqrt(jnp.maximum(out_scores, 0.0)))
+    return out_scores, out_ids
+
+
+@functools.partial(jax.jit, static_argnames=("r", "chunk", "n_static"))
+def _knn_graph_chunk(vectors, sq_norms, start, *, r: int, chunk: int,
+                     n_static: int):
+    """Exact R-NN of rows [start, start+chunk) against the full corpus."""
+    block = jax.lax.dynamic_slice(vectors, (start, 0),
+                                  (chunk, vectors.shape[1]))
+    bsq = jax.lax.dynamic_slice(sq_norms, (start,), (chunk,))
+    d2 = (bsq[:, None] + sq_norms[None, :]
+          - 2.0 * jnp.dot(block.astype(jnp.bfloat16),
+                          vectors.astype(jnp.bfloat16).T,
+                          preferred_element_type=jnp.float32))
+    # exclude self: rows index == start + i
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0) + start
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_static), 1)
+    d2 = jnp.where(col_ids == row_ids, MASKED, d2)
+    if n_static > 65536:
+        neg, idx = jax.lax.approx_max_k(-d2, r, recall_target=0.95)
+    else:
+        neg, idx = jax.lax.top_k(-d2, r)
+    return idx.astype(jnp.int32)
+
+
+class GraphANN:
+    """Neighbor-array ANN index over a collection's device store."""
+
+    def __init__(self, neighbors: jnp.ndarray, entries: jnp.ndarray,
+                 collection, beam: int = 64, expand: int = 4,
+                 iters: int = 12):
+        self.neighbors = neighbors
+        self.entries = entries
+        self._collection = collection
+        self.beam, self.expand, self.iters = beam, expand, iters
+        self.stale = False
+        self._built_count = collection._store.count
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(cls, collection, r: int = 32, n_entries: int = 16,
+              random_links: int = 4, seed: int = 0, chunk: int = 4096,
+              **search_params) -> "GraphANN":
+        """Exact R-NN graph on device + random long-range links + medoid
+        entry points.  Memory parity with hnswlib M=16 (2M level-0 links)."""
+        store = collection._store
+        n = store.count
+        if n == 0:
+            raise ValueError("cannot build GraphANN over an empty collection")
+        vectors = store.vectors[:n].astype(jnp.float32)
+        sqn = jnp.einsum("nd,nd->n", vectors, vectors,
+                         preferred_element_type=jnp.float32)
+        chunk = int(min(chunk, n))
+        # half the degree budget goes to forward KNN links; the rest to
+        # reverse links (every node gets in-edges — a directed exact-KNN
+        # graph leaves outliers unreachable; HNSW gets this from its
+        # bidirectional insertion) and pseudo-random long-range links.
+        knn = max(r // 2, r - random_links - r // 4) if n > r * 4 else r
+        parts = []
+        for start in range(0, n, chunk):
+            s = min(start, max(n - chunk, 0))  # overlap final ragged chunk
+            parts.append((s, _knn_graph_chunk(vectors, sqn, jnp.int32(s),
+                                              r=knn, chunk=chunk,
+                                              n_static=n)))
+        fwd = np.empty((n, knn), dtype=np.int32)
+        for s, idx in parts:
+            fwd[s:s + chunk] = np.asarray(idx)
+        tbl = fwd
+        if knn < r:
+            rng = np.random.default_rng(seed)
+            extra = r - knn
+            fill = np.empty((n, extra), dtype=np.int32)
+            # self-loop-free random fill as the default
+            offs = rng.integers(1, n, (n, extra), dtype=np.int64)
+            fill[:] = ((np.arange(n, dtype=np.int64)[:, None] + offs)
+                       % n).astype(np.int32)
+            # reverse edges, vectorized: for each forward edge u->v give v
+            # up to `extra` slots pointing back at u (random subset)
+            srcs = np.repeat(np.arange(n, dtype=np.int64), knn)
+            dsts = fwd.reshape(-1).astype(np.int64)
+            perm = rng.permutation(srcs.size)
+            srcs, dsts = srcs[perm], dsts[perm]
+            order = np.argsort(dsts, kind="stable")
+            dsts_s, srcs_s = dsts[order], srcs[order]
+            grp_start = np.searchsorted(dsts_s, np.arange(n))
+            pos = np.arange(dsts_s.size) - grp_start[dsts_s]
+            sel = pos < extra
+            fill[dsts_s[sel], pos[sel]] = srcs_s[sel]
+            tbl = np.concatenate([fwd, fill], axis=1)
+        # entry points: k-means medoids
+        n_entries = min(n_entries, n)
+        cents = kmeans_fit(vectors, jax.random.PRNGKey(seed), k=n_entries,
+                           iters=5, chunk=int(min(16384, n)))
+        # snap centroids to nearest real rows
+        d2 = (jnp.einsum("kd,kd->k", cents, cents)[:, None] + sqn[None, :]
+              - 2.0 * jnp.dot(cents, vectors.T,
+                              preferred_element_type=jnp.float32))
+        entries = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        return cls(jnp.asarray(tbl), entries, collection, **search_params)
+
+    # ------------------------------------------------------------------
+    def search(self, queries: np.ndarray, k: int,
+               mask: Optional[np.ndarray] = None, overfetch: int = 1,
+               beam: Optional[int] = None, iters: Optional[int] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.stale:
+            rebuilt = GraphANN.build(self._collection,
+                                     r=self.neighbors.shape[1],
+                                     beam=self.beam, expand=self.expand,
+                                     iters=self.iters)
+            self.__dict__.update(rebuilt.__dict__)
+        store = self._collection._store
+        cfg = self._collection.config
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        b = q.shape[0]
+        bp = max(8, 1 << (b - 1).bit_length())
+        qp = np.pad(q, ((0, bp - b), (0, 0)))
+        validmask = store.valid
+        if mask is not None:
+            m = np.zeros((store.capacity,), dtype=bool)
+            m[: mask.shape[0]] = mask
+            validmask = jnp.logical_and(validmask, jnp.asarray(m))
+        vals, rows = _beam_search_kernel(
+            jnp.asarray(qp), store.vectors, self.neighbors, self.entries,
+            validmask, metric=cfg.metric, k=k,
+            beam=beam or self.beam, expand=self.expand,
+            iters=iters or self.iters,
+            compute_dtype="bfloat16" if cfg.compute_dtype == "bfloat16"
+            else "float32")
+        return np.asarray(vals)[:b], np.asarray(rows)[:b]
+
+    def mark_stale(self) -> None:
+        self.stale = True
+
+    def stats(self) -> dict:
+        n, r = self.neighbors.shape
+        return {"kind": "graph", "nodes": n, "degree": r,
+                "entries": int(self.entries.shape[0]),
+                "beam": self.beam, "expand": self.expand,
+                "iters": self.iters,
+                "graph_bytes": int(n * r * 4)}
+
+    def tune(self, queries: np.ndarray, target_recall: float = 0.95,
+             k: int = 10) -> dict:
+        """Smallest (beam, iters) clearing the recall target on a sample."""
+        store = self._collection._store
+        cfg = self._collection.config
+        _, exact_rows = store.search(queries, k, cfg.metric,
+                                     compute_dtype=cfg.compute_dtype)
+        for beam in (32, 64, 128, 256):
+            for iters in (8, 16, 32):
+                _, rows = self.search(queries, k, beam=beam, iters=iters)
+                rec = np.mean([
+                    len(set(a.tolist()) & set(e.tolist())) / k
+                    for a, e in zip(rows, exact_rows)])
+                if rec >= target_recall:
+                    self.beam, self.iters = beam, iters
+                    return {"beam": beam, "iters": iters,
+                            "recall": float(rec)}
+        return {"beam": self.beam, "iters": self.iters, "recall": float(rec)}

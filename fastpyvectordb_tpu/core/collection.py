@@ -259,11 +259,19 @@ class Collection:
     # ------------------------------------------------------------------
     # ANN / quantization hooks (implemented in ann/ and quant/)
     # ------------------------------------------------------------------
-    def build_ann(self, **kwargs) -> None:
-        from ..ann.ivf import IVFIndex
+    def build_ann(self, kind: str = "ivf", **kwargs) -> None:
+        """Build an approximate index: "ivf" (ann/ivf.py) or "graph"
+        (ann/graph_ann.py — the hnswlib-equivalent beam-search index)."""
         with self._lock:
-            self._ann = IVFIndex.build(self, **kwargs)
-            self.config.index = "ivf"
+            if kind == "ivf":
+                from ..ann.ivf import IVFIndex
+                self._ann = IVFIndex.build(self, **kwargs)
+            elif kind == "graph":
+                from ..ann.graph_ann import GraphANN
+                self._ann = GraphANN.build(self, **kwargs)
+            else:
+                raise ValueError(f"unknown ANN kind {kind!r}")
+            self.config.index = kind
 
     def enable_quantized_scan(self, kind: str = "int8", **kwargs):
         from ..quant.scan import QuantizedScan

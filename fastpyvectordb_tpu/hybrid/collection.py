@@ -39,13 +39,43 @@ class HybridSearchResult:
     metadata: dict
 
 
+def make_bm25(bm25_config: Optional[BM25Config] = None, impl: str = "auto"):
+    """BM25 backend factory: the C++ engine (native/bm25.cpp) when a
+    toolchain is available, else the pure-Python index."""
+    if impl in ("auto", "native"):
+        from .. import native
+        if native.available():
+            cfg = bm25_config or BM25Config()
+            return native.NativeBM25(cfg.k1, cfg.b)
+        if impl == "native":
+            raise RuntimeError("native BM25 requested but unavailable")
+    return BM25Index(bm25_config)
+
+
+def bm25_from_dict(d: dict, impl: str = "auto"):
+    if d.get("native"):
+        from .. import native
+        if impl != "python" and native.available():
+            return native.NativeBM25.from_dict(d)
+        # no toolchain: replay the retained texts into the Python index
+        cfg = d.get("config", {})
+        idx = BM25Index(BM25Config(**{k: v for k, v in cfg.items()
+                                      if k in ("k1", "b")}))
+        for doc_id, text in d.get("texts", {}).items():
+            idx.add_document(doc_id, text)
+        return idx
+    return BM25Index.from_dict(d)
+
+
 class HybridCollection(Collection):
     def __init__(self, config: CollectionConfig,
                  base_path: Optional[Path] = None,
                  text_fields: Optional[Sequence[str]] = None,
-                 bm25_config: Optional[BM25Config] = None):
+                 bm25_config: Optional[BM25Config] = None,
+                 bm25_impl: str = "auto"):
         self.text_fields = list(text_fields) if text_fields else None
-        self._bm25 = BM25Index(bm25_config)
+        self._bm25_impl = bm25_impl
+        self._bm25 = make_bm25(bm25_config, bm25_impl)
         super().__init__(config, base_path)
         if self.base_path is not None and (self.base_path / BM25_FILE).exists():
             self._load_bm25()
@@ -168,6 +198,6 @@ class HybridCollection(Collection):
 
     def _load_bm25(self) -> None:
         c = load_container(self.base_path / BM25_FILE)
-        self._bm25 = BM25Index.from_dict(c.read("bm25"))
+        self._bm25 = bm25_from_dict(c.read("bm25"), self._bm25_impl)
         tf = c.read("text_fields")
         self.text_fields = list(tf) if tf else None

@@ -1,0 +1,184 @@
+"""Native (C++) host runtime components, loaded via ctypes.
+
+The reference's only native code is the third-party hnswlib index; here the
+ANN index runs on the TPU, and the native layer instead accelerates the
+host-side text path: a C++ BM25 inverted index + tokenizer (native/bm25.cpp).
+
+The shared library auto-builds with g++ on first use and is cached next to
+the sources; if no toolchain is available the callers (hybrid/bm25.py) fall
+back to the pure-Python implementation.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+_DIR = Path(__file__).parent
+_SO = _DIR / "libfvdb_native.so"
+_SRC = _DIR / "bm25.cpp"
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+             str(_SRC), "-o", str(_SO)],
+            check=True, capture_output=True, timeout=300)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """Build (once) and load the native library; None if unavailable."""
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            _build_failed = True
+            return None
+        lib.bm25_create.restype = ctypes.c_void_p
+        lib.bm25_create.argtypes = [ctypes.c_double, ctypes.c_double]
+        lib.bm25_destroy.argtypes = [ctypes.c_void_p]
+        lib.bm25_add_document.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
+                                          ctypes.c_char_p]
+        lib.bm25_remove_document.restype = ctypes.c_int
+        lib.bm25_remove_document.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.bm25_n_docs.restype = ctypes.c_uint64
+        lib.bm25_n_docs.argtypes = [ctypes.c_void_p]
+        lib.bm25_n_terms.restype = ctypes.c_uint64
+        lib.bm25_n_terms.argtypes = [ctypes.c_void_p]
+        lib.bm25_avg_doc_len.restype = ctypes.c_double
+        lib.bm25_avg_doc_len.argtypes = [ctypes.c_void_p]
+        lib.bm25_idf.restype = ctypes.c_double
+        lib.bm25_idf.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.bm25_score.restype = ctypes.c_double
+        lib.bm25_score.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                   ctypes.c_uint32]
+        lib.bm25_search.restype = ctypes.c_int
+        lib.bm25_search.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_uint32),
+                                    ctypes.POINTER(ctypes.c_double)]
+        lib.bm25_tokenize.restype = ctypes.c_int
+        lib.bm25_tokenize.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                      ctypes.c_int]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+class NativeBM25:
+    """Drop-in for hybrid.bm25.BM25Index backed by the C++ engine.
+
+    String doc ids map to dense uint32 handles on the Python side; the
+    native index owns postings, doc lengths, and scoring.
+    """
+
+    def __init__(self, k1: float = 1.5, b: float = 0.75):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.k1, self.b = k1, b
+        self._h = lib.bm25_create(k1, b)
+        self._id_to_u32: Dict[str, int] = {}
+        self._u32_to_id: List[Optional[str]] = []
+        # retained raw text per doc so serialization + rebuilds can replay
+        self._texts: Dict[str, str] = {}
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.bm25_destroy(self._h)
+        except Exception:
+            pass
+
+    # -- interface parity with hybrid.bm25.BM25Index -------------------
+    @property
+    def n_docs(self) -> int:
+        return int(self._lib.bm25_n_docs(self._h))
+
+    @property
+    def avg_doc_len(self) -> float:
+        return float(self._lib.bm25_avg_doc_len(self._h))
+
+    def add_document(self, doc_id: str, text: str) -> None:
+        u = self._id_to_u32.get(doc_id)
+        if u is None:
+            u = len(self._u32_to_id)
+            self._id_to_u32[doc_id] = u
+            self._u32_to_id.append(doc_id)
+        self._texts[doc_id] = text
+        self._lib.bm25_add_document(self._h, u, text.encode("utf-8"))
+
+    def remove_document(self, doc_id: str) -> bool:
+        u = self._id_to_u32.get(doc_id)
+        if u is None:
+            return False
+        self._texts.pop(doc_id, None)
+        return bool(self._lib.bm25_remove_document(self._h, u))
+
+    def idf(self, term: str) -> float:
+        return float(self._lib.bm25_idf(self._h, term.encode("utf-8")))
+
+    def score(self, query: str, doc_id: str) -> float:
+        u = self._id_to_u32.get(doc_id)
+        if u is None:
+            return 0.0
+        return float(self._lib.bm25_score(self._h, query.encode("utf-8"), u))
+
+    def search(self, query: str, k: int = 10) -> List[Tuple[str, float]]:
+        ids = (ctypes.c_uint32 * k)()
+        scores = (ctypes.c_double * k)()
+        n = self._lib.bm25_search(self._h, query.encode("utf-8"), k,
+                                  ids, scores)
+        return [(self._u32_to_id[ids[i]], scores[i]) for i in range(n)]
+
+    def tokenize(self, text: str) -> List[str]:
+        raw = text.encode("utf-8")
+        buf = ctypes.create_string_buffer(len(raw) * 2 + 16)
+        n = self._lib.bm25_tokenize(raw, buf, len(buf))
+        out, off = [], 0
+        for _ in range(n):
+            end = buf.raw.index(b"\0", off)
+            out.append(buf.raw[off:end].decode("utf-8"))
+            off = end + 1
+        return out
+
+    # -- serialization: replay-based -----------------------------------
+    def to_dict(self) -> dict:
+        return {"config": {"k1": self.k1, "b": self.b},
+                "texts": dict(self._texts), "native": True}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "NativeBM25":
+        cfg = d.get("config", {})
+        idx = cls(cfg.get("k1", 1.5), cfg.get("b", 0.75))
+        for doc_id, text in d.get("texts", {}).items():
+            idx.add_document(doc_id, text)
+        return idx
+
+    def stats(self) -> dict:
+        return {"documents": self.n_docs,
+                "terms": int(self._lib.bm25_n_terms(self._h)),
+                "avg_doc_len": self.avg_doc_len, "backend": "native"}

@@ -24,6 +24,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+try:
+    # XLA:CPU AOT cache entries embed machine-feature flags that trip noisy
+    # loader warnings on this host; cache only the HLO level.
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+except AttributeError:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

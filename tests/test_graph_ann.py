@@ -1,0 +1,88 @@
+"""Graph ANN (neighbor-array beam search) tests: recall vs exact,
+visited-set semantics, filters, staleness."""
+
+import numpy as np
+import pytest
+
+from fastpyvectordb_tpu import Collection, CollectionConfig, Filter
+from fastpyvectordb_tpu.ann.graph_ann import GraphANN
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(17)
+    n, d = 3000, 24
+    centers = rng.standard_normal((24, d)).astype(np.float32) * 2
+    v = centers[rng.integers(0, 24, n)] + 0.4 * rng.standard_normal(
+        (n, d)).astype(np.float32)
+    col = Collection(CollectionConfig(name="g", dimensions=d, metric="l2"))
+    col.insert_batch(v, [f"v{i}" for i in range(n)],
+                     [{"m": i % 3} for i in range(n)])
+    col.build_ann(kind="graph", r=16, chunk=1024, beam=64, iters=12)
+    q = centers[rng.integers(0, 24, 16)] + 0.4 * rng.standard_normal(
+        (16, d)).astype(np.float32)
+    return col, v, q
+
+
+def ids_of(res):
+    return [[h.id for h in hits] for hits in res]
+
+
+def test_graph_shape_and_no_self_loops(built):
+    col, v, q = built
+    ann = col._ann
+    tbl = np.asarray(ann.neighbors)
+    assert tbl.shape == (3000, 16)
+    self_rows = (tbl == np.arange(3000)[:, None]).sum()
+    assert self_rows == 0
+    assert (tbl >= 0).all() and (tbl < 3000).all()
+
+
+def test_recall_vs_exact(built):
+    col, v, q = built
+    exact = ids_of(col.search_batch(q, k=10, exact=True))
+    approx = ids_of(col.search_batch(q, k=10, exact=False))
+    recall = np.mean([len(set(a) & set(e)) / 10 for a, e in zip(approx, exact)])
+    assert recall >= 0.9, f"graph ANN recall@10 {recall:.3f} < 0.9"
+
+
+def test_results_are_deduplicated(built):
+    col, v, q = built
+    d, rows = col._ann.search(q, 10)
+    for r in rows:
+        real = r[r >= 0]
+        assert len(set(real.tolist())) == len(real)
+
+
+def test_wider_beam_not_worse(built):
+    col, v, q = built
+    _, exact_rows = col._store.search(q, 10, col.config.metric)
+    def rec(rows):
+        return np.mean([len(set(a.tolist()) & set(e.tolist())) / 10
+                        for a, e in zip(rows, exact_rows)])
+    _, narrow = col._ann.search(q, 10, beam=16, iters=4)
+    _, wide = col._ann.search(q, 10, beam=128, iters=16)
+    assert rec(wide) >= rec(narrow)
+    assert rec(wide) >= 0.9
+
+
+def test_filtered_graph_search(built):
+    col, v, q = built
+    res = col.search_batch(q[:4], k=5, filter=Filter.eq("m", 1), exact=False)
+    assert all(h.metadata["m"] == 1 for hits in res for h in hits)
+    assert any(hits for hits in res)
+
+
+def test_tune(built):
+    col, v, q = built
+    out = col._ann.tune(q, target_recall=0.9, k=10)
+    assert out["recall"] >= 0.9
+
+
+def test_stale_rebuild(built, rng):
+    col, v, q = built
+    col.insert(np.full(24, 7.5, dtype=np.float32), id="far")
+    assert col._ann.stale
+    hits = col.search(np.full(24, 7.5, dtype=np.float32), k=1, exact=False)
+    assert hits[0].id == "far"
+    assert not col._ann.stale

@@ -1,0 +1,102 @@
+"""Native C++ BM25 engine tests: builds with g++, agrees with the pure
+Python implementation bit-for-bit on scores and rankings."""
+
+import numpy as np
+import pytest
+
+from fastpyvectordb_tpu.hybrid.bm25 import BM25Index
+from fastpyvectordb_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no C++ toolchain")
+
+DOCS = {
+    "d1": "machine learning with neural networks",
+    "d2": "deep neural networks for vision",
+    "d3": "cooking pasta with tomato sauce",
+    "d4": "the stock market crashed today",
+    "d5": "Neural style transfer; for IMAGES!",
+}
+
+
+@pytest.fixture()
+def pair():
+    py = BM25Index()
+    nat = native.NativeBM25()
+    for k, v in DOCS.items():
+        py.add_document(k, v)
+        nat.add_document(k, v)
+    return py, nat
+
+
+def test_tokenizer_matches_python(pair):
+    from fastpyvectordb_tpu.hybrid.bm25 import tokenize
+    _, nat = pair
+    for text in list(DOCS.values()) + ["ALL-CAPS and under_scores 123 éé"]:
+        assert nat.tokenize(text) == tokenize(text)
+
+
+def test_stats_match(pair):
+    py, nat = pair
+    assert nat.n_docs == py.n_docs
+    assert nat.avg_doc_len == pytest.approx(py.avg_doc_len)
+
+
+def test_idf_and_score_match(pair):
+    py, nat = pair
+    for term in ("neural", "pasta", "the", "missing"):
+        assert nat.idf(term) == pytest.approx(py.idf(term), rel=1e-12)
+    for q in ("neural networks", "tomato pasta", "stock today", "zzz"):
+        for d in DOCS:
+            assert nat.score(q, d) == pytest.approx(py.score(q, d),
+                                                    rel=1e-12)
+
+
+def test_search_matches(pair):
+    py, nat = pair
+    for q in ("neural networks", "pasta", "market neural", ""):
+        a = nat.search(q, 5)
+        b = py.search(q, 5)
+        assert [x[0] for x in a] == [x[0] for x in b]
+        np.testing.assert_allclose([x[1] for x in a], [x[1] for x in b],
+                                   rtol=1e-12)
+
+
+def test_remove_and_replace(pair):
+    py, nat = pair
+    for idx in (py, nat):
+        assert idx.remove_document("d3")
+        assert not idx.remove_document("d3")
+    assert nat.search("pasta", 3) == py.search("pasta", 3) == []
+    for idx in (py, nat):
+        idx.add_document("d1", "completely new content here")
+    assert nat.search("networks", 5) == py.search("networks", 5)
+    assert nat.search("completely new", 2)[0][0] == "d1"
+
+
+def test_serialization_replay():
+    nat = native.NativeBM25(k1=1.2, b=0.5)
+    for k, v in DOCS.items():
+        nat.add_document(k, v)
+    nat2 = native.NativeBM25.from_dict(nat.to_dict())
+    assert nat2.search("neural networks", 5) == nat.search(
+        "neural networks", 5)
+    assert nat2.k1 == 1.2 and nat2.b == 0.5
+
+
+def test_scales_to_many_docs():
+    nat = native.NativeBM25()
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(500)]
+    import time
+    t0 = time.perf_counter()
+    for i in range(5_000):
+        words = " ".join(vocab[j] for j in rng.integers(0, 500, 20))
+        nat.add_document(f"doc{i}", words)
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(100):
+        nat.search("w1 w2 w3", 10)
+    search_s = (time.perf_counter() - t0) / 100
+    assert nat.n_docs == 5_000
+    assert build_s < 10.0 and search_s < 0.05
