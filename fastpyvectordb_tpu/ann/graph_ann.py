@@ -294,6 +294,24 @@ class GraphANN:
                 "iters": self.iters,
                 "graph_bytes": int(n * r * 4)}
 
+    # -- persistence ---------------------------------------------------
+    def export_sections(self) -> tuple:
+        return ({"ann_neighbors": np.asarray(self.neighbors),
+                 "ann_entries": np.asarray(self.entries)},
+                {"kind": "graph", "beam": self.beam, "expand": self.expand,
+                 "iters": self.iters, "built_count": self._built_count})
+
+    @classmethod
+    def from_sections(cls, collection, sections: dict, meta: dict
+                      ) -> "GraphANN":
+        idx = cls(jnp.asarray(np.asarray(sections["ann_neighbors"])),
+                  jnp.asarray(np.asarray(sections["ann_entries"])),
+                  collection, beam=int(meta["beam"]),
+                  expand=int(meta["expand"]), iters=int(meta["iters"]))
+        idx._built_count = int(meta["built_count"])
+        idx.stale = idx._built_count != collection._store.count
+        return idx
+
     def tune(self, queries: np.ndarray, target_recall: float = 0.95,
              k: int = 10) -> dict:
         """Smallest (beam, iters) clearing the recall target on a sample."""

@@ -199,6 +199,25 @@ class IVFIndex:
                              if counts is not None else None),
         }
 
+    # -- persistence ---------------------------------------------------
+    def export_sections(self) -> tuple:
+        """(sections, meta) for the collection's FPVT container
+        (parity: hnswlib's save_index, vectordb_optimized.py:306-331)."""
+        return ({"ann_centroids": np.asarray(self.centroids),
+                 "ann_row_table": np.asarray(self.row_table)},
+                {"kind": "ivf", "nprobe": self.nprobe,
+                 "built_count": self._built_count})
+
+    @classmethod
+    def from_sections(cls, collection, sections: dict, meta: dict
+                      ) -> "IVFIndex":
+        idx = cls(jnp.asarray(np.asarray(sections["ann_centroids"])),
+                  jnp.asarray(np.asarray(sections["ann_row_table"])),
+                  collection, int(meta["nprobe"]))
+        idx._built_count = int(meta["built_count"])
+        idx.stale = idx._built_count != collection._store.count
+        return idx
+
     def tune_nprobe(self, queries: np.ndarray, target_recall: float = 0.95,
                     k: int = 10, max_nprobe: Optional[int] = None) -> int:
         """Find the smallest nprobe whose recall@k vs the exact path clears

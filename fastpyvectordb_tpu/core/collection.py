@@ -350,16 +350,20 @@ class Collection:
         with self._lock:
             self.base_path.mkdir(parents=True, exist_ok=True)
             arrays = self._store.export_arrays()
-            save_container(
-                self.base_path / STORE_FILE,
-                {
-                    "vectors": arrays["vectors"],
-                    "valid": arrays["valid"],
-                    "ids": self._row_to_id,
-                    "metadata": self._metadata,
-                },
-                meta={"config": self.config.to_dict(), "kind": "collection"},
-            )
+            sections = {
+                "vectors": arrays["vectors"],
+                "valid": arrays["valid"],
+                "ids": self._row_to_id,
+                "metadata": self._metadata,
+            }
+            meta = {"config": self.config.to_dict(), "kind": "collection"}
+            # persist the ANN structure alongside (parity with hnswlib's
+            # index.bin, vectordb_optimized.py:306-331)
+            if self._ann is not None and not self._ann.stale:
+                ann_sections, ann_meta = self._ann.export_sections()
+                sections.update(ann_sections)
+                meta["ann"] = ann_meta
+            save_container(self.base_path / STORE_FILE, sections, meta=meta)
 
     def _load(self) -> None:
         c = load_container(self.base_path / STORE_FILE)
@@ -374,3 +378,13 @@ class Collection:
         self._id_to_row = {i: r for r, i in enumerate(self._row_to_id)
                            if i is not None and valid[r]}
         self._bump()
+        ann_meta = c.meta.get("ann")
+        if ann_meta:
+            sections = {k: c.read(k) for k in c.keys()
+                        if k.startswith("ann_")}
+            if ann_meta["kind"] == "ivf":
+                from ..ann.ivf import IVFIndex
+                self._ann = IVFIndex.from_sections(self, sections, ann_meta)
+            elif ann_meta["kind"] == "graph":
+                from ..ann.graph_ann import GraphANN
+                self._ann = GraphANN.from_sections(self, sections, ann_meta)

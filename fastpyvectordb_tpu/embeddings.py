@@ -492,3 +492,47 @@ def get_embedder(provider: str = "auto", model: Optional[str] = None,
     if cache:
         emb = CachedEmbedder(emb, cache_dir)
     return emb
+
+
+class EmbeddingCollection:
+    """Low-level text wrapper over a core Collection (reference:
+    embeddings.py:521-609): stores raw text under the ``_text`` metadata
+    key and embeds transparently on add/search.  The high-level api.Client
+    is the friendlier interface; this exists for engine-level use."""
+
+    def __init__(self, collection, embedder: Embedder):
+        if embedder.dimensions != collection.config.dimensions:
+            raise ValueError(
+                f"embedder dims {embedder.dimensions} != collection dims "
+                f"{collection.config.dimensions}")
+        self.collection = collection
+        self.embedder = embedder
+
+    def add_text(self, text: str, id: Optional[str] = None,
+                 metadata: Optional[dict] = None) -> str:
+        meta = dict(metadata or {})
+        meta["_text"] = text
+        return self.collection.insert(self.embedder.embed(text), id, meta)
+
+    def add_texts(self, texts: Sequence[str],
+                  ids: Optional[Sequence[str]] = None,
+                  metadatas: Optional[Sequence[dict]] = None) -> List[str]:
+        metas = [dict(m) for m in metadatas] if metadatas is not None \
+            else [{} for _ in texts]
+        for m, t in zip(metas, texts):
+            m["_text"] = t
+        return self.collection.insert_batch(
+            self.embedder.embed_batch(list(texts)), ids, metas)
+
+    def search_text(self, query: str, k: int = 10, filter=None):
+        hits = self.collection.search(self.embedder.embed(query), k, filter)
+        for h in hits:
+            h.metadata.setdefault("_text", None)
+        return hits
+
+    def get_text(self, id: str) -> Optional[str]:
+        row = self.collection.get(id)
+        return row["metadata"].get("_text") if row else None
+
+    def count(self) -> int:
+        return self.collection.count()

@@ -124,10 +124,11 @@ def sq_scores(queries: jnp.ndarray, codes: jnp.ndarray, vmin: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _hamming_kernel(q_ref, c_ref, out_ref):
-    """q_ref (W, TB) uint32, c_ref (W, TN) uint32 -> out (TB, TN) int32.
+    """q_ref (W, B) uint32 (full), c_ref (W, TN) uint32 -> out (B, TN).
 
     Word-major layout keeps the big N axis on the 128-wide lanes; the W
-    (word) axis is a short unrolled loop.
+    (word) axis is a short unrolled loop; the whole (small) query block
+    stays resident in VMEM across the N grid.
     """
     w = q_ref.shape[0]
     acc = jnp.zeros(out_ref.shape, jnp.int32)
@@ -137,29 +138,28 @@ def _hamming_kernel(q_ref, c_ref, out_ref):
     out_ref[:] = acc
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("tile_b", "tile_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
 def hamming_scores(qcodes_t: jnp.ndarray, codes_t: jnp.ndarray, *,
-                   tile_b: int = 8, tile_n: int = 2048,
+                   tile_n: int = 2048,
                    interpret: bool = False) -> jnp.ndarray:
     """(W, B) x (W, N) packed uint32 -> (B, N) int32 Hamming distances.
 
-    Both inputs are word-major (transposed); B and N must be multiples of
-    the tile sizes (pad + mask downstream).
+    Both inputs are word-major (transposed); B must be a multiple of 8 and
+    N of ``tile_n`` (pad + mask downstream).
     """
     w, b = qcodes_t.shape
     n = codes_t.shape[1]
-    grid = (_cdiv(b, tile_b), _cdiv(n, tile_n))
+    grid = (_cdiv(n, tile_n),)
     return pl.pallas_call(
         _hamming_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((w, tile_b), lambda i, j: (0, i),
+            pl.BlockSpec((w, b), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, tile_n), lambda i, j: (0, j),
+            pl.BlockSpec((w, tile_n), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_b, tile_n), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((b, tile_n), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
         cost_estimate=pl.CostEstimate(

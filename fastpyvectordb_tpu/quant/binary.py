@@ -126,8 +126,7 @@ class BinaryQuantizer:
         npad = (-n) % _BQ_TILE_N
         q_t = jnp.pad(qcodes.T, ((0, 0), (0, bp)))
         c_t = jnp.pad(codes_t, ((0, 0), (0, npad))) if npad else codes_t
-        out = pallas_quant.hamming_scores(q_t, c_t, tile_b=_BQ_TILE_B,
-                                          tile_n=_BQ_TILE_N,
+        out = pallas_quant.hamming_scores(q_t, c_t, tile_n=_BQ_TILE_N,
                                           interpret=interpret)
         return out[:b, :n]
 

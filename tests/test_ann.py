@@ -75,3 +75,40 @@ def test_stale_rebuild_after_insert(built, rng):
     hits = col.search(col.get("new1", include_vector=True)["vector"], k=1,
                       exact=False)
     assert hits[0].id == "new1"
+
+
+def test_ann_persistence_roundtrip(tmp_path, rng):
+    from fastpyvectordb_tpu.core.collection import Collection
+    from fastpyvectordb_tpu.core.types import CollectionConfig
+    v = rng.standard_normal((500, 16)).astype(np.float32)
+    col = Collection(CollectionConfig(name="p", dimensions=16, metric="l2"),
+                     base_path=tmp_path / "p")
+    col.insert_batch(v, [f"v{i}" for i in range(500)])
+    col.build_ann(nlist=16, nprobe=8, iters=4)
+    col.save()
+
+    col2 = Collection(CollectionConfig(name="p", dimensions=16),
+                      base_path=tmp_path / "p")
+    assert col2._ann is not None and not col2._ann.stale
+    assert col2.config.index == "ivf"
+    hits = col2.search(v[42], k=1, exact=False)
+    assert hits[0].id == "v42"
+
+
+def test_graph_ann_persistence_roundtrip(tmp_path, rng):
+    from fastpyvectordb_tpu.core.collection import Collection
+    from fastpyvectordb_tpu.core.types import CollectionConfig
+    v = rng.standard_normal((400, 16)).astype(np.float32)
+    col = Collection(CollectionConfig(name="g", dimensions=16, metric="l2"),
+                     base_path=tmp_path / "g")
+    col.insert_batch(v, [f"v{i}" for i in range(400)])
+    col.build_ann(kind="graph", r=8, chunk=256)
+    col.save()
+
+    col2 = Collection(CollectionConfig(name="g", dimensions=16),
+                      base_path=tmp_path / "g")
+    assert col2._ann is not None and col2.config.index == "graph"
+    assert np.array_equal(np.asarray(col2._ann.neighbors),
+                          np.asarray(col._ann.neighbors))
+    hits = col2.search(v[7], k=1, exact=False)
+    assert hits[0].id == "v7"
