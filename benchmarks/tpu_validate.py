@@ -93,14 +93,17 @@ def main():
                       "qps": b / dt, "matches_xla": ok,
                       "max_err": float(np.abs(small - ref).max())}))
 
-    # 5) BQ Hamming Pallas scan at 5M x 768
+    # 5) BQ Hamming Pallas scan at 5M x 768 (batch 64 keeps the (B, N)
+    # int32 output within HBM next to the corpus copies)
     from fastpyvectordb_tpu.quant.binary import BinaryQuantizer
     bq = BinaryQuantizer()
     bq.train(np.asarray(v32[:50_000]))
+    del codes
     n_big = 5_000_000
+    bh = 64
     w = bq.n_words
     codes_t = jax.random.bits(kv, (w, n_big), dtype=jnp.uint32)
-    qcodes = bq.encode(qn)
+    qcodes = bq.encode(qn[:bh])
     small_t = np.asarray(bq.hamming_distances_t(qcodes[:8],
                                                 codes_t[:, :2048]))
     ref_h = np.asarray(bq.hamming_distances(
@@ -108,8 +111,8 @@ def main():
     okh = bool(np.array_equal(small_t, ref_h))
     fh = lambda qc: bq.hamming_distances_t(qc, codes_t)
     dt, _ = timed(fh, qcodes, iters=10)
-    print(json.dumps({"exp": "bq_pallas_hamming_5M_b256", "ms": dt * 1e3,
-                      "qps": b / dt, "matches_xla": okh}))
+    print(json.dumps({"exp": "bq_pallas_hamming_5M_b64", "ms": dt * 1e3,
+                      "qps": bh / dt, "matches_xla": okh}))
 
 
 if __name__ == "__main__":

@@ -294,6 +294,22 @@ class Collection:
             return self._assemble(q, dists, rows, k, False)
 
     # ------------------------------------------------------------------
+    # Multi-chip
+    # ------------------------------------------------------------------
+    def as_sharded_searcher(self, mesh=None):
+        """Snapshot this collection into a row-sharded multi-chip searcher
+        (dist/sharded.py).  The store's power-of-two capacity divides any
+        power-of-two mesh, so the device buffers shard without copies."""
+        from ..dist.mesh import make_mesh
+        from ..dist.sharded import ShardedSearcher
+        with self._lock:
+            mesh = mesh or make_mesh()
+            return ShardedSearcher(
+                mesh, self._store.vectors, self._store.valid,
+                metric=self.config.metric,
+                compute_dtype=self.config.compute_dtype)
+
+    # ------------------------------------------------------------------
     # Introspection
     # ------------------------------------------------------------------
     def count(self) -> int:

@@ -58,10 +58,13 @@ def _sq_kernel(q_ref, codes_ref, vmin_ref, rscale_ref, qsq_ref, out_ref, *,
     v = (codes_ref[:].astype(jnp.float32) + 128.0) * rscale_ref[:] \
         + vmin_ref[:]
     q = q_ref[:]
-    # bf16 operands keep the MXU on its single-pass fast path; f32 inputs
-    # would silently select the 3-6x slower multi-pass f32 matmul
-    cross = jnp.dot(q.astype(jnp.bfloat16), v.astype(jnp.bfloat16).T,
-                    preferred_element_type=jnp.float32)
+    # bf16 operands keep the MXU on its single-pass fast path (f32 inputs
+    # select the multi-pass f32 matmul); dot_general contracting the last
+    # dims avoids materializing v.T (an expensive cross-lane relayout)
+    cross = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
     if metric == DistanceMetric.COSINE:
         vsq = jnp.sum(v * v, axis=1, keepdims=True)          # (TN, 1)
         rinv = jax.lax.rsqrt(jnp.maximum(vsq, 1e-30))

@@ -389,6 +389,23 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
             return _json_error(400, str(e))
         return web.json_response(h.to_dict(), status=201)
 
+    async def get_hyperedge(request):
+        h = graph().get_hyperedge(request.match_info["id"])
+        if h is None:
+            return _json_error(404, "hyperedge not found")
+        return web.json_response(h.to_dict())
+
+    async def delete_hyperedge(request):
+        if not graph().delete_hyperedge(request.match_info["id"]):
+            return _json_error(404, "hyperedge not found")
+        return web.json_response({"deleted": request.match_info["id"]})
+
+    async def hyperedges_of_node(request):
+        nid = request.match_info["id"]
+        mode = request.query.get("mode", "any")
+        out = graph().hyperedges_of_nodes([nid], mode)
+        return web.json_response({"hyperedges": [h.to_dict() for h in out]})
+
     async def graph_query(request):
         req = _parse(S.GraphQueryRequest, await _body(request))
         try:
@@ -495,6 +512,9 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         r.add_get("/graph/edges/{id}", get_edge)
         r.add_delete("/graph/edges/{id}", delete_edge)
         r.add_post("/graph/hyperedges", create_hyperedge)
+        r.add_get("/graph/hyperedges/{id}", get_hyperedge)
+        r.add_delete("/graph/hyperedges/{id}", delete_hyperedge)
+        r.add_get("/graph/nodes/{id}/hyperedges", hyperedges_of_node)
         r.add_post("/graph/query", graph_query)
         r.add_post("/graph/traverse", graph_traverse)
         r.add_post("/graph/shortest-path", graph_shortest_path)

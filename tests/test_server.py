@@ -191,3 +191,20 @@ def test_websocket_change_feed(client, server):
     assert received and received[-1]["type"] == "insert"
     assert received[-1]["data"]["id"] == "ws_probe"
     assert received[-1]["collection"] == "wsfeed"
+
+
+def test_hyperedge_endpoints(client):
+    import httpx
+    client.create_node(["H"], id="h1")
+    client.create_node(["H"], id="h2")
+    r = httpx.post(f"{client.base_url}/graph/hyperedges",
+                   json={"nodes": ["h1", "h2"], "type": "TEAM", "id": "team1"})
+    assert r.status_code == 201
+    r = httpx.get(f"{client.base_url}/graph/hyperedges/team1")
+    assert r.json()["nodes"] == ["h1", "h2"]
+    r = httpx.get(f"{client.base_url}/graph/nodes/h1/hyperedges")
+    assert len(r.json()["hyperedges"]) == 1
+    assert httpx.delete(
+        f"{client.base_url}/graph/hyperedges/team1").status_code == 200
+    assert httpx.get(
+        f"{client.base_url}/graph/hyperedges/team1").status_code == 404

@@ -97,3 +97,19 @@ def test_sharded_kmeans_step_matches_single_device(mesh, rng):
                      for i in range(k)])
     np.testing.assert_allclose(np.asarray(c1), want, rtol=1e-4, atol=1e-5)
     assert int(np.asarray(counts).sum()) == n
+
+
+def test_collection_as_sharded_searcher(rng):
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    import jax.numpy as jnp
+    col = Collection(CollectionConfig(name="s", dimensions=8, metric="l2"))
+    v = rng.standard_normal((300, 8)).astype(np.float32)
+    col.insert_batch(v, [f"v{i}" for i in range(300)])
+    col.delete("v5")
+    s = col.as_sharded_searcher()
+    vals, rows = s.search(jnp.asarray(v[:4]), 3)
+    rows = np.asarray(rows)
+    assert rows[0, 0] == 0 and rows[1, 0] == 1
+    # tombstoned row must not appear
+    _, r5 = s.search(jnp.asarray(v[5:6]), 1)
+    assert int(np.asarray(r5)[0, 0]) != 5
