@@ -76,7 +76,7 @@ def main():
         print(json.dumps({"exp": f"bf16_approx_topk_b{bb}", "ms": dt * 1e3,
                           "qps": bb / dt}))
 
-    # 4) SQ int8 Pallas dequant-matmul scan
+    # 4) SQ int8 scans: Pallas dequant-matmul vs native int8 MXU matmul
     from fastpyvectordb_tpu.quant.scalar import ScalarQuantizer
     sqz = ScalarQuantizer()
     sqz.train(np.asarray(v32[:100_000]))
@@ -92,6 +92,22 @@ def main():
     print(json.dumps({"exp": "sq_pallas_scan_256k_b256", "ms": dt * 1e3,
                       "qps": b / dt, "matches_xla": ok,
                       "max_err": float(np.abs(small - ref).max())}))
+
+    # 4b) int8 MXU matmul path at full 1M scale
+    codes_1m = sqz.encode(np.asarray(v32))
+    stats = sqz.corpus_stats(codes_1m)
+    small2 = np.asarray(sqz.distances(qn[:8], codes_1m[:2048], "l2",
+                                      mode="int8mm"))
+    ok2 = bool(np.allclose(
+        small2,
+        np.asarray(sqz.distances(qn[:8], codes_1m[:2048], "l2",
+                                 mode="chunked")),
+        rtol=3e-2, atol=3e-2))
+    fmm = lambda qq: sqz.distances(qq, codes_1m, "l2", mode="int8mm",
+                                   stats=stats)
+    dt, _ = timed(fmm, qn, iters=10)
+    print(json.dumps({"exp": "sq_int8mm_scan_1M_b256", "ms": dt * 1e3,
+                      "qps": b / dt, "matches_xla": ok2}))
 
     # 5) BQ Hamming Pallas scan at 5M x 768 (batch 64 keeps the (B, N)
     # int32 output within HBM next to the corpus copies)

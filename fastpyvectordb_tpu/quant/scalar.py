@@ -94,6 +94,62 @@ def _distances(queries: jnp.ndarray, codes: jnp.ndarray, vmin: jnp.ndarray,
     return jnp.moveaxis(parts, 0, 1).reshape(q.shape[0], -1)[:, :n]
 
 
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _distances_int8_matmul(queries: jnp.ndarray, codes: jnp.ndarray,
+                           vmin: jnp.ndarray, scale: jnp.ndarray,
+                           vsq: jnp.ndarray, rinv: jnp.ndarray, *,
+                           metric: DistanceMetric) -> jnp.ndarray:
+    """Int8-native scan: ONE int8 x int8 MXU matmul against the raw codes.
+
+    The per-dimension dequantization folds into the *query*:
+        q . dequant(c) = (q * rs) . c + q . (128*rs + vmin),  rs = scale/255
+    so the corpus-side work is a pure int8 matmul (the BASELINE.json
+    "SQ -> int8 matmul path").  The scaled query is itself symmetrically
+    quantized to int8 (per-query scale), adding <0.5% relative error on top
+    of the codes' own quantization — irrelevant for a coarse stage that is
+    re-ranked exactly.  Corpus row stats (vsq = ||dequant(c)||^2,
+    rinv = 1/||dequant(c)||) are precomputed once at build time.
+    """
+    q = queries.astype(jnp.float32)
+    rs = (scale / 255.0).astype(jnp.float32)
+    qs = q * rs[None, :]
+    const = q @ (128.0 * rs + vmin)                      # (B,)
+    qmax = jnp.max(jnp.abs(qs), axis=1, keepdims=True)
+    qscale = jnp.maximum(qmax, 1e-30) / 127.0
+    qi = jnp.clip(jnp.round(qs / qscale), -127, 127).astype(jnp.int8)
+    cross_i = jax.lax.dot_general(
+        qi, codes, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                # (B, N) on int8 MXU
+    cross = cross_i.astype(jnp.float32) * qscale + const[:, None]
+    if metric == DistanceMetric.COSINE:
+        qn = jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        return 1.0 - (cross / qn) * rinv[None, :]
+    if metric == DistanceMetric.L2:
+        qsq = jnp.einsum("bd,bd->b", q, q, preferred_element_type=jnp.float32)
+        return jnp.maximum(qsq[:, None] + vsq[None, :] - 2.0 * cross, 0.0)
+    return -cross
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _dequant_row_stats(codes: jnp.ndarray, vmin: jnp.ndarray,
+                       scale: jnp.ndarray, chunk: int = 16384):
+    """(vsq, rinv) of the dequantized corpus, computed tile-by-tile."""
+    n, d = codes.shape
+    pad = (-n) % chunk
+    codes_p = jnp.pad(codes, ((0, pad), (0, 0))) if pad else codes
+
+    def body(_, tile):
+        v = ((tile.astype(jnp.float32) + 128.0) / 255.0 * scale[None, :]
+             + vmin[None, :])
+        return None, jnp.einsum("nd,nd->n", v, v,
+                                preferred_element_type=jnp.float32)
+
+    _, sq = jax.lax.scan(body, None, codes_p.reshape(-1, chunk, d))
+    sq = sq.reshape(-1)[:n]
+    rinv = jnp.where(sq > 0, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0)
+    return sq, rinv
+
+
 class ScalarQuantizer:
     """Per-dimension min/max int8 quantizer (4x compression)."""
 
@@ -122,18 +178,39 @@ class ScalarQuantizer:
         self._check()
         return np.asarray(_decode(jnp.asarray(codes), self.vmin, self.scale))
 
+    def corpus_stats(self, codes) -> tuple:
+        """One-time (vsq, rinv) of the dequantized corpus for the
+        int8-matmul scan path."""
+        self._check()
+        return _dequant_row_stats(jnp.asarray(codes), self.vmin, self.scale)
+
     def distances(self, queries: np.ndarray, codes,
                   metric: DistanceMetric = DistanceMetric.L2,
-                  use_pallas: Optional[bool] = None) -> jnp.ndarray:
+                  use_pallas: Optional[bool] = None,
+                  mode: str = "auto",
+                  stats: Optional[tuple] = None) -> jnp.ndarray:
+        """Quantized-domain distances.  Modes:
+          int8mm  — int8 x int8 MXU matmul with query-side scale folding
+                    (fastest; the default on TPU)
+          pallas  — dequantize-in-VMEM Pallas kernel
+          chunked — XLA scan fallback (default off-TPU)
+        """
         self._check()
         metric = DistanceMetric.parse(metric)
         q = np.ascontiguousarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
         codes = jnp.asarray(codes)
-        if use_pallas is None:
-            use_pallas = pallas_quant.on_tpu()
-        if use_pallas:
+        if use_pallas is not None:  # back-compat switch
+            mode = "pallas" if use_pallas else "chunked"
+        if mode == "auto":
+            mode = "int8mm" if pallas_quant.on_tpu() else "chunked"
+        if mode == "int8mm":
+            vsq, rinv = stats if stats is not None else self.corpus_stats(codes)
+            return _distances_int8_matmul(jnp.asarray(q), codes, self.vmin,
+                                          self.scale, vsq, rinv,
+                                          metric=metric)
+        if mode == "pallas":
             return self._distances_pallas(jnp.asarray(q), codes, metric,
                                           interpret=not pallas_quant.on_tpu())
         return _distances(jnp.asarray(q), codes, self.vmin, self.scale,

@@ -94,7 +94,11 @@ class QuantizedScan:
     def coarse_distances(self, q: np.ndarray) -> jnp.ndarray:
         from ..kernels import pallas_quant
         if self.kind == "int8":
-            return self.quantizer.distances(q, self.codes, metric=self.metric)
+            if not hasattr(self, "_sq_stats"):
+                # one-time dequantized row stats for the int8-matmul path
+                self._sq_stats = self.quantizer.corpus_stats(self.codes)
+            return self.quantizer.distances(q, self.codes, metric=self.metric,
+                                            stats=self._sq_stats)
         if self.kind == "binary":
             if pallas_quant.on_tpu():
                 if not hasattr(self, "_codes_t"):

@@ -270,3 +270,43 @@ class ObservableCollection:
         if n:
             self._emit(EventType.DELETE, {"ids": list(ids), "count": n})
         return n
+
+
+def install_websocket_routes(app, manager: AsyncConnectionManager,
+                             prefix: str = "/ws") -> None:
+    """Reusable aiohttp WS route installer (reference parity:
+    realtime.py:449-510 installs FastAPI routes).  Adds ``{prefix}`` and
+    ``{prefix}/{collection}`` endpoints with subscribe/filter messages to
+    any aiohttp application."""
+    import json as _json
+
+    from aiohttp import web, WSMsgType
+
+    async def handler(request):
+        ws = web.WebSocketResponse(heartbeat=30)
+        await ws.prepare(request)
+        collection = request.match_info.get("collection", "*")
+        await manager.connect(ws, Subscription(collection=collection))
+        try:
+            async for msg in ws:
+                if msg.type == WSMsgType.TEXT:
+                    try:
+                        payload = _json.loads(msg.data)
+                    except _json.JSONDecodeError:
+                        continue
+                    if payload.get("action") == "subscribe":
+                        types = payload.get("event_types")
+                        await manager.update_subscription(ws, Subscription(
+                            collection=payload.get("collection", collection),
+                            event_types=[EventType(t) for t in types]
+                            if types else None,
+                            metadata_filter=payload.get("metadata_filter")))
+                        await ws.send_str(_json.dumps({"subscribed": True}))
+                elif msg.type in (WSMsgType.CLOSE, WSMsgType.ERROR):
+                    break
+        finally:
+            await manager.disconnect(ws)
+        return ws
+
+    app.router.add_get(prefix, handler)
+    app.router.add_get(prefix + "/{collection}", handler)

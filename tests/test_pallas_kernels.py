@@ -65,3 +65,21 @@ def test_hamming_pallas_nonaligned_dims():
     got = np.asarray(bq.hamming_distances(q, codes, use_pallas=True))
     np.testing.assert_array_equal(got, want)
     assert got[0].min() >= 0 and got.shape == (13, 100)
+
+
+@pytest.mark.parametrize("metric", list(DistanceMetric))
+def test_sq_int8_matmul_matches_reference(data, metric):
+    """The int8-MXU scan path (query-side scale folding) must rank like the
+    full dequantized computation."""
+    v, q = data
+    sq = ScalarQuantizer().train(v)
+    codes = sq.encode(v)
+    want = np.asarray(_distances(jnp.asarray(q), codes, sq.vmin, sq.scale,
+                                 metric=metric))
+    got = np.asarray(sq.distances(q, codes, metric, mode="int8mm"))
+    # query quantization adds <1% relative error
+    tol = 2e-2 * max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=tol)
+    # rank stability: top-1 score per the reference matrix is near-optimal
+    top = want[np.arange(len(want)), got.argmin(1)]
+    np.testing.assert_allclose(top, want.min(1), atol=tol)
