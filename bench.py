@@ -82,13 +82,15 @@ def main():
         return K.search_kernel(q, vv, sq, rinv, mask, metric=metric, k=k,
                                compute_dtype=compute_dtype, approx=approx)
 
-    # warm up compile + measure
-    jax.block_until_ready(run(queries))
-    iters = 20 if on_accelerator else 3
+    # warm up compile + measure over DISTINCT query batches (the runtime
+    # deduplicates identical dispatches, which would inflate QPS)
+    iters = 16 if on_accelerator else 3
+    qbatches = [jax.random.normal(jax.random.PRNGKey(100 + i), (batch, d),
+                                  dtype=jnp.float32) for i in range(iters + 1)]
+    jax.block_until_ready(run(qbatches[0]))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(queries)
-    jax.block_until_ready(out)
+    outs = [run(qb) for qb in qbatches[1:]]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     qps = iters * batch / dt
 

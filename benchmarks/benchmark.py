@@ -156,7 +156,10 @@ def run(preset: str, only=None, skip=None, seed: int = 0) -> dict:
         exact = [[h.id for h in hits]
                  for hits in col.search_batch(q[:32], k=10)]
         qres = {}
-        for kind in ("int8", "binary"):
+        kinds = ["int8", "binary"]
+        if d % 8 == 0 and n <= 200_000:
+            kinds.append("pq")  # ADC gather path; cheap only at small-mid N
+        for kind in kinds:
             col.enable_quantized_scan(kind)
             col.search_quantized(q[:batch], k=10, rerank=4)  # warm
             iters = 5

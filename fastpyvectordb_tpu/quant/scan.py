@@ -27,6 +27,65 @@ from .product import ProductQuantizer
 from .scalar import ScalarQuantizer
 
 
+def _pow2ge(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k", "approx"))
+def _int8_coarse_topk(q, codes, vmin, scale, vsq, rinv, mask, *,
+                      metric: DistanceMetric, k: int, approx: bool):
+    """Fused int8-MXU scan + masked top-k: the (B, N) score matrix never
+    reaches HBM."""
+    from .scalar import _distances_int8_matmul
+    s = _distances_int8_matmul(q, codes, vmin, scale, vsq, rinv,
+                               metric=metric)
+    if mask is not None:
+        s = jnp.where(mask[None, :], s, MASKED)
+    if approx:
+        neg, rows = jax.lax.approx_max_k(-s, k, recall_target=0.99)
+    else:
+        neg, rows = jax.lax.top_k(-s, k)
+    return -neg, rows
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _hamming_coarse_topk(qcodes_t, codes_t, mask, *, k: int,
+                         chunk: int = 262_144):
+    """Packed-Hamming scan + masked top-k, chunked over N with per-chunk
+    local top-k and a final merge — bounded memory at any corpus size."""
+    w, b = qcodes_t.shape
+    n = codes_t.shape[1]
+    pad = (-n) % chunk
+    codes_p = jnp.pad(codes_t, ((0, 0), (0, pad))) if pad else codes_t
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+    mask_p = jnp.pad(mask, (0, pad)) if pad else mask
+    tiles = codes_p.reshape(w, -1, chunk)
+    mtiles = mask_p.reshape(-1, chunk)
+    kk = min(k, chunk)
+
+    def body(_, tm):
+        tile, m = tm  # (W, chunk), (chunk,)
+        x = jnp.bitwise_xor(qcodes_t[:, :, None], tile[:, None, :])
+        s = jnp.sum(jax.lax.population_count(x.astype(jnp.int32)),
+                    axis=0).astype(jnp.float32)
+        s = jnp.where(m[None, :], s, MASKED)
+        neg, idx = jax.lax.top_k(-s, kk)
+        return None, (-neg, idx)
+
+    _, (vals, idx) = jax.lax.scan(body, None,
+                                  (jnp.moveaxis(tiles, 1, 0), mtiles))
+    t = vals.shape[0]
+    offs = (jnp.arange(t, dtype=jnp.int32) * chunk)[:, None, None]
+    vals_f = jnp.moveaxis(vals, 0, 1).reshape(b, t * kk)
+    idx_f = jnp.moveaxis(idx + offs, 0, 1).reshape(b, t * kk)
+    neg, pos = jax.lax.top_k(-vals_f, min(k, t * kk))
+    return -neg, jnp.take_along_axis(idx_f, pos, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "k"))
 def _rerank(queries: jnp.ndarray, cand_vecs: jnp.ndarray,
             cand_rows: jnp.ndarray, cand_ok: jnp.ndarray, *,
@@ -114,11 +173,11 @@ class QuantizedScan:
     def search(self, queries: np.ndarray, k: int, rerank: int = 4,
                mask: Optional[np.ndarray] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
+        from ..kernels import pallas_quant
         q = np.ascontiguousarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
         n = self.codes.shape[0]
-        coarse = self.coarse_distances(q)
         # combine the caller's filter mask with store validity (tombstones)
         valid = self._store.valid[:n]
         if mask is not None:
@@ -126,7 +185,26 @@ class QuantizedScan:
         else:
             m = valid
         c = min(max(k * max(rerank, 1), k), n)
-        cvals, crows = masked_top_k(coarse, c, m)
+        # fused scan+top-k paths: the (B, N) coarse matrix never hits HBM
+        if self.kind == "int8":
+            if not hasattr(self, "_sq_stats"):
+                self._sq_stats = self.quantizer.corpus_stats(self.codes)
+            vsq, rinv = self._sq_stats
+            qz = self.quantizer
+            cvals, crows = _int8_coarse_topk(
+                jnp.asarray(q), jnp.asarray(self.codes), qz.vmin, qz.scale,
+                vsq, rinv, m, metric=self.metric, k=c,
+                approx=pallas_quant.on_tpu())
+        elif self.kind == "binary":
+            if not hasattr(self, "_codes_t"):
+                self._codes_t = jnp.asarray(self.codes).T
+            qcodes_t = self.quantizer.encode(q).T
+            cvals, crows = _hamming_coarse_topk(
+                qcodes_t, self._codes_t, m, k=c,
+                chunk=int(min(262_144, _pow2ge(n))))
+        else:
+            coarse = self.coarse_distances(q)
+            cvals, crows = masked_top_k(coarse, c, m)
         if rerank <= 1:
             vals, rows = cvals, crows
             if self.kind == "binary":

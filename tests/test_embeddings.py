@@ -82,3 +82,36 @@ def test_factory():
         get_embedder("nope")
     cached = get_embedder("mock", cache=True, cache_dir="/tmp/fvdbt_cache")
     assert isinstance(cached, CachedEmbedder)
+
+
+def test_embedding_collection():
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    from fastpyvectordb_tpu.embeddings import EmbeddingCollection
+    ec = EmbeddingCollection(
+        Collection(CollectionConfig(name="e", dimensions=64)),
+        HashingEmbedder(64))
+    ec.add_text("solar panels on rooftops", id="solar")
+    ec.add_texts(["wind turbines spin", "tidal energy generators"],
+                 ids=["wind", "tidal"], metadatas=[{"k": 1}, {"k": 2}])
+    assert ec.count() == 3
+    hits = ec.search_text("tidal generators", k=1)
+    assert hits[0].id == "tidal" and hits[0].metadata["_text"]
+    assert ec.get_text("solar") == "solar panels on rooftops"
+    assert ec.get_text("nope") is None
+    with pytest.raises(ValueError):
+        EmbeddingCollection(
+            Collection(CollectionConfig(name="x", dimensions=32)),
+            HashingEmbedder(64))
+
+
+def test_query_timer():
+    from fastpyvectordb_tpu.profiling import QueryTimer
+    t = QueryTimer(capacity=8)
+    for _ in range(20):
+        with t.measure():
+            pass
+    s = t.summary()
+    assert s["count"] == 20 and s["qps"] > 0
+    assert 0 <= s["p50_ms"] <= s["p99_ms"]
+    t.reset()
+    assert t.summary() == {"count": 0}
