@@ -1,9 +1,10 @@
 """TPU validation + microbenchmarks for the hot kernels.
 
 Run on the real chip:  python benchmarks/tpu_validate.py
-Prints one JSON line per experiment.  Used to pick bench.py's configuration
-and to validate the Pallas paths compile + agree with the XLA reference
-paths on hardware.
+Prints one JSON line per experiment.
+
+All timings use DISTINCT inputs per iteration — the runtime deduplicates
+identical dispatches, which silently inflates repeated-args measurements.
 """
 
 import json
@@ -21,29 +22,33 @@ from fastpyvectordb_tpu.core.types import DistanceMetric
 from fastpyvectordb_tpu.kernels import distances as K
 
 
-def timed(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timed_distinct(fn, inputs):
+    """Warm on inputs[0], then time fn over the remaining distinct inputs."""
+    jax.block_until_ready(fn(inputs[0]))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters, out
+    outs = [fn(x) for x in inputs[1:]]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / (len(inputs) - 1)
+
+
+def qbatches(b, d, n_batches=7, seed=100):
+    return [jax.random.normal(jax.random.PRNGKey(seed + i), (b, d),
+                              dtype=jnp.float32) for i in range(n_batches)]
 
 
 def main():
     key = jax.random.PRNGKey(0)
     n, d, b, k = 1_000_000, 768, 256, 10
-    kv, kq = jax.random.split(key)
+    kv, _ = jax.random.split(key)
     v32 = jax.random.normal(kv, (n, d), dtype=jnp.float32)
     stats = K.corpus_stats(v32)
     sq_n, rinv = stats["sq"], stats["rinv"]
     v16 = v32.astype(jnp.bfloat16)
     mask = jnp.ones((n,), dtype=bool)
-    q = jax.random.normal(kq, (b, d), dtype=jnp.float32)
+    qs256 = qbatches(256, d)
 
     # exact ground truth for recall measurements
-    _, rows_exact = K.search_kernel(q[:64], v32, sq_n, rinv, mask,
+    _, rows_exact = K.search_kernel(qs256[0][:64], v32, sq_n, rinv, mask,
                                     metric=DistanceMetric.COSINE, k=k,
                                     compute_dtype="float32")
     rows_exact = np.asarray(rows_exact)
@@ -53,82 +58,62 @@ def main():
         return float(np.mean([len(set(a.tolist()) & set(e.tolist())) / k
                               for a, e in zip(rows, rows_exact)]))
 
-    # 1) bf16 + exact top_k (current bench configuration)
-    f = lambda qq: K.search_kernel(qq, v16, sq_n, rinv, mask,
-                                   metric=DistanceMetric.COSINE, k=k,
-                                   compute_dtype="bfloat16")
-    dt, out = timed(f, q)
-    print(json.dumps({"exp": "bf16_exact_topk_b256", "ms": dt * 1e3,
-                      "qps": b / dt, "recall": recall(out[1])}))
-
-    # 2) bf16 + approx top_k
+    # 1) bf16 paths
+    for approx in (False, True):
+        f = lambda qq: K.search_kernel(qq, v16, sq_n, rinv, mask,
+                                       metric=DistanceMetric.COSINE, k=k,
+                                       compute_dtype="bfloat16",
+                                       approx=approx)
+        dt = timed_distinct(f, qs256)
+        out = f(qs256[0])
+        print(json.dumps({
+            "exp": f"bf16_{'approx' if approx else 'exact'}_topk_b256",
+            "ms": round(dt * 1e3, 3), "qps": round(256 / dt, 1),
+            "recall": recall(out[1])}))
     fa = lambda qq: K.search_kernel(qq, v16, sq_n, rinv, mask,
                                     metric=DistanceMetric.COSINE, k=k,
                                     compute_dtype="bfloat16", approx=True)
-    dt, out = timed(fa, q)
-    print(json.dumps({"exp": "bf16_approx_topk_b256", "ms": dt * 1e3,
-                      "qps": b / dt, "recall": recall(out[1])}))
+    dt = timed_distinct(fa, qbatches(1024, d))
+    print(json.dumps({"exp": "bf16_approx_topk_b1024",
+                      "ms": round(dt * 1e3, 3), "qps": round(1024 / dt, 1)}))
 
-    # 3) batch scaling with approx top-k
-    for bb in (1024,):
-        qb = jax.random.normal(kq, (bb, d), dtype=jnp.float32)
-        dt, _ = timed(fa, qb)
-        print(json.dumps({"exp": f"bf16_approx_topk_b{bb}", "ms": dt * 1e3,
-                          "qps": bb / dt}))
+    # 2) end-to-end fused quantized search (QuantizedScan) at 1M, int8
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    from fastpyvectordb_tpu.quant.scan import QuantizedScan
 
-    # 4) SQ int8 scans: Pallas dequant-matmul vs native int8 MXU matmul
-    from fastpyvectordb_tpu.quant.scalar import ScalarQuantizer
-    sqz = ScalarQuantizer()
-    sqz.train(np.asarray(v32[:100_000]))
-    codes = sqz.encode(np.asarray(v32[:262_144]))  # 256k rows on device
-    qn = np.asarray(q)
-    small = np.asarray(sqz.distances(qn[:8], codes[:2048], "l2",
-                                     use_pallas=True))
-    ref = np.asarray(sqz.distances(qn[:8], codes[:2048], "l2",
-                                   use_pallas=False))
-    ok = bool(np.allclose(small, ref, rtol=2e-2, atol=2e-2))
-    fsq = lambda qq: sqz.distances(qq, codes, "l2", use_pallas=True)
-    dt, _ = timed(fsq, qn, iters=10)
-    print(json.dumps({"exp": "sq_pallas_scan_256k_b256", "ms": dt * 1e3,
-                      "qps": b / dt, "matches_xla": ok,
-                      "max_err": float(np.abs(small - ref).max())}))
+    col = Collection(CollectionConfig(name="q", dimensions=d,
+                                      metric="cosine",
+                                      compute_dtype="bfloat16"))
+    # build the store from the device corpus without a host round-trip
+    col._store.vectors = jnp.zeros((1, d))  # placeholder; replaced below
+    import fastpyvectordb_tpu.core.store as store_mod
+    st = store_mod.DeviceVectorStore(d, capacity=n)
+    st.vectors = v32
+    st.valid = mask
+    st.sq, st.rinv = sq_n, rinv
+    st.count = st.n_valid = n
+    col._store = st
+    col._row_to_id = [str(i) for i in range(n)]
+    col._id_to_row = {}
+    col._metadata = [None] * n
 
-    # 4b) int8 MXU matmul path at full 1M scale
-    codes_1m = sqz.encode(np.asarray(v32))
-    stats = sqz.corpus_stats(codes_1m)
-    small2 = np.asarray(sqz.distances(qn[:8], codes_1m[:2048], "l2",
-                                      mode="int8mm"))
-    ok2 = bool(np.allclose(
-        small2,
-        np.asarray(sqz.distances(qn[:8], codes_1m[:2048], "l2",
-                                 mode="chunked")),
-        rtol=3e-2, atol=3e-2))
-    fmm = lambda qq: sqz.distances(qq, codes_1m, "l2", mode="int8mm",
-                                   stats=stats)
-    dt, _ = timed(fmm, qn, iters=10)
-    print(json.dumps({"exp": "sq_int8mm_scan_1M_b256", "ms": dt * 1e3,
-                      "qps": b / dt, "matches_xla": ok2}))
+    scan = QuantizedScan.build(col, kind="int8")
+    npq = [np.asarray(q) for q in qs256]
+    f = lambda qq: scan.search(qq, k=10, rerank=4)
+    dt = timed_distinct(f, npq)
+    d_, r_ = scan.search(npq[0][:64], k=10, rerank=4)
+    print(json.dumps({"exp": "int8_fused_2stage_1M_b256",
+                      "ms": round(dt * 1e3, 3), "qps": round(256 / dt, 1),
+                      "recall": recall(r_)}))
 
-    # 5) BQ Hamming Pallas scan at 5M x 768 (batch 64 keeps the (B, N)
-    # int32 output within HBM next to the corpus copies)
-    from fastpyvectordb_tpu.quant.binary import BinaryQuantizer
-    bq = BinaryQuantizer()
-    bq.train(np.asarray(v32[:50_000]))
-    del codes
-    n_big = 5_000_000
-    bh = 64
-    w = bq.n_words
-    codes_t = jax.random.bits(kv, (w, n_big), dtype=jnp.uint32)
-    qcodes = bq.encode(qn[:bh])
-    small_t = np.asarray(bq.hamming_distances_t(qcodes[:8],
-                                                codes_t[:, :2048]))
-    ref_h = np.asarray(bq.hamming_distances(
-        qn[:8], np.asarray(codes_t[:, :2048]).T, use_pallas=False))
-    okh = bool(np.array_equal(small_t, ref_h))
-    fh = lambda qc: bq.hamming_distances_t(qc, codes_t)
-    dt, _ = timed(fh, qcodes, iters=10)
-    print(json.dumps({"exp": "bq_pallas_hamming_5M_b64", "ms": dt * 1e3,
-                      "qps": bh / dt, "matches_xla": okh}))
+    # 3) binary fused 2-stage at 1M
+    scan_b = QuantizedScan.build(col, kind="binary")
+    f = lambda qq: scan_b.search(qq, k=10, rerank=16)
+    dt = timed_distinct(f, npq)
+    d_, r_ = scan_b.search(npq[0][:64], k=10, rerank=16)
+    print(json.dumps({"exp": "binary_fused_2stage_1M_b256",
+                      "ms": round(dt * 1e3, 3), "qps": round(256 / dt, 1),
+                      "recall": recall(r_)}))
 
 
 if __name__ == "__main__":

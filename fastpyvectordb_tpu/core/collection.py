@@ -279,6 +279,20 @@ class Collection:
             self._quantized = QuantizedScan.build(self, kind=kind, **kwargs)
             return self._quantized
 
+    def set_search_params(self, **params) -> None:
+        """Tune the active ANN index's recall/latency knobs at runtime —
+        the reference's ``set_ef_search`` (vectordb_optimized.py:737)
+        generalized: IVF accepts ``nprobe``; graph ANN accepts ``beam``,
+        ``expand``, ``iters``."""
+        with self._lock:
+            if self._ann is None:
+                raise ValueError("no ANN index built; call build_ann first")
+            for key, value in params.items():
+                if not hasattr(self._ann, key):
+                    raise ValueError(
+                        f"{type(self._ann).__name__} has no parameter {key!r}")
+                setattr(self._ann, key, int(value))
+
     def search_quantized(self, queries, k: int = 10, rerank: int = 4,
                          filter: Optional[Filter] = None
                          ) -> List[List[SearchResult]]:
