@@ -88,7 +88,8 @@ def _beam_search_kernel(
         ok = (rows >= 0) & jnp.take(validmask, safe, axis=0)
         return jnp.where(ok, s, MASKED)
 
-    # ---- init beam with entry points ---------------------------------
+    # ---- init beam with entry points (capped at the beam width) --------
+    entries = entries[:w]
     e0 = entries.shape[0]
     init_ids = jnp.broadcast_to(entries[None, :], (b, e0))
     init_scores = gather_scores(init_ids)

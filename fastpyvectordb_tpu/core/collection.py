@@ -205,9 +205,11 @@ class Collection:
         ok = np.asarray(topk_mod.valid_hits(dists))
         results: List[List[SearchResult]] = []
         if include_vectors:
-            flat_rows = rows[ok]
-            vecs = self._store.get_rows(flat_rows.astype(np.int64))
-            vec_iter = iter(vecs)
+            # one gather for every candidate slot, indexed positionally so
+            # skipped hits can't desynchronize the mapping
+            vecs = self._store.get_rows(
+                np.maximum(rows, 0).reshape(-1).astype(np.int64)
+            ).reshape(rows.shape[0], rows.shape[1], -1)
         for bi in range(q.shape[0]):
             hits: List[SearchResult] = []
             for ki in range(dists.shape[1]):
@@ -221,7 +223,7 @@ class Collection:
                     id=rid,
                     score=float(dists[bi, ki]),
                     metadata=dict(self._metadata[row] or {}),
-                    vector=(next(vec_iter) if include_vectors else None),
+                    vector=(vecs[bi, ki] if include_vectors else None),
                 ))
             results.append(hits)
         return results

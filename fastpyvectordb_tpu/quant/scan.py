@@ -206,10 +206,7 @@ class QuantizedScan:
             coarse = self.coarse_distances(q)
             cvals, crows = masked_top_k(coarse, c, m)
         if rerank <= 1:
-            vals, rows = cvals, crows
-            if self.kind == "binary":
-                vals = jnp.asarray(cvals)
-            return np.asarray(vals)[:, :k], np.asarray(crows)[:, :k]
+            return np.asarray(cvals)[:, :k], np.asarray(crows)[:, :k]
         cand_ok = cvals < MASKED * 0.5
         cand_vecs = jnp.take(self._store.vectors, crows, axis=0)
         dists, rows = _rerank(jnp.asarray(q), cand_vecs.astype(jnp.float32),

@@ -192,3 +192,18 @@ def test_update_metadata(rng):
     assert col.get("x")["metadata"] == {"a": 1, "b": 3, "c": 4}
     col.update_metadata("x", {"only": 1}, merge=False)
     assert col.get("x")["metadata"] == {"only": 1}
+
+
+def test_include_vectors_alignment_under_filter(rng):
+    # vectors returned with hits must be each hit's own vector even when
+    # candidate slots are interleaved with masked-out entries
+    col = make_collection(metric="l2")
+    v = rng.standard_normal((40, 16)).astype(np.float32)
+    col.insert_batch(v, [f"v{i}" for i in range(40)],
+                     [{"odd": i % 2} for i in range(40)])
+    hits = col.search(v[0], k=8, filter=Filter.eq("odd", 1),
+                      include_vectors=True)
+    assert hits
+    for h in hits:
+        idx = int(h.id[1:])
+        np.testing.assert_allclose(h.vector, v[idx], rtol=1e-5)
