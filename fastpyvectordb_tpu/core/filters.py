@@ -85,6 +85,9 @@ class ColumnView:
         self._obj: Dict[str, np.ndarray] = {}
         self._num: Dict[str, np.ndarray] = {}
         self._present: Dict[str, np.ndarray] = {}
+        # typed (non-object) column cache: enables vectorized ==/isin for
+        # homogeneous str/int/float columns instead of per-row Python
+        self._typed: Dict[str, Optional[np.ndarray]] = {}
 
     def __len__(self) -> int:
         return len(self._rows)
@@ -105,6 +108,26 @@ class ColumnView:
                 col[i] = r.get(key, _MISSING) if r is not None else _MISSING
             self._obj[key] = col
         return self._obj[key]
+
+    def typed(self, key: str) -> Optional[np.ndarray]:
+        """Homogeneously-typed view of a column (None if mixed-type).
+        Missing entries hold a sentinel and are screened by present()."""
+        if key not in self._typed:
+            values = [r.get(key) if r is not None else None
+                      for r in self._rows]
+            kinds = {type(v) for v in values if v is not None}
+            arr: Optional[np.ndarray] = None
+            try:
+                if kinds == {str}:
+                    arr = np.asarray([v if v is not None else "" for v in
+                                      values], dtype=np.str_)
+                elif kinds and kinds <= {int, float} and bool not in kinds:
+                    arr = np.asarray([v if v is not None else np.nan
+                                      for v in values], dtype=np.float64)
+            except (TypeError, ValueError):
+                arr = None
+            self._typed[key] = arr
+        return self._typed[key]
 
     def numeric(self, key: str) -> np.ndarray:
         """float64 view of a column; non-numeric / missing entries are NaN."""
@@ -244,6 +267,22 @@ class Condition(Filter):
                 else:
                     m = col <= val
             return m & present
+        # vectorized fast path for homogeneous str / numeric columns
+        if op in (FilterOp.EQ, FilterOp.NE, FilterOp.IN, FilterOp.NIN):
+            typed = cols.typed(self.field)
+            if typed is not None:
+                try:
+                    if op == FilterOp.EQ:
+                        m = typed == val
+                    elif op == FilterOp.NE:
+                        m = typed != val
+                    elif op == FilterOp.IN:
+                        m = np.isin(typed, np.asarray(list(val)))
+                    else:
+                        m = ~np.isin(typed, np.asarray(list(val)))
+                    return np.asarray(m, dtype=bool) & present
+                except (TypeError, ValueError):
+                    pass  # incomparable literal: fall through to object path
         col = cols.objects(self.field)
         if op == FilterOp.EQ:
             return present & np.fromiter(
