@@ -77,34 +77,61 @@ def main():
     print(json.dumps({"exp": "bf16_approx_topk_b1024",
                       "ms": round(dt * 1e3, 3), "qps": round(1024 / dt, 1)}))
 
-    # 2) end-to-end fused quantized search (QuantizedScan) at 1M, int8
+    # 2) end-to-end fused quantized search (QuantizedScan) at 1M.
+    # Clustered corpus: quantizers exploit structure; pure Gaussian noise is
+    # the degenerate worst case (the reference's own recall claims are on
+    # structured data, README.md:504-508).
     from fastpyvectordb_tpu import Collection, CollectionConfig
     from fastpyvectordb_tpu.quant.scan import QuantizedScan
+
+    kc, kq2 = jax.random.split(kv)
+    centers = jax.random.normal(kc, (1024, d), dtype=jnp.float32) * 2.0
+    assign_c = jax.random.randint(kq2, (n,), 0, 1024)
+    vc = centers[assign_c] + jax.random.normal(kv, (n, d), dtype=jnp.float32)
+    cstats = K.corpus_stats(vc)
 
     col = Collection(CollectionConfig(name="q", dimensions=d,
                                       metric="cosine",
                                       compute_dtype="bfloat16"))
     # build the store from the device corpus without a host round-trip
-    col._store.vectors = jnp.zeros((1, d))  # placeholder; replaced below
     import fastpyvectordb_tpu.core.store as store_mod
     st = store_mod.DeviceVectorStore(d, capacity=n)
-    st.vectors = v32
+    st.vectors = vc
     st.valid = mask
-    st.sq, st.rinv = sq_n, rinv
+    st.sq, st.rinv = cstats["sq"], cstats["rinv"]
     st.count = st.n_valid = n
     col._store = st
     col._row_to_id = [str(i) for i in range(n)]
     col._id_to_row = {}
     col._metadata = [None] * n
 
+    # clustered queries + exact ground truth on the clustered corpus
+    cq = centers[jax.random.randint(kq2, (256,), 0, 1024)] + \
+        jax.random.normal(kq2, (256, d), dtype=jnp.float32)
+    _, rows_exact_c = K.search_kernel(cq[:64], vc, cstats["sq"],
+                                      cstats["rinv"], mask,
+                                      metric=DistanceMetric.COSINE, k=k,
+                                      compute_dtype="float32")
+    rows_exact_c = np.asarray(rows_exact_c)
+
+    def recall_c(rows):
+        rows = np.asarray(rows)[:64]
+        return float(np.mean([len(set(a.tolist()) & set(e.tolist())) / k
+                              for a, e in zip(rows, rows_exact_c)]))
+
+    npq = [np.asarray(q) for q in qbatches(256, d, seed=500)]
+    npq = [np.asarray(centers[jax.random.randint(
+        jax.random.PRNGKey(600 + i), (256,), 0, 1024)]) + q * 0.5
+        for i, q in enumerate(npq)]
+    npq[0][:64] = np.asarray(cq[:64])
+
     scan = QuantizedScan.build(col, kind="int8")
-    npq = [np.asarray(q) for q in qs256]
     f = lambda qq: scan.search(qq, k=10, rerank=4)
     dt = timed_distinct(f, npq)
     d_, r_ = scan.search(npq[0][:64], k=10, rerank=4)
     print(json.dumps({"exp": "int8_fused_2stage_1M_b256",
                       "ms": round(dt * 1e3, 3), "qps": round(256 / dt, 1),
-                      "recall": recall(r_)}))
+                      "recall": recall_c(r_)}))
 
     # 3) binary fused 2-stage at 1M
     scan_b = QuantizedScan.build(col, kind="binary")
@@ -113,7 +140,7 @@ def main():
     d_, r_ = scan_b.search(npq[0][:64], k=10, rerank=16)
     print(json.dumps({"exp": "binary_fused_2stage_1M_b256",
                       "ms": round(dt * 1e3, 3), "qps": round(256 / dt, 1),
-                      "recall": recall(r_)}))
+                      "recall": recall_c(r_)}))
 
 
 if __name__ == "__main__":

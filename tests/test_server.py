@@ -208,3 +208,35 @@ def test_hyperedge_endpoints(client):
         f"{client.base_url}/graph/hyperedges/team1").status_code == 200
     assert httpx.get(
         f"{client.base_url}/graph/hyperedges/team1").status_code == 404
+
+
+def test_batcher_coalesces_concurrent_queries():
+    """Concurrent single-query requests in one window must merge into one
+    device dispatch per (collection, k, filter) bucket."""
+    import asyncio
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    from fastpyvectordb_tpu.server.batcher import QueryBatcher
+
+    col = Collection(CollectionConfig(name="b", dimensions=8, metric="l2"))
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((50, 8)).astype(np.float32)
+    col.insert_batch(v, [f"v{i}" for i in range(50)])
+
+    calls = []
+    orig = col.search_batch
+
+    def counting(queries, *a, **kw):
+        calls.append(np.asarray(queries).shape[0])
+        return orig(queries, *a, **kw)
+
+    col.search_batch = counting
+
+    async def run():
+        b = QueryBatcher(window_ms=20, max_batch=64)
+        results = await asyncio.gather(
+            *[b.search(col, v[i], k=1) for i in range(8)])
+        return results
+
+    results = asyncio.run(run())
+    assert [hits[0].id for hits in results] == [f"v{i}" for i in range(8)]
+    assert calls == [8], f"expected one coalesced batch, got {calls}"
