@@ -50,6 +50,7 @@ class Collection:
         self._version = 0  # bumped on any mutation; invalidates caches
         self._columns: Optional[ColumnView] = None
         self._columns_version = -1
+        self._columns_dirty: Optional[str] = None  # None | "sync" | "rebuild"
         self._mask_cache: Dict[str, Tuple[int, np.ndarray]] = {}
         self._ann = None  # optional ANN index (ann/ivf.py), built on demand
         self._quantized = None  # optional quantized scan state (quant/)
@@ -94,7 +95,7 @@ class Collection:
             self._metadata.extend(
                 [dict(m) if m else {} for m in metadatas] if metadatas is not None
                 else [{} for _ in range(n)])
-            self._bump()
+            self._bump(append_only=True)
         return list(ids)
 
     def upsert(self, vector, id: str, metadata: Optional[dict] = None) -> str:
@@ -232,9 +233,16 @@ class Collection:
     # Filters
     # ------------------------------------------------------------------
     def _column_view(self) -> ColumnView:
+        if self._columns is not None and self._columns_version != self._version \
+                and self._columns_dirty == "sync":
+            # pure appends since the columns were built: extend, don't rebuild
+            self._columns.sync_appended()
+            self._columns_version = self._version
+            self._columns_dirty = None
         if self._columns is None or self._columns_version != self._version:
             self._columns = ColumnView(self._metadata)
             self._columns_version = self._version
+            self._columns_dirty = None
         return self._columns
 
     def _filter_mask(self, filter: Optional[Filter]) -> Optional[np.ndarray]:
@@ -251,8 +259,14 @@ class Collection:
         self._mask_cache[fp] = (self._version, mask)
         return mask
 
-    def _bump(self) -> None:
+    def _bump(self, append_only: bool = False) -> None:
         self._version += 1
+        # column-cache invalidation: appends can cheaply sync; any other
+        # mutation forces a rebuild
+        if not append_only:
+            self._columns_dirty = "rebuild"
+        elif self._columns_dirty != "rebuild":
+            self._columns_dirty = "sync"
         if self._ann is not None:
             self._ann.mark_stale()
         if self._quantized is not None:

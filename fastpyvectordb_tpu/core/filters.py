@@ -82,12 +82,46 @@ class ColumnView:
 
     def __init__(self, rows: Sequence[Optional[dict]]):
         self._rows = rows
+        self._built_len = len(rows)
         self._obj: Dict[str, np.ndarray] = {}
         self._num: Dict[str, np.ndarray] = {}
         self._present: Dict[str, np.ndarray] = {}
         # typed (non-object) column cache: enables vectorized ==/isin for
         # homogeneous str/int/float columns instead of per-row Python
         self._typed: Dict[str, Optional[np.ndarray]] = {}
+
+    def sync_appended(self) -> None:
+        """Extend cached columns to cover rows appended since they were
+        built — avoids a full O(N) rebuild on the append-heavy path.
+        Only valid when existing rows were not mutated."""
+        n = len(self._rows)
+        if n == self._built_len:
+            return
+        tail = self._rows[self._built_len:]
+        for key in list(self._present):
+            ext = np.fromiter(((r is not None and key in r) for r in tail),
+                              dtype=bool, count=len(tail))
+            self._present[key] = np.concatenate([self._present[key], ext])
+        for key in list(self._obj):
+            ext = np.empty(len(tail), dtype=object)
+            for i, r in enumerate(tail):
+                ext[i] = r.get(key, _MISSING) if r is not None else _MISSING
+            self._obj[key] = np.concatenate([self._obj[key], ext])
+        for key in list(self._num):
+            ext = np.full(len(tail), np.nan, dtype=np.float64)
+            for i, r in enumerate(tail):
+                if r is None:
+                    continue
+                v = r.get(key, _MISSING)
+                if isinstance(v, bool):
+                    ext[i] = float(v)
+                elif isinstance(v, (int, float)):
+                    ext[i] = v
+            self._num[key] = np.concatenate([self._num[key], ext])
+        # typed arrays can be invalidated by new value types; recompute
+        # lazily rather than risk silent coercion
+        self._typed.clear()
+        self._built_len = n
 
     def __len__(self) -> int:
         return len(self._rows)

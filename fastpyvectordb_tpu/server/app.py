@@ -273,12 +273,43 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         req = _parse(S.SearchRequest, await _body(request))
         q = _query_vector(req, c)
         t0 = time.perf_counter()
-        hits = await state["batcher"].search(c, q, req.k, _filter_of(req),
-                                             req.exact)
+        if req.mode == "quantized":
+            loop = asyncio.get_running_loop()
+            filt = _filter_of(req)
+            hits = (await loop.run_in_executor(
+                None, lambda: c.search_quantized(q[None, :], req.k,
+                                                 filter=filt)))[0]
+        else:
+            exact = (req.exact if req.mode == "auto"
+                     else req.mode == "exact")
+            hits = await state["batcher"].search(c, q, req.k, _filter_of(req),
+                                                 exact)
         took = (time.perf_counter() - t0) * 1000
         return web.json_response(
             {"results": [_hit_dict(h) for h in hits],
              "took_ms": round(took, 3)})
+
+    async def build_index(request):
+        name = request.match_info["name"]
+        c = collection_or_404(name)
+        req = _parse(S.BuildIndexRequest, await _body(request))
+        loop = asyncio.get_running_loop()
+        try:
+            if req.kind in ("ivf", "graph"):
+                await loop.run_in_executor(
+                    None, lambda: c.build_ann(kind=req.kind, **req.params))
+                info = c._ann.stats()
+            elif req.kind in ("int8", "binary", "pq"):
+                scan = await loop.run_in_executor(
+                    None, lambda: c.enable_quantized_scan(req.kind,
+                                                          **req.params))
+                info = scan.memory_usage()
+            else:
+                return _json_error(400, f"unknown index kind {req.kind!r}")
+        except (ValueError, RuntimeError) as e:
+            return _json_error(400, str(e))
+        return web.json_response({"built": req.kind, "info": info},
+                                 status=201)
 
     async def search_batch(request):
         name = request.match_info["name"]
@@ -499,6 +530,7 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
     r.add_get("/collections/{name}/ids", list_ids)
     r.add_post("/collections/{name}/search", search)
     r.add_post("/collections/{name}/search/batch", search_batch)
+    r.add_post("/collections/{name}/index", build_index)
     r.add_post("/admin/save", admin_save)
     if full:
         r.add_post("/collections/{name}/texts", insert_text)

@@ -45,6 +45,12 @@ class SearchRequest(BaseModel):
     filter_tree: Optional[Dict[str, Any]] = None
     include_vectors: bool = False
     exact: Optional[bool] = None
+    mode: str = "auto"  # auto | exact | ann | quantized
+
+
+class BuildIndexRequest(BaseModel):
+    kind: str = "ivf"            # ivf | graph | int8 | binary | pq
+    params: Dict[str, Any] = {}
 
 
 class SearchBatchRequest(BaseModel):

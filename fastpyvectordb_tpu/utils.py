@@ -1,0 +1,15 @@
+"""Alias namespace: `utils` -> persistence + profiling utilities.
+
+Canonical modules: `fastpyvectordb_tpu.persist.format` (FPVT container,
+streaming IO, compression) and `fastpyvectordb_tpu.profiling`.
+"""
+from .persist.format import (  # noqa: F401
+    Container,
+    StreamingVectorReader,
+    StreamingVectorWriter,
+    compress_vectors,
+    decompress_vectors,
+    load_container,
+    save_container,
+)
+from .profiling import QueryTimer, annotate, trace  # noqa: F401

@@ -87,3 +87,39 @@ def test_type_mismatch_is_false_not_error():
     m = Filter.gt("price", 5).mask(ColumnView(rows))
     assert m.tolist() == [False, True]
     assert Filter.gt("price", 5).evaluate(rows[0]) is False
+
+
+def test_column_sync_appended():
+    rows = [{"g": 1}, {"g": 2}]
+    cv = ColumnView(rows)
+    m = Filter.eq("g", 1).mask(cv)
+    assert m.tolist() == [True, False]
+    rows.extend([{"g": 1}, None, {"g": 3, "extra": "x"}])
+    cv.sync_appended()
+    assert Filter.eq("g", 1).mask(cv).tolist() == [True, False, True, False,
+                                                   False]
+    assert Filter.gt("g", 1).mask(cv).tolist() == [False, True, False, False,
+                                                   True]
+    assert Filter.eq("extra", "x").mask(cv).tolist() == [False] * 4 + [True]
+
+
+def test_collection_append_sync_path(tmp_path):
+    import numpy as np
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    rng = np.random.default_rng(0)
+    col = Collection(CollectionConfig(name="c", dimensions=8))
+    col.insert_batch(rng.standard_normal((10, 8)).astype(np.float32),
+                     [f"a{i}" for i in range(10)],
+                     [{"g": i % 2} for i in range(10)])
+    f = Filter.eq("g", 1)
+    assert len(col.search(np.zeros(8, np.float32), k=20, filter=f)) == 5
+    # append more rows: the column cache must sync, not miss the new rows
+    col.insert_batch(rng.standard_normal((6, 8)).astype(np.float32),
+                     [f"b{i}" for i in range(6)],
+                     [{"g": 1}] * 6)
+    assert col._columns_dirty == "sync"
+    assert len(col.search(np.zeros(8, np.float32), k=30, filter=f)) == 11
+    # a delete forces a rebuild
+    col.delete("b0")
+    assert col._columns_dirty == "rebuild"
+    assert len(col.search(np.zeros(8, np.float32), k=30, filter=f)) == 10

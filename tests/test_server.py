@@ -240,3 +240,30 @@ def test_batcher_coalesces_concurrent_queries():
     results = asyncio.run(run())
     assert [hits[0].id for hits in results] == [f"v{i}" for i in range(8)]
     assert calls == [8], f"expected one coalesced batch, got {calls}"
+
+
+def test_index_build_endpoints(client):
+    import httpx
+    rng = np.random.default_rng(1)
+    client.create_collection("idx", 16, metric="l2")
+    v = rng.standard_normal((300, 16)).astype(np.float32)
+    client.insert_batch("idx", v, [f"v{i}" for i in range(300)])
+    # IVF build over REST + ANN-mode search
+    r = httpx.post(f"{client.base_url}/collections/idx/index",
+                   json={"kind": "ivf", "params": {"nlist": 8, "nprobe": 4,
+                                                   "iters": 3}}, timeout=120)
+    assert r.status_code == 201 and r.json()["info"]["nlist"] == 8
+    res = client.search("idx", vector=v[5], k=1)
+    assert res["results"][0]["id"] == "v5"
+    # quantized build + quantized-mode search
+    r = httpx.post(f"{client.base_url}/collections/idx/index",
+                   json={"kind": "int8"}, timeout=120)
+    assert r.status_code == 201 and r.json()["info"]["compression_ratio"] > 3
+    r = httpx.post(f"{client.base_url}/collections/idx/search",
+                   json={"vector": v[7].tolist(), "k": 1,
+                         "mode": "quantized"}, timeout=120)
+    assert r.status_code == 200 and r.json()["results"][0]["id"] == "v7"
+    # unknown kind
+    r = httpx.post(f"{client.base_url}/collections/idx/index",
+                   json={"kind": "hnswlib"})
+    assert r.status_code == 400
