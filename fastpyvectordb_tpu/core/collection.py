@@ -367,9 +367,7 @@ class Collection:
             "metric": self.config.metric.value,
             "index": self.config.index,
             "device_bytes": int(self._store.capacity * self.config.dimensions
-                                * np.dtype(self.config.storage_dtype
-                                           if hasattr(np, "dtype") else "float32"
-                                           ).itemsize),
+                                * np.dtype(self.config.storage_dtype).itemsize),
         }
 
     # ------------------------------------------------------------------

@@ -83,12 +83,20 @@ class VectorDBClient:
                          f"?limit={limit}&offset={offset}")["ids"]
 
     # search -----------------------------------------------------------
+    def build_index(self, collection: str, kind: str = "ivf",
+                    **params) -> dict:
+        """Build an ANN index (ivf/graph) or enable a quantized scan
+        (int8/binary/pq) server-side."""
+        return self._post(f"/collections/{collection}/index",
+                          {"kind": kind, "params": params})
+
     def search(self, collection: str, vector=None, text: Optional[str] = None,
                k: int = 10, where: Optional[dict] = None,
                filter_tree: Optional[dict] = None,
-               exact: Optional[bool] = None) -> dict:
+               exact: Optional[bool] = None, mode: str = "auto") -> dict:
         body: Dict[str, Any] = {"k": k, "where": where,
-                                "filter_tree": filter_tree, "exact": exact}
+                                "filter_tree": filter_tree, "exact": exact,
+                                "mode": mode}
         if vector is not None:
             body["vector"] = np.asarray(vector, dtype=float).tolist()
         if text is not None:

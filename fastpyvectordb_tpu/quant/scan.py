@@ -69,10 +69,14 @@ def _hamming_coarse_topk(qcodes_t, codes_t, mask, *, k: int,
 
     def body(_, tm):
         tile, m = tm  # (W, chunk), (chunk,)
-        x = jnp.bitwise_xor(qcodes_t[:, :, None], tile[:, None, :])
-        s = jnp.sum(jax.lax.population_count(x.astype(jnp.int32)),
-                    axis=0).astype(jnp.float32)
-        s = jnp.where(m[None, :], s, MASKED)
+        # word-by-word accumulation: keeps every intermediate at (B, chunk)
+        # so XLA fuses the chain instead of materializing a (W, B, chunk)
+        # broadcast in HBM
+        acc = jnp.zeros((b, tile.shape[1]), jnp.int32)
+        for i in range(w):
+            x = jnp.bitwise_xor(qcodes_t[i, :][:, None], tile[i, :][None, :])
+            acc = acc + jax.lax.population_count(x.astype(jnp.int32))
+        s = jnp.where(m[None, :], acc.astype(jnp.float32), MASKED)
         neg, idx = jax.lax.top_k(-s, kk)
         return None, (-neg, idx)
 
