@@ -51,6 +51,17 @@ def _int8_coarse_topk(q, codes, vmin, scale, vsq, rinv, mask, *,
     return -neg, rows
 
 
+@functools.partial(jax.jit, static_argnames=("k", "approx"))
+def _masked_topk(s, mask, *, k: int, approx: bool):
+    if mask is not None:
+        s = jnp.where(mask[None, :], s, MASKED)
+    if approx:
+        neg, rows = jax.lax.approx_max_k(-s, k, recall_target=0.99)
+    else:
+        neg, rows = jax.lax.top_k(-s, k)
+    return -neg, rows
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def _hamming_coarse_topk(qcodes_t, codes_t, mask, *, k: int,
                          chunk: int = 262_144):
@@ -202,10 +213,35 @@ class QuantizedScan:
         elif self.kind == "binary":
             if not hasattr(self, "_codes_t"):
                 self._codes_t = jnp.asarray(self.codes).T
-            qcodes_t = self.quantizer.encode(q).T
-            cvals, crows = _hamming_coarse_topk(
-                qcodes_t, self._codes_t, m, k=c,
-                chunk=int(min(262_144, _pow2ge(n))))
+            qcodes = self.quantizer.encode(q)
+            if pallas_quant.on_tpu():
+                # Pallas VPU scan + hardware approx top-k; the (B, N) int32
+                # matrix round-trips HBM once.  Column-chunked beyond ~2M
+                # rows to bound that buffer, partials merged.
+                col_chunk = 2_097_152
+                if n <= col_chunk:
+                    s = self.quantizer.hamming_distances_t(
+                        qcodes, self._codes_t).astype(jnp.float32)
+                    cvals, crows = _masked_topk(s, m, k=c, approx=True)
+                else:
+                    parts_v, parts_r = [], []
+                    for s0 in range(0, n, col_chunk):
+                        s1 = min(s0 + col_chunk, n)
+                        sc = self.quantizer.hamming_distances_t(
+                            qcodes, self._codes_t[:, s0:s1]
+                        ).astype(jnp.float32)
+                        pv, pr = _masked_topk(sc, m[s0:s1],
+                                              k=min(c, s1 - s0), approx=True)
+                        parts_v.append(pv)
+                        parts_r.append(pr + s0)
+                    cvals, crows = masked_top_k(
+                        jnp.concatenate(parts_v, axis=1), c)
+                    crows = jnp.take_along_axis(
+                        jnp.concatenate(parts_r, axis=1), crows, axis=1)
+            else:
+                cvals, crows = _hamming_coarse_topk(
+                    qcodes.T, self._codes_t, m, k=c,
+                    chunk=int(min(262_144, _pow2ge(n))))
         else:
             coarse = self.coarse_distances(q)
             cvals, crows = masked_top_k(coarse, c, m)
