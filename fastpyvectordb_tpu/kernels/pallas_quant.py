@@ -126,6 +126,61 @@ def sq_scores(queries: jnp.ndarray, codes: jnp.ndarray, vmin: jnp.ndarray,
 # packed-bit Hamming scan
 # ---------------------------------------------------------------------------
 
+def _hamming_mxu_kernel(qpm_ref, c_ref, out_ref, *, w: int):
+    """MXU Hamming: hamming(a,b) = (bits - a_pm . b_pm) / 2.
+
+    qpm_ref: (B, W*32) bf16 query sign bits as +-1.
+    c_ref:   (W, TN) uint32 packed corpus tile.
+    out_ref: (B, TN) f32 Hamming distances.
+
+    The corpus tile unpacks to +-1 bf16 in VMEM (cost independent of B) and
+    one bf16 MXU matmul serves the whole query batch — at B >= 32 this is
+    an order of magnitude faster than the VPU XOR+popcount scan, whose
+    cost scales with B.  Shared zero padding bits match on both sides and
+    cancel out of the difference count exactly.
+    """
+    tile = c_ref[:]                                    # (W, TN) uint32
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (w, 32, tile.shape[1]), 1)
+    bits = (tile[:, None, :] >> shifts) & jnp.uint32(1)
+    pm = (2.0 * bits.astype(jnp.float32) - 1.0).astype(jnp.bfloat16)
+    pm = pm.reshape(w * 32, tile.shape[1])             # (D32, TN)
+    dot = jnp.dot(qpm_ref[:], pm, preferred_element_type=jnp.float32)
+    out_ref[:] = (jnp.float32(w * 32) - dot) * 0.5
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def hamming_mxu_scores(qpm: jnp.ndarray, codes_t: jnp.ndarray, *,
+                       tile_n: int = 1024,
+                       interpret: bool = False) -> jnp.ndarray:
+    """(B, W*32) +-1 bf16 x (W, N) packed uint32 -> (B, N) f32 Hamming.
+
+    B must be a multiple of 8 and N of ``tile_n``.
+    """
+    b, d32 = qpm.shape
+    w, n = codes_t.shape
+    assert d32 == w * 32, (d32, w)
+    grid = (_cdiv(n, tile_n),)
+    kernel = functools.partial(_hamming_mxu_kernel, w=w)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, d32), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, tile_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, tile_n), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d32 + 34 * n * d32,
+            bytes_accessed=n * w * 4 + b * d32 * 2 + b * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(qpm, codes_t)
+
+
 def _hamming_kernel(q_ref, c_ref, out_ref):
     """q_ref (W, B) uint32 (full), c_ref (W, TN) uint32 -> out (B, TN).
 

@@ -62,6 +62,31 @@ def _masked_topk(s, mask, *, k: int, approx: bool):
     return -neg, rows
 
 
+@functools.partial(jax.jit, static_argnames=("k_per_chunk", "n_chunks"))
+def _masked_candidates_chunked(s, mask, *, k_per_chunk: int,
+                               n_chunks: int):
+    """Hierarchical candidate selection: approx_max_k's cost scales with k,
+    so instead of one large-k reduction over N, take a small top-k from each
+    of ``n_chunks`` column chunks and return their union (unordered — the
+    exact re-rank stage orders).  The true global top results live in
+    *some* chunk's top-k, so candidate recall is preserved while the
+    reduction cost drops by ~n_chunks."""
+    b, n = s.shape
+    if mask is not None:
+        s = jnp.where(mask[None, :], s, MASKED)
+    pad = (-n) % n_chunks
+    if pad:
+        s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=MASKED)
+    chunk = s.shape[1] // n_chunks
+    sc = s.reshape(b, n_chunks, chunk)
+    neg, idx = jax.lax.approx_max_k(-sc, k_per_chunk, recall_target=0.95)
+    offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[None, :, None]
+    rows = (idx + offs).reshape(b, n_chunks * k_per_chunk)
+    vals = (-neg).reshape(b, n_chunks * k_per_chunk)
+    rows = jnp.where(rows < n, rows, 0)
+    return vals, rows
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def _hamming_coarse_topk(qcodes_t, codes_t, mask, *, k: int,
                          chunk: int = 262_144):
@@ -101,34 +126,98 @@ def _hamming_coarse_topk(qcodes_t, codes_t, mask, *, k: int,
     return -neg, jnp.take_along_axis(idx_f, pos, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "k"))
-def _rerank(queries: jnp.ndarray, cand_vecs: jnp.ndarray,
-            cand_rows: jnp.ndarray, cand_ok: jnp.ndarray, *,
-            metric: DistanceMetric, k: int):
-    """Exact metric over gathered candidates.
+def _rerank_body(queries, cand_vecs, cand_rows, cand_ok, metric, k,
+                 compute_dtype="float32"):
+    """Exact-metric re-rank over gathered candidates (trace-level body).
 
     queries (B, D); cand_vecs (B, C, D); cand_rows (B, C); cand_ok (B, C).
     Returns (dists (B, k), rows (B, k)).
     """
+    from ..kernels.distances import matmul_precision
+    prec = matmul_precision(compute_dtype)
+    cd = jnp.dtype(compute_dtype)
     q = queries.astype(jnp.float32)
-    hp = jax.lax.Precision.HIGHEST  # exact f32 re-ranking even on the MXU
     if metric == DistanceMetric.COSINE:
         qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
         vn = cand_vecs / jnp.maximum(
             jnp.linalg.norm(cand_vecs, axis=-1, keepdims=True), 1e-30)
-        s = 1.0 - jnp.einsum("bd,bcd->bc", qn, vn,
-                             preferred_element_type=jnp.float32, precision=hp)
+        s = 1.0 - jnp.einsum("bd,bcd->bc", qn.astype(cd), vn.astype(cd),
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
     elif metric == DistanceMetric.L2:
         diff = cand_vecs - q[:, None, :]
         s = jnp.sqrt(jnp.maximum(
-            jnp.einsum("bcd,bcd->bc", diff, diff,
-                       preferred_element_type=jnp.float32, precision=hp), 0.0))
+            jnp.einsum("bcd,bcd->bc", diff.astype(cd), diff.astype(cd),
+                       preferred_element_type=jnp.float32,
+                       precision=prec), 0.0))
     else:
-        s = -jnp.einsum("bd,bcd->bc", q, cand_vecs,
-                        preferred_element_type=jnp.float32, precision=hp)
+        s = -jnp.einsum("bd,bcd->bc", q.astype(cd), cand_vecs.astype(cd),
+                        preferred_element_type=jnp.float32, precision=prec)
     s = jnp.where(cand_ok, s, MASKED)
     neg, pos = jax.lax.top_k(-s, k)
     return -neg, jnp.take_along_axis(cand_rows, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k"))
+def _rerank(queries: jnp.ndarray, cand_vecs: jnp.ndarray,
+            cand_rows: jnp.ndarray, cand_ok: jnp.ndarray, *,
+            metric: DistanceMetric, k: int):
+    """Standalone exact f32 re-rank (HIGHEST precision)."""
+    return _rerank_body(queries, cand_vecs, cand_rows, cand_ok, metric, k,
+                        compute_dtype="float32")
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "metric", "k", "c", "n_chunks", "approx", "rerank_dtype"))
+def _int8_two_stage(q, codes, vmin, scale, vsq, rinv, vectors, mask, *,
+                    metric: DistanceMetric, k: int, c: int, n_chunks: int,
+                    approx: bool, rerank_dtype: str):
+    """The ENTIRE int8 two-stage search as one dispatch: int8-MXU coarse
+    scan -> hierarchical candidate selection -> gather -> exact re-rank ->
+    final top-k.  One dispatch matters: each separate call pays tunnel /
+    host latency that can exceed the kernel time."""
+    from .scalar import _distances_int8_matmul
+    s = _distances_int8_matmul(q, codes, vmin, scale, vsq, rinv,
+                               metric=metric)
+    if approx:
+        cvals, crows = _masked_candidates_chunked(
+            s, mask, k_per_chunk=-(-c // n_chunks), n_chunks=n_chunks)
+    else:
+        if mask is not None:
+            s = jnp.where(mask[None, :], s, MASKED)
+        neg, crows = jax.lax.top_k(-s, c)
+        cvals = -neg
+    cand_vecs = jnp.take(vectors, crows, axis=0).astype(jnp.float32)
+    return _rerank_body(q, cand_vecs, crows, cvals < MASKED * 0.5, metric,
+                        k, rerank_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dims", "metric", "k", "c", "n_chunks", "rerank_dtype"))
+def _binary_two_stage(q, thresholds, codes_t, vectors, mask, *, dims: int,
+                      metric: DistanceMetric, k: int, c: int, n_chunks: int,
+                      rerank_dtype: str):
+    """The ENTIRE binary two-stage search as one dispatch (TPU path):
+    query sign bits -> MXU Hamming scan (kernels/pallas_quant.py:
+    hamming_mxu_scores) -> hierarchical candidate selection -> gather ->
+    exact re-rank.  Caller pre-pads: B to a multiple of 8, codes_t columns
+    to the Pallas tile, mask to the padded width (False on padding)."""
+    from ..kernels.pallas_quant import hamming_mxu_scores
+    w = codes_t.shape[0]
+    # query sign bits as +-1 bf16, padded to the packed word width; padding
+    # bits are -1 on both sides and cancel out of the difference count
+    bits = (q > thresholds[None, :])
+    pad = w * 32 - dims
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    qpm = (2.0 * bits.astype(jnp.float32) - 1.0).astype(jnp.bfloat16)
+    s = hamming_mxu_scores(qpm, codes_t)
+    cvals, crows = _masked_candidates_chunked(
+        s, mask, k_per_chunk=-(-c // n_chunks), n_chunks=n_chunks)
+    safe = jnp.minimum(crows, vectors.shape[0] - 1)
+    cand_vecs = jnp.take(vectors, safe, axis=0).astype(jnp.float32)
+    return _rerank_body(q, cand_vecs, safe, cvals < MASKED * 0.5, metric,
+                        k, rerank_dtype)
 
 
 class QuantizedScan:
@@ -163,7 +252,10 @@ class QuantizedScan:
             kind = "pq"
         else:
             raise ValueError(f"unknown quantized scan kind {kind!r}")
-        return cls(kind, qz, codes, store, collection.config.metric)
+        scan = cls(kind, qz, codes, store, collection.config.metric)
+        # re-rank in the collection's serving dtype (bf16 on TPU configs)
+        scan.compute_dtype = collection.config.compute_dtype
+        return scan
 
     def coarse_distances(self, q: np.ndarray) -> jnp.ndarray:
         from ..kernels import pallas_quant
@@ -200,7 +292,39 @@ class QuantizedScan:
         else:
             m = valid
         c = min(max(k * max(rerank, 1), k), n)
-        # fused scan+top-k paths: the (B, N) coarse matrix never hits HBM
+        on_tpu = pallas_quant.on_tpu()
+        rerank_dtype = getattr(self, "compute_dtype", "float32")
+        n_chunks = max(1, min(16, n // 16384))
+        kk = min(k, c)
+
+        # single-dispatch full pipelines (coarse scan -> candidates ->
+        # gather -> exact re-rank): separate dispatches pay host/tunnel
+        # latency that can dominate the kernels themselves
+        if self.kind == "int8" and rerank > 1:
+            if not hasattr(self, "_sq_stats"):
+                self._sq_stats = self.quantizer.corpus_stats(self.codes)
+            vsq, rinv = self._sq_stats
+            qz = self.quantizer
+            dists, rows = _int8_two_stage(
+                jnp.asarray(q), jnp.asarray(self.codes), qz.vmin, qz.scale,
+                vsq, rinv, self._store.vectors, m, metric=self.metric,
+                k=kk, c=c, n_chunks=n_chunks, approx=on_tpu,
+                rerank_dtype=rerank_dtype)
+            return np.asarray(dists), np.asarray(rows)
+
+        if self.kind == "binary" and rerank > 1 and on_tpu:
+            self._ensure_binary_tpu_layout(n)
+            b = q.shape[0]
+            bp = (-b) % 8
+            qp = np.pad(q, ((0, bp), (0, 0))) if bp else q
+            dists, rows = _binary_two_stage(
+                jnp.asarray(qp), self.quantizer.thresholds,
+                self._codes_t_padded, self._store.vectors, self._mask_padded(m),
+                dims=self.quantizer.dims, metric=self.metric, k=kk, c=c,
+                n_chunks=n_chunks, rerank_dtype=rerank_dtype)
+            return np.asarray(dists)[:b], np.asarray(rows)[:b]
+
+        # general path (PQ, CPU binary, rerank<=1)
         if self.kind == "int8":
             if not hasattr(self, "_sq_stats"):
                 self._sq_stats = self.quantizer.corpus_stats(self.codes)
@@ -208,40 +332,14 @@ class QuantizedScan:
             qz = self.quantizer
             cvals, crows = _int8_coarse_topk(
                 jnp.asarray(q), jnp.asarray(self.codes), qz.vmin, qz.scale,
-                vsq, rinv, m, metric=self.metric, k=c,
-                approx=pallas_quant.on_tpu())
+                vsq, rinv, m, metric=self.metric, k=c, approx=on_tpu)
         elif self.kind == "binary":
             if not hasattr(self, "_codes_t"):
                 self._codes_t = jnp.asarray(self.codes).T
             qcodes = self.quantizer.encode(q)
-            if pallas_quant.on_tpu():
-                # Pallas VPU scan + hardware approx top-k; the (B, N) int32
-                # matrix round-trips HBM once.  Column-chunked beyond ~2M
-                # rows to bound that buffer, partials merged.
-                col_chunk = 2_097_152
-                if n <= col_chunk:
-                    s = self.quantizer.hamming_distances_t(
-                        qcodes, self._codes_t).astype(jnp.float32)
-                    cvals, crows = _masked_topk(s, m, k=c, approx=True)
-                else:
-                    parts_v, parts_r = [], []
-                    for s0 in range(0, n, col_chunk):
-                        s1 = min(s0 + col_chunk, n)
-                        sc = self.quantizer.hamming_distances_t(
-                            qcodes, self._codes_t[:, s0:s1]
-                        ).astype(jnp.float32)
-                        pv, pr = _masked_topk(sc, m[s0:s1],
-                                              k=min(c, s1 - s0), approx=True)
-                        parts_v.append(pv)
-                        parts_r.append(pr + s0)
-                    cvals, crows = masked_top_k(
-                        jnp.concatenate(parts_v, axis=1), c)
-                    crows = jnp.take_along_axis(
-                        jnp.concatenate(parts_r, axis=1), crows, axis=1)
-            else:
-                cvals, crows = _hamming_coarse_topk(
-                    qcodes.T, self._codes_t, m, k=c,
-                    chunk=int(min(262_144, _pow2ge(n))))
+            cvals, crows = _hamming_coarse_topk(
+                qcodes.T, self._codes_t, m, k=c,
+                chunk=int(min(262_144, _pow2ge(n))))
         else:
             coarse = self.coarse_distances(q)
             cvals, crows = masked_top_k(coarse, c, m)
@@ -251,8 +349,23 @@ class QuantizedScan:
         cand_vecs = jnp.take(self._store.vectors, crows, axis=0)
         dists, rows = _rerank(jnp.asarray(q), cand_vecs.astype(jnp.float32),
                               crows, jnp.asarray(cand_ok),
-                              metric=self.metric, k=min(k, c))
+                              metric=self.metric, k=kk)
         return np.asarray(dists), np.asarray(rows)
+
+    def _ensure_binary_tpu_layout(self, n: int) -> None:
+        """Cache the word-major corpus padded to the Pallas tile width."""
+        if not hasattr(self, "_codes_t_padded"):
+            from .binary import _BQ_TILE_N
+            codes_t = jnp.asarray(self.codes).T
+            pad = (-n) % _BQ_TILE_N
+            self._codes_t_padded = (jnp.pad(codes_t, ((0, 0), (0, pad)))
+                                    if pad else codes_t)
+            self._bq_pad = pad
+
+    def _mask_padded(self, m) -> jnp.ndarray:
+        if self._bq_pad:
+            return jnp.pad(m, (0, self._bq_pad))
+        return m
 
     def memory_usage(self) -> dict:
         return self.quantizer.memory_usage(self.codes.shape[0])

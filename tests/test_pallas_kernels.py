@@ -83,3 +83,21 @@ def test_sq_int8_matmul_matches_reference(data, metric):
     # rank stability: top-1 score per the reference matrix is near-optimal
     top = want[np.arange(len(want)), got.argmin(1)]
     np.testing.assert_allclose(top, want.min(1), atol=tol)
+
+
+def test_hamming_mxu_matches_exact(data):
+    """The MXU +-1-matmul Hamming kernel is exact (integer dot in f32)."""
+    from fastpyvectordb_tpu.kernels.pallas_quant import hamming_mxu_scores
+    v, q = data
+    bq = BinaryQuantizer().train(v)
+    codes_t = jnp.asarray(bq.encode(v)).T  # (W, 300)
+    npad = (-300) % 128
+    codes_tp = jnp.pad(codes_t, ((0, 0), (0, npad)))
+    w = codes_t.shape[0]
+    bits = (q > np.asarray(bq.thresholds)[None, :])
+    bits = np.pad(bits, ((0, 3), (0, w * 32 - 40)))  # pad B 5->8, D 40->w*32
+    qpm = jnp.asarray((2.0 * bits - 1.0), dtype=jnp.bfloat16)
+    got = np.asarray(hamming_mxu_scores(qpm, codes_tp, tile_n=128,
+                                        interpret=True))[:5, :300]
+    want = np.asarray(_hamming(bq.encode(q), bq.encode(v)))
+    np.testing.assert_array_equal(got.astype(np.int32), want)
