@@ -140,10 +140,16 @@ def _hamming_mxu_kernel(qpm_ref, c_ref, out_ref, *, w: int):
     cancel out of the difference count exactly.
     """
     tile = c_ref[:]                                    # (W, TN) uint32
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (w, 32, tile.shape[1]), 1)
-    bits = (tile[:, None, :] >> shifts) & jnp.uint32(1)
-    pm = (2.0 * bits.astype(jnp.float32) - 1.0).astype(jnp.bfloat16)
-    pm = pm.reshape(w * 32, tile.shape[1])             # (D32, TN)
+    # 2-D-only unpack (Mosaic-friendly): one (W, TN) bit-plane per shift,
+    # concatenated along sublanes => BIT-MAJOR dim order d' = j*W + w.
+    # The caller permutes the query bits to match; a shared permutation
+    # leaves the dot product unchanged.
+    planes = [
+        pltpu.bitcast((tile >> jnp.uint32(j)) & jnp.uint32(1), jnp.int32)
+        for j in range(32)
+    ]
+    bits_i = jnp.concatenate(planes, axis=0)           # (32*W, TN) int32 0/1
+    pm = (2.0 * bits_i.astype(jnp.float32) - 1.0).astype(jnp.bfloat16)
     dot = jnp.dot(qpm_ref[:], pm, preferred_element_type=jnp.float32)
     out_ref[:] = (jnp.float32(w * 32) - dot) * 0.5
 
@@ -159,6 +165,9 @@ def hamming_mxu_scores(qpm: jnp.ndarray, codes_t: jnp.ndarray, *,
     b, d32 = qpm.shape
     w, n = codes_t.shape
     assert d32 == w * 32, (d32, w)
+    # permute query dims from word-major (w*32 + j) to the kernel's
+    # bit-major (j*W + w) order
+    qpm = qpm.reshape(b, w, 32).transpose(0, 2, 1).reshape(b, d32)
     grid = (_cdiv(n, tile_n),)
     kernel = functools.partial(_hamming_mxu_kernel, w=w)
     return pl.pallas_call(
