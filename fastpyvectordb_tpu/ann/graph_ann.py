@@ -7,10 +7,11 @@ search is a *batched, fixed-shape* best-first beam search compiled by XLA:
 
   * **Build runs on the TPU.**  The R-NN graph is computed exactly with
     chunked distance matmuls + hardware approx top-k — a 1M x 768 graph
-    builds in seconds on one chip, where hnswlib needs minutes of
-    multi-threaded C++.  A few pseudo-random long-range links are mixed in
-    for connectivity (diversification), and k-means-medoid entry points
-    seed every search.
+    builds in ~80 s on one chip, where hnswlib needs many minutes of
+    multi-threaded C++.  Reverse and pseudo-random long-range links keep
+    every node reachable, and each query routes to its own entry points
+    through k-means centroid medoids (flat graphs with global entries are
+    un-navigable in a few iterations at 1M+ nodes).
   * **Search is data-parallel over queries.**  Each iteration expands the
     E best not-yet-expanded beam entries (gather their neighbor lists,
     one fused distance matmul for all B queries), merges candidates into
@@ -62,12 +63,13 @@ def _scores_vs_rows(q, vecs, metric, compute_dtype):
 
 @functools.partial(
     jax.jit, static_argnames=("metric", "k", "beam", "expand", "iters",
-                              "compute_dtype"))
+                              "n_init", "compute_dtype"))
 def _beam_search_kernel(
     q: jnp.ndarray,            # (B, D) f32
     vectors: jnp.ndarray,      # (cap, D)
     neighbors: jnp.ndarray,    # (N, R) int32
-    entries: jnp.ndarray,      # (E0,) int32 entry-point rows
+    centroids: jnp.ndarray,    # (n_e, D) f32 routing centroids
+    medoids: jnp.ndarray,      # (n_e,) int32 rows nearest each centroid
     validmask: jnp.ndarray,    # (cap,) bool
     *,
     metric: DistanceMetric,
@@ -75,6 +77,7 @@ def _beam_search_kernel(
     beam: int = 64,
     expand: int = 4,
     iters: int = 12,
+    n_init: int = 16,
     compute_dtype: str = "bfloat16",
 ):
     b, d = q.shape
@@ -88,10 +91,32 @@ def _beam_search_kernel(
         ok = (rows >= 0) & jnp.take(validmask, safe, axis=0)
         return jnp.where(ok, s, MASKED)
 
-    # ---- init beam with entry points (capped at the beam width) --------
-    entries = entries[:w]
-    e0 = entries.shape[0]
-    init_ids = jnp.broadcast_to(entries[None, :], (b, e0))
+    # ---- route each query to its own entry points ----------------------
+    # A flat graph with a handful of global entries can't be navigated in
+    # a few beam iterations at 1M+ nodes; routing via k-means centroids
+    # starts every query inside its own neighborhood (the DiskANN-medoid /
+    # SPANN idea).
+    prec = matmul_precision(compute_dtype)
+    qf = q.astype(jnp.float32)
+    if metric == DistanceMetric.COSINE:
+        qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True),
+                              1e-30)
+        cn = centroids / jnp.maximum(
+            jnp.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+        croute = -jnp.dot(qn, cn.T, preferred_element_type=jnp.float32,
+                          precision=prec)
+    elif metric == DistanceMetric.DOT:
+        croute = -jnp.dot(qf, centroids.T,
+                          preferred_element_type=jnp.float32, precision=prec)
+    else:
+        csq = jnp.einsum("kd,kd->k", centroids, centroids,
+                         preferred_element_type=jnp.float32)
+        croute = csq[None, :] - 2.0 * jnp.dot(
+            qf, centroids.T, preferred_element_type=jnp.float32,
+            precision=prec)
+    e0 = min(n_init, w, medoids.shape[0])
+    _, route = jax.lax.top_k(-croute, e0)               # (B, e0)
+    init_ids = jnp.take(medoids, route, axis=0)         # (B, e0)
     init_scores = gather_scores(init_ids)
     pad = w - e0
     beam_ids = jnp.pad(init_ids, ((0, 0), (0, pad)), constant_values=-1)
@@ -179,19 +204,21 @@ def _knn_graph_chunk(vectors, sq_norms, start, *, r: int, chunk: int,
 class GraphANN:
     """Neighbor-array ANN index over a collection's device store."""
 
-    def __init__(self, neighbors: jnp.ndarray, entries: jnp.ndarray,
-                 collection, beam: int = 64, expand: int = 4,
-                 iters: int = 12):
+    def __init__(self, neighbors: jnp.ndarray, centroids: jnp.ndarray,
+                 medoids: jnp.ndarray, collection, beam: int = 64,
+                 expand: int = 4, iters: int = 12, n_init: int = 16):
         self.neighbors = neighbors
-        self.entries = entries
+        self.centroids = centroids     # (n_e, D) routing centroids
+        self.medoids = medoids         # (n_e,) rows nearest each centroid
         self._collection = collection
         self.beam, self.expand, self.iters = beam, expand, iters
+        self.n_init = n_init
         self.stale = False
         self._built_count = collection._store.count
 
     # ------------------------------------------------------------------
     @classmethod
-    def build(cls, collection, r: int = 32, n_entries: int = 16,
+    def build(cls, collection, r: int = 32, n_entries: int = 256,
               random_links: int = 4, seed: int = 0, chunk: int = 4096,
               **search_params) -> "GraphANN":
         """Exact R-NN graph on device + random long-range links + medoid
@@ -240,16 +267,17 @@ class GraphANN:
             sel = pos < extra
             fill[dsts_s[sel], pos[sel]] = srcs_s[sel]
             tbl = np.concatenate([fwd, fill], axis=1)
-        # entry points: k-means medoids
+        # per-query routing structure: k-means centroids + medoid rows
         n_entries = min(n_entries, n)
         cents = kmeans_fit(vectors, jax.random.PRNGKey(seed), k=n_entries,
                            iters=5, chunk=int(min(16384, n)))
-        # snap centroids to nearest real rows
+        # snap centroids to nearest real rows (medoids)
         d2 = (jnp.einsum("kd,kd->k", cents, cents)[:, None] + sqn[None, :]
               - 2.0 * jnp.dot(cents, vectors.T,
                               preferred_element_type=jnp.float32))
-        entries = jnp.argmin(d2, axis=1).astype(jnp.int32)
-        return cls(jnp.asarray(tbl), entries, collection, **search_params)
+        medoids = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        return cls(jnp.asarray(tbl), cents, medoids, collection,
+                   **search_params)
 
     # ------------------------------------------------------------------
     def search(self, queries: np.ndarray, k: int,
@@ -259,8 +287,9 @@ class GraphANN:
         if self.stale:
             rebuilt = GraphANN.build(self._collection,
                                      r=self.neighbors.shape[1],
+                                     n_entries=self.medoids.shape[0],
                                      beam=self.beam, expand=self.expand,
-                                     iters=self.iters)
+                                     iters=self.iters, n_init=self.n_init)
             self.__dict__.update(rebuilt.__dict__)
         store = self._collection._store
         cfg = self._collection.config
@@ -276,10 +305,10 @@ class GraphANN:
             m[: mask.shape[0]] = mask
             validmask = jnp.logical_and(validmask, jnp.asarray(m))
         vals, rows = _beam_search_kernel(
-            jnp.asarray(qp), store.vectors, self.neighbors, self.entries,
-            validmask, metric=cfg.metric, k=k,
+            jnp.asarray(qp), store.vectors, self.neighbors, self.centroids,
+            self.medoids, validmask, metric=cfg.metric, k=k,
             beam=beam or self.beam, expand=self.expand,
-            iters=iters or self.iters,
+            iters=iters or self.iters, n_init=self.n_init,
             compute_dtype="bfloat16" if cfg.compute_dtype == "bfloat16"
             else "float32")
         return np.asarray(vals)[:b], np.asarray(rows)[:b]
@@ -290,7 +319,8 @@ class GraphANN:
     def stats(self) -> dict:
         n, r = self.neighbors.shape
         return {"kind": "graph", "nodes": n, "degree": r,
-                "entries": int(self.entries.shape[0]),
+                "entries": int(self.medoids.shape[0]),
+                "n_init": self.n_init,
                 "beam": self.beam, "expand": self.expand,
                 "iters": self.iters,
                 "graph_bytes": int(n * r * 4)}
@@ -298,17 +328,21 @@ class GraphANN:
     # -- persistence ---------------------------------------------------
     def export_sections(self) -> tuple:
         return ({"ann_neighbors": np.asarray(self.neighbors),
-                 "ann_entries": np.asarray(self.entries)},
+                 "ann_centroids": np.asarray(self.centroids),
+                 "ann_medoids": np.asarray(self.medoids)},
                 {"kind": "graph", "beam": self.beam, "expand": self.expand,
-                 "iters": self.iters, "built_count": self._built_count})
+                 "iters": self.iters, "n_init": self.n_init,
+                 "built_count": self._built_count})
 
     @classmethod
     def from_sections(cls, collection, sections: dict, meta: dict
                       ) -> "GraphANN":
         idx = cls(jnp.asarray(np.asarray(sections["ann_neighbors"])),
-                  jnp.asarray(np.asarray(sections["ann_entries"])),
+                  jnp.asarray(np.asarray(sections["ann_centroids"])),
+                  jnp.asarray(np.asarray(sections["ann_medoids"])),
                   collection, beam=int(meta["beam"]),
-                  expand=int(meta["expand"]), iters=int(meta["iters"]))
+                  expand=int(meta["expand"]), iters=int(meta["iters"]),
+                  n_init=int(meta.get("n_init", 16)))
         idx._built_count = int(meta["built_count"])
         idx.stale = idx._built_count != collection._store.count
         return idx

@@ -6,20 +6,26 @@ execution model (data-dependent traversal, dynamic shapes).  IVF inverts
 the structure into fixed shapes the compiler can tile:
 
   * k-means partitions the corpus into ``nlist`` cells (quant/kmeans.py,
-    trained on device);
-  * rows are laid out in a padded ``(nlist, cmax)`` int32 table (pad = -1);
-  * a query scores all centroids with one small MXU matmul, picks ``nprobe``
-    cells, gathers their rows, and runs the exact metric on the candidates —
-    every stage is a static-shape jitted kernel.
+    trained on device) with **capacity-capped balanced assignment** —
+    overflow rows spill to their next-nearest cell so the padded layout
+    stays dense (an unbalanced padded table blows up both memory and the
+    probe gather);
+  * cell contents are materialized as a **cell-major (nlist, cmax, D)
+    tensor in the serving dtype**, so probing gathers ``nprobe`` whole
+    cell blocks per query (hundreds of megabyte-sized contiguous reads)
+    instead of hundreds of thousands of scattered rows;
+  * a query scores all centroids with one small MXU matmul, gathers its
+    probed cells, scores the candidates exactly, and top-ks — every stage
+    is a static-shape jitted kernel.
 
-Recall is controlled by ``nprobe`` (and the cell-balance of k-means);
-`tune_nprobe` picks the cheapest setting that clears a recall target
-against exact ground truth, mirroring the reference benchmarks' recall@k
-oracle (examples/benchmark_quantization.py:249-259).
+Recall is controlled by ``nprobe`` (and the spill fraction); `tune_nprobe`
+picks the cheapest setting that clears a recall target against exact
+ground truth, mirroring the reference benchmarks' recall@k oracle
+(examples/benchmark_quantization.py:249-259).
 
 Note: on TPU the *exact* flat scan is already extremely fast (one fused
 GEMM); IVF pays off for very large corpora or small query batches, and the
-crossover is measured in benchmarks/bench_ann.py.
+crossover is measured in benchmarks.
 """
 
 from __future__ import annotations
@@ -34,7 +40,27 @@ import numpy as np
 
 from ..core.types import DistanceMetric
 from ..kernels.distances import MASKED, matmul_precision
-from ..quant.kmeans import assign_chunked, kmeans_fit
+from ..quant.kmeans import kmeans_fit
+
+
+@functools.partial(jax.jit, static_argnames=("m", "chunk"))
+def _assign_topm(data: jnp.ndarray, centroids: jnp.ndarray, *, m: int,
+                 chunk: int = 16384) -> jnp.ndarray:
+    """Top-m nearest centroids per row (N, m) int32, chunked over N."""
+    n, d = data.shape
+    pad = (-n) % chunk
+    data_p = jnp.pad(data, ((0, pad), (0, 0))) if pad else data
+    csq = jnp.einsum("kd,kd->k", centroids, centroids,
+                     preferred_element_type=jnp.float32)
+
+    def body(_, x):
+        dist = csq[None, :] - 2.0 * jnp.dot(
+            x, centroids.T, preferred_element_type=jnp.float32)
+        _, idx = jax.lax.top_k(-dist, m)
+        return None, idx.astype(jnp.int32)
+
+    _, out = jax.lax.scan(body, None, data_p.reshape(-1, chunk, d))
+    return out.reshape(-1, m)[:n]
 
 
 @functools.partial(jax.jit,
@@ -42,68 +68,127 @@ from ..quant.kmeans import assign_chunked, kmeans_fit
 def _ivf_search_kernel(
     q: jnp.ndarray,            # (B, D) f32
     centroids: jnp.ndarray,    # (nlist, D) f32
+    cells: jnp.ndarray,        # (nlist, cmax, D) serving-dtype cell blocks
     row_table: jnp.ndarray,    # (nlist, cmax) int32, -1 = padding
-    vectors: jnp.ndarray,      # (cap, D) storage dtype
     validmask: jnp.ndarray,    # (cap,) bool (store validity AND filter mask)
     *,
     metric: DistanceMetric,
     k: int,
     nprobe: int,
-    compute_dtype: str = "float32",
+    compute_dtype: str = "bfloat16",
 ):
     b, d = q.shape
+    cmax = cells.shape[1]
     prec = matmul_precision(compute_dtype)
+    cd = jnp.dtype(compute_dtype)
+    qf = q.astype(jnp.float32)
     # ---- stage 1: route queries to cells ---------------------------------
     if metric == DistanceMetric.COSINE:
-        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True),
+                              1e-30)
         cn = centroids / jnp.maximum(
             jnp.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
         croute = -jnp.dot(qn, cn.T, preferred_element_type=jnp.float32,
                           precision=prec)
     elif metric == DistanceMetric.DOT:
-        # route by direction: cells are L2-clustered, dot queries follow
-        # the nearest-centroid geometry
-        croute = -jnp.dot(q, centroids.T, preferred_element_type=jnp.float32,
-                          precision=prec)
+        croute = -jnp.dot(qf, centroids.T,
+                          preferred_element_type=jnp.float32, precision=prec)
     else:
         csq = jnp.einsum("kd,kd->k", centroids, centroids,
                          preferred_element_type=jnp.float32)
         croute = csq[None, :] - 2.0 * jnp.dot(
-            q, centroids.T, preferred_element_type=jnp.float32, precision=prec)
+            qf, centroids.T, preferred_element_type=jnp.float32,
+            precision=prec)
     _, probe = jax.lax.top_k(-croute, nprobe)          # (B, nprobe)
 
-    # ---- stage 2: gather candidates and score exactly --------------------
-    cand = jnp.take(row_table, probe, axis=0).reshape(b, -1)  # (B, C)
+    # ---- stage 2: block-gather probed cells and score --------------------
+    vecs = jnp.take(cells, probe, axis=0)              # (B, nprobe, cmax, D)
+    vecs = vecs.reshape(b, nprobe * cmax, d)
+    cand = jnp.take(row_table, probe, axis=0).reshape(b, -1)
     safe = jnp.maximum(cand, 0)
-    vecs = jnp.take(vectors, safe, axis=0).astype(jnp.float32)  # (B, C, D)
     ok = (cand >= 0) & jnp.take(validmask, safe, axis=0)
 
-    qf = q.astype(jnp.float32)
     if metric == DistanceMetric.COSINE:
-        qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-30)
-        vn = vecs / jnp.maximum(
-            jnp.linalg.norm(vecs, axis=-1, keepdims=True), 1e-30)
-        s = 1.0 - jnp.einsum("bd,bcd->bc", qn, vn,
-                             preferred_element_type=jnp.float32, precision=prec)
+        qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True),
+                              1e-30)
+        vf = vecs.astype(jnp.float32)
+        vn = vf / jnp.maximum(jnp.linalg.norm(vf, axis=-1, keepdims=True),
+                              1e-30)
+        s = 1.0 - jnp.einsum("bd,bcd->bc", qn.astype(cd), vn.astype(cd),
+                             preferred_element_type=jnp.float32,
+                             precision=prec)
     elif metric == DistanceMetric.L2:
-        diff = vecs - qf[:, None, :]
+        diff = vecs.astype(jnp.float32) - qf[:, None, :]
         s = jnp.sqrt(jnp.maximum(jnp.einsum(
-            "bcd,bcd->bc", diff, diff, preferred_element_type=jnp.float32,
-            precision=prec), 0.0))
+            "bcd,bcd->bc", diff.astype(cd), diff.astype(cd),
+            preferred_element_type=jnp.float32, precision=prec), 0.0))
     else:
-        s = -jnp.einsum("bd,bcd->bc", qf, vecs,
+        s = -jnp.einsum("bd,bcd->bc", qf.astype(cd), vecs.astype(cd),
                         preferred_element_type=jnp.float32, precision=prec)
     s = jnp.where(ok, s, MASKED)
     neg, pos = jax.lax.top_k(-s, k)
     return -neg, jnp.take_along_axis(cand, pos, axis=1)
 
 
+def _balanced_assignment(topm: np.ndarray, nlist: int, cap: int
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy capacity-capped assignment from per-row top-m cell choices.
+
+    Returns (row_table (nlist, cap) int32 padded with -1, counts (nlist,)).
+    Rows overflowing their nearest cell spill to the next-nearest cell with
+    space; the rare fully-stuck rows go to any cell with space.
+    """
+    n, m = topm.shape
+    counts = np.zeros(nlist, dtype=np.int64)
+    table = np.full((nlist, cap), -1, dtype=np.int32)
+    spilled = []
+    # pass 1..m: vectorized-ish greedy by choice rank
+    unassigned = np.arange(n, dtype=np.int64)
+    for rank in range(m):
+        if unassigned.size == 0:
+            break
+        choice = topm[unassigned, rank].astype(np.int64)
+        # process cell by cell so capacity is respected deterministically
+        order = np.argsort(choice, kind="stable")
+        rows_sorted = unassigned[order]
+        cells_sorted = choice[order]
+        starts = np.searchsorted(cells_sorted, np.arange(nlist))
+        ends = np.searchsorted(cells_sorted, np.arange(nlist) + 1)
+        next_unassigned = []
+        for c in range(nlist):
+            seg = rows_sorted[starts[c]:ends[c]]
+            if seg.size == 0:
+                continue
+            space = cap - counts[c]
+            take = seg[:space]
+            if take.size:
+                table[c, counts[c]: counts[c] + take.size] = take
+                counts[c] += take.size
+            if seg.size > space:
+                next_unassigned.append(seg[space:])
+        unassigned = (np.concatenate(next_unassigned)
+                      if next_unassigned else np.empty(0, dtype=np.int64))
+    # final pass: any cell with space
+    if unassigned.size:
+        spilled = unassigned
+        free_cells = np.nonzero(counts < cap)[0]
+        fi = 0
+        for row in spilled:
+            while counts[free_cells[fi]] >= cap:
+                fi += 1
+            c = free_cells[fi]
+            table[c, counts[c]] = row
+            counts[c] += 1
+    return table, counts
+
+
 class IVFIndex:
     """Inverted-file flat index over a collection's device store."""
 
-    def __init__(self, centroids: jnp.ndarray, row_table: jnp.ndarray,
-                 collection, nprobe: int):
+    def __init__(self, centroids: jnp.ndarray, cells: jnp.ndarray,
+                 row_table: jnp.ndarray, collection, nprobe: int):
         self.centroids = centroids
+        self.cells = cells                # (nlist, cmax, D) serving dtype
         self.row_table = row_table        # (nlist, cmax) int32
         self._collection = collection
         self.nprobe = nprobe
@@ -114,35 +199,34 @@ class IVFIndex:
     @classmethod
     def build(cls, collection, nlist: Optional[int] = None,
               nprobe: Optional[int] = None, iters: int = 10,
-              seed: int = 0, max_query_batch: int = 16) -> "IVFIndex":
+              seed: int = 0, max_cell_factor: float = 1.5,
+              spill_choices: int = 3) -> "IVFIndex":
         store = collection._store
         n = store.count
         if n == 0:
             raise ValueError("cannot build IVF index over an empty collection")
         vectors = store.vectors[:n].astype(jnp.float32)
         if nlist is None:
-            nlist = int(min(max(int(math.sqrt(n)) * 2, 8), 8192, max(n // 4, 1)))
+            nlist = int(min(max(int(math.sqrt(n)) * 2, 8), 8192,
+                            max(n // 4, 1)))
         nlist = max(1, min(nlist, n))
         if nprobe is None:
             nprobe = max(1, min(nlist, collection.config.ivf_nprobe))
         centroids = kmeans_fit(vectors, jax.random.PRNGKey(seed), k=nlist,
                                iters=iters,
                                chunk=int(min(16384, _pow2_at_least(n))))
-        assign = np.asarray(assign_chunked(
-            vectors, centroids, chunk=int(min(65536, _pow2_at_least(n)))))
-        # host-side bucket layout: (nlist, cmax) padded row table
-        order = np.argsort(assign, kind="stable")
-        sorted_assign = assign[order]
-        counts = np.bincount(assign, minlength=nlist)
-        cmax = int(max(counts.max(), 1))
-        cmax = ((cmax + 7) // 8) * 8  # tile-friendly padding
-        table = np.full((nlist, cmax), -1, dtype=np.int32)
-        starts = np.zeros(nlist + 1, dtype=np.int64)
-        np.cumsum(counts, out=starts[1:])
-        for c in range(nlist):
-            rows = order[starts[c]: starts[c + 1]]
-            table[c, : rows.size] = rows
-        idx = cls(centroids, jnp.asarray(table), collection, nprobe)
+        topm = np.asarray(_assign_topm(vectors, centroids,
+                                       m=min(spill_choices, nlist)))
+        cap = int(max(8, -(-int(max_cell_factor * n / nlist)) // 8 * 8))
+        table, counts = _balanced_assignment(topm, nlist, cap)
+        # cell-major serving-dtype corpus copy: probing becomes a block
+        # gather of whole cells instead of a scattered row gather
+        dtype = (jnp.bfloat16 if collection.config.compute_dtype == "bfloat16"
+                 else jnp.float32)
+        safe = jnp.maximum(jnp.asarray(table), 0)
+        cells = jnp.take(vectors, safe.reshape(-1), axis=0).astype(
+            dtype).reshape(nlist, cap, vectors.shape[1])
+        idx = cls(centroids, cells, jnp.asarray(table), collection, nprobe)
         idx._cell_counts = counts
         return idx
 
@@ -150,9 +234,8 @@ class IVFIndex:
     def search(self, queries: np.ndarray, k: int,
                mask: Optional[np.ndarray] = None, overfetch: int = 1,
                nprobe: Optional[int] = None,
-               max_query_batch: int = 16) -> Tuple[np.ndarray, np.ndarray]:
+               max_query_batch: int = 64) -> Tuple[np.ndarray, np.ndarray]:
         if self.stale:
-            # rows were added/removed since build: refresh the structure
             rebuilt = IVFIndex.build(self._collection,
                                      nlist=self.centroids.shape[0],
                                      nprobe=self.nprobe)
@@ -172,16 +255,17 @@ class IVFIndex:
         # bound per-dispatch gather memory: process queries in sub-batches
         for s in range(0, q.shape[0], max_query_batch):
             sub = q[s: s + max_query_batch]
-            pad = (-sub.shape[0]) % min(max_query_batch, 8)
+            real = sub.shape[0]
+            pad = (-real) % min(max_query_batch, 8)
             if pad:
                 sub = np.pad(sub, ((0, pad), (0, 0)))
             d, r = _ivf_search_kernel(
-                jnp.asarray(sub), self.centroids, self.row_table,
-                store.vectors, validmask,
+                jnp.asarray(sub), self.centroids, self.cells, self.row_table,
+                validmask,
                 metric=cfg.metric, k=min(k, self.row_table.shape[1] * nprobe),
                 nprobe=nprobe, compute_dtype=cfg.compute_dtype)
-            outs_d.append(np.asarray(d)[: q[s: s + max_query_batch].shape[0]])
-            outs_r.append(np.asarray(r)[: q[s: s + max_query_batch].shape[0]])
+            outs_d.append(np.asarray(d)[:real])
+            outs_r.append(np.asarray(r)[:real])
         return np.concatenate(outs_d), np.concatenate(outs_r)
 
     # ------------------------------------------------------------------
@@ -191,10 +275,12 @@ class IVFIndex:
     def stats(self) -> dict:
         counts = getattr(self, "_cell_counts", None)
         return {
+            "kind": "ivf",
             "nlist": int(self.centroids.shape[0]),
             "cmax": int(self.row_table.shape[1]),
             "nprobe": self.nprobe,
             "built_count": self._built_count,
+            "cells_bytes": int(self.cells.size * self.cells.dtype.itemsize),
             "cell_balance": (float(counts.std() / max(counts.mean(), 1e-9))
                              if counts is not None else None),
         }
@@ -202,7 +288,8 @@ class IVFIndex:
     # -- persistence ---------------------------------------------------
     def export_sections(self) -> tuple:
         """(sections, meta) for the collection's FPVT container
-        (parity: hnswlib's save_index, vectordb_optimized.py:306-331)."""
+        (parity: hnswlib's save_index, vectordb_optimized.py:306-331).
+        The cell tensor is rebuilt from the row table on load."""
         return ({"ann_centroids": np.asarray(self.centroids),
                  "ann_row_table": np.asarray(self.row_table)},
                 {"kind": "ivf", "nprobe": self.nprobe,
@@ -211,9 +298,15 @@ class IVFIndex:
     @classmethod
     def from_sections(cls, collection, sections: dict, meta: dict
                       ) -> "IVFIndex":
-        idx = cls(jnp.asarray(np.asarray(sections["ann_centroids"])),
-                  jnp.asarray(np.asarray(sections["ann_row_table"])),
-                  collection, int(meta["nprobe"]))
+        centroids = jnp.asarray(np.asarray(sections["ann_centroids"]))
+        table = jnp.asarray(np.asarray(sections["ann_row_table"]))
+        store = collection._store
+        dtype = (jnp.bfloat16 if collection.config.compute_dtype == "bfloat16"
+                 else jnp.float32)
+        safe = jnp.maximum(table, 0)
+        cells = jnp.take(store.vectors, safe.reshape(-1), axis=0).astype(
+            dtype).reshape(table.shape[0], table.shape[1], -1)
+        idx = cls(centroids, cells, table, collection, int(meta["nprobe"]))
         idx._built_count = int(meta["built_count"])
         idx.stale = idx._built_count != collection._store.count
         return idx
