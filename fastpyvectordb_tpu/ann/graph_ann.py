@@ -43,22 +43,28 @@ INVALID = jnp.int32(2_147_483_647)  # sentinel id sorting after all real ids
 
 
 def _scores_vs_rows(q, vecs, metric, compute_dtype):
-    """q (B, D) f32, vecs (B, C, D) -> (B, C) scores (lower=closer)."""
+    """q (B, D) f32, vecs (B, C, D) any dtype -> (B, C) scores (lower=closer).
+
+    Norm-expansion form: no elementwise (B, C, D) temporaries (an
+    .astype / diff would materialize a full copy of the gathered block).
+    """
     prec = matmul_precision(compute_dtype)
     cd = jnp.dtype(compute_dtype)
-    if metric == DistanceMetric.COSINE:
-        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-        vn = vecs / jnp.maximum(
-            jnp.linalg.norm(vecs, axis=-1, keepdims=True), 1e-30)
-        return 1.0 - jnp.einsum("bd,bcd->bc", qn.astype(cd), vn.astype(cd),
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
-    if metric == DistanceMetric.L2:
-        diff = vecs - q[:, None, :]
-        return jnp.einsum("bcd,bcd->bc", diff.astype(cd), diff.astype(cd),
-                          preferred_element_type=jnp.float32, precision=prec)
-    return -jnp.einsum("bd,bcd->bc", q.astype(cd), vecs.astype(cd),
+    qf = q.astype(jnp.float32)
+    vsq = jnp.einsum("bcd,bcd->bc", vecs, vecs,
+                     preferred_element_type=jnp.float32)
+    cross = jnp.einsum("bd,bcd->bc", qf.astype(cd), vecs.astype(cd),
                        preferred_element_type=jnp.float32, precision=prec)
+    if metric == DistanceMetric.COSINE:
+        qinv = 1.0 / jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True),
+                                 1e-30)
+        rinv = jax.lax.rsqrt(jnp.maximum(vsq, 1e-30))
+        return 1.0 - cross * qinv * rinv
+    if metric == DistanceMetric.L2:
+        qsq = jnp.einsum("bd,bd->b", qf, qf,
+                         preferred_element_type=jnp.float32)
+        return jnp.maximum(qsq[:, None] + vsq - 2.0 * cross, 0.0)
+    return -cross
 
 
 @functools.partial(
@@ -86,7 +92,7 @@ def _beam_search_kernel(
 
     def gather_scores(rows):  # rows (B, C) int32 -> (B, C) f32
         safe = jnp.maximum(rows, 0)
-        vecs = jnp.take(vectors, safe, axis=0).astype(jnp.float32)
+        vecs = jnp.take(vectors, safe, axis=0)  # native storage dtype
         s = _scores_vs_rows(q, vecs, metric, compute_dtype)
         ok = (rows >= 0) & jnp.take(validmask, safe, axis=0)
         return jnp.where(ok, s, MASKED)

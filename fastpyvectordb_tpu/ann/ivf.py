@@ -102,29 +102,30 @@ def _ivf_search_kernel(
     _, probe = jax.lax.top_k(-croute, nprobe)          # (B, nprobe)
 
     # ---- stage 2: block-gather probed cells and score --------------------
+    # Scoring uses norm-expansion einsums directly on the serving dtype:
+    # an .astype(f32) of the gathered block would materialize a multi-GB
+    # copy per dispatch.
     vecs = jnp.take(cells, probe, axis=0)              # (B, nprobe, cmax, D)
     vecs = vecs.reshape(b, nprobe * cmax, d)
     cand = jnp.take(row_table, probe, axis=0).reshape(b, -1)
     safe = jnp.maximum(cand, 0)
     ok = (cand >= 0) & jnp.take(validmask, safe, axis=0)
 
+    vsq = jnp.einsum("bcd,bcd->bc", vecs, vecs,
+                     preferred_element_type=jnp.float32)
+    cross = jnp.einsum("bd,bcd->bc", qf.astype(cd), vecs,
+                       preferred_element_type=jnp.float32, precision=prec)
     if metric == DistanceMetric.COSINE:
-        qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True),
-                              1e-30)
-        vf = vecs.astype(jnp.float32)
-        vn = vf / jnp.maximum(jnp.linalg.norm(vf, axis=-1, keepdims=True),
-                              1e-30)
-        s = 1.0 - jnp.einsum("bd,bcd->bc", qn.astype(cd), vn.astype(cd),
-                             preferred_element_type=jnp.float32,
-                             precision=prec)
+        qinv = 1.0 / jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True),
+                                 1e-30)
+        rinv = jax.lax.rsqrt(jnp.maximum(vsq, 1e-30))
+        s = 1.0 - cross * qinv * rinv
     elif metric == DistanceMetric.L2:
-        diff = vecs.astype(jnp.float32) - qf[:, None, :]
-        s = jnp.sqrt(jnp.maximum(jnp.einsum(
-            "bcd,bcd->bc", diff.astype(cd), diff.astype(cd),
-            preferred_element_type=jnp.float32, precision=prec), 0.0))
+        qsq = jnp.einsum("bd,bd->b", qf, qf,
+                         preferred_element_type=jnp.float32)
+        s = jnp.sqrt(jnp.maximum(qsq[:, None] + vsq - 2.0 * cross, 0.0))
     else:
-        s = -jnp.einsum("bd,bcd->bc", qf.astype(cd), vecs.astype(cd),
-                        preferred_element_type=jnp.float32, precision=prec)
+        s = -cross
     s = jnp.where(ok, s, MASKED)
     neg, pos = jax.lax.top_k(-s, k)
     return -neg, jnp.take_along_axis(cand, pos, axis=1)
@@ -200,7 +201,7 @@ class IVFIndex:
     def build(cls, collection, nlist: Optional[int] = None,
               nprobe: Optional[int] = None, iters: int = 10,
               seed: int = 0, max_cell_factor: float = 1.5,
-              spill_choices: int = 3) -> "IVFIndex":
+              spill_choices: int = 8) -> "IVFIndex":
         store = collection._store
         n = store.count
         if n == 0:

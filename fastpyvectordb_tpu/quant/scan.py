@@ -131,28 +131,28 @@ def _rerank_body(queries, cand_vecs, cand_rows, cand_ok, metric, k,
     """Exact-metric re-rank over gathered candidates (trace-level body).
 
     queries (B, D); cand_vecs (B, C, D); cand_rows (B, C); cand_ok (B, C).
-    Returns (dists (B, k), rows (B, k)).
+    Returns (dists (B, k), rows (B, k)).  Norm-expansion form — no
+    elementwise (B, C, D) temporaries (normalizing or differencing the
+    gathered block would materialize a full copy).
     """
     from ..kernels.distances import matmul_precision
     prec = matmul_precision(compute_dtype)
     cd = jnp.dtype(compute_dtype)
     q = queries.astype(jnp.float32)
+    vsq = jnp.einsum("bcd,bcd->bc", cand_vecs, cand_vecs,
+                     preferred_element_type=jnp.float32)
+    cross = jnp.einsum("bd,bcd->bc", q.astype(cd), cand_vecs.astype(cd),
+                       preferred_element_type=jnp.float32, precision=prec)
     if metric == DistanceMetric.COSINE:
-        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-        vn = cand_vecs / jnp.maximum(
-            jnp.linalg.norm(cand_vecs, axis=-1, keepdims=True), 1e-30)
-        s = 1.0 - jnp.einsum("bd,bcd->bc", qn.astype(cd), vn.astype(cd),
-                             preferred_element_type=jnp.float32,
-                             precision=prec)
+        qinv = 1.0 / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True),
+                                 1e-30)
+        rinv = jax.lax.rsqrt(jnp.maximum(vsq, 1e-30))
+        s = 1.0 - cross * qinv * rinv
     elif metric == DistanceMetric.L2:
-        diff = cand_vecs - q[:, None, :]
-        s = jnp.sqrt(jnp.maximum(
-            jnp.einsum("bcd,bcd->bc", diff.astype(cd), diff.astype(cd),
-                       preferred_element_type=jnp.float32,
-                       precision=prec), 0.0))
+        qsq = jnp.einsum("bd,bd->b", q, q, preferred_element_type=jnp.float32)
+        s = jnp.sqrt(jnp.maximum(qsq[:, None] + vsq - 2.0 * cross, 0.0))
     else:
-        s = -jnp.einsum("bd,bcd->bc", q.astype(cd), cand_vecs.astype(cd),
-                        preferred_element_type=jnp.float32, precision=prec)
+        s = -cross
     s = jnp.where(cand_ok, s, MASKED)
     neg, pos = jax.lax.top_k(-s, k)
     return -neg, jnp.take_along_axis(cand_rows, pos, axis=1)
@@ -187,7 +187,7 @@ def _int8_two_stage(q, codes, vmin, scale, vsq, rinv, vectors, mask, *,
             s = jnp.where(mask[None, :], s, MASKED)
         neg, crows = jax.lax.top_k(-s, c)
         cvals = -neg
-    cand_vecs = jnp.take(vectors, crows, axis=0).astype(jnp.float32)
+    cand_vecs = jnp.take(vectors, crows, axis=0)  # native storage dtype
     return _rerank_body(q, cand_vecs, crows, cvals < MASKED * 0.5, metric,
                         k, rerank_dtype)
 
@@ -215,7 +215,7 @@ def _binary_two_stage(q, thresholds, codes_t, vectors, mask, *, dims: int,
     cvals, crows = _masked_candidates_chunked(
         s, mask, k_per_chunk=-(-c // n_chunks), n_chunks=n_chunks)
     safe = jnp.minimum(crows, vectors.shape[0] - 1)
-    cand_vecs = jnp.take(vectors, safe, axis=0).astype(jnp.float32)
+    cand_vecs = jnp.take(vectors, safe, axis=0)  # native storage dtype
     return _rerank_body(q, cand_vecs, safe, cvals < MASKED * 0.5, metric,
                         k, rerank_dtype)
 

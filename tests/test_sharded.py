@@ -113,3 +113,15 @@ def test_collection_as_sharded_searcher(rng):
     # tombstoned row must not appear
     _, r5 = s.search(jnp.asarray(v[5:6]), 1)
     assert int(np.asarray(r5)[0, 0]) != 5
+
+
+def test_global_mesh_and_local_shard(rng):
+    from fastpyvectordb_tpu.dist.multihost import global_mesh, shard_local_corpus
+    mesh = global_mesh()
+    assert mesh.shape[DATA_AXIS] == 8
+    local = rng.standard_normal((64, 4)).astype(np.float32)
+    arr = shard_local_corpus(mesh, local)
+    assert arr.shape == (64, 4)
+    np.testing.assert_allclose(np.asarray(arr), local, rtol=1e-6)
+    mesh2 = global_mesh(query_parallel=2)
+    assert mesh2.shape == {QUERY_AXIS: 2, DATA_AXIS: 4}
