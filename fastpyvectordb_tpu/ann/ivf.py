@@ -70,6 +70,8 @@ def _ivf_search_kernel(
     centroids: jnp.ndarray,    # (nlist, D) f32
     cells: jnp.ndarray,        # (nlist, cmax, D) serving-dtype cell blocks
     row_table: jnp.ndarray,    # (nlist, cmax) int32, -1 = padding
+    overflow_vecs: jnp.ndarray,  # (O, D) serving dtype (O may be 0)
+    overflow_rows: jnp.ndarray,  # (O,) int32
     validmask: jnp.ndarray,    # (cap,) bool (store validity AND filter mask)
     *,
     metric: DistanceMetric,
@@ -101,13 +103,22 @@ def _ivf_search_kernel(
             precision=prec)
     _, probe = jax.lax.top_k(-croute, nprobe)          # (B, nprobe)
 
-    # ---- stage 2: block-gather probed cells and score --------------------
+    # ---- stage 2: block-gather probed cells (+ overflow block) and score
     # Scoring uses norm-expansion einsums directly on the serving dtype:
     # an .astype(f32) of the gathered block would materialize a multi-GB
     # copy per dispatch.
     vecs = jnp.take(cells, probe, axis=0)              # (B, nprobe, cmax, D)
     vecs = vecs.reshape(b, nprobe * cmax, d)
     cand = jnp.take(row_table, probe, axis=0).reshape(b, -1)
+    if overflow_rows.shape[0] > 0:
+        # overflow rows fit none of their nearest cells: scan them exactly
+        # for every query (their count is a small fraction of N)
+        vecs = jnp.concatenate(
+            [vecs, jnp.broadcast_to(overflow_vecs[None],
+                                    (b,) + overflow_vecs.shape)], axis=1)
+        cand = jnp.concatenate(
+            [cand, jnp.broadcast_to(overflow_rows[None],
+                                    (b, overflow_rows.shape[0]))], axis=1)
     safe = jnp.maximum(cand, 0)
     ok = (cand >= 0) & jnp.take(validmask, safe, axis=0)
 
@@ -132,17 +143,18 @@ def _ivf_search_kernel(
 
 
 def _balanced_assignment(topm: np.ndarray, nlist: int, cap: int
-                         ) -> Tuple[np.ndarray, np.ndarray]:
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Greedy capacity-capped assignment from per-row top-m cell choices.
 
-    Returns (row_table (nlist, cap) int32 padded with -1, counts (nlist,)).
-    Rows overflowing their nearest cell spill to the next-nearest cell with
-    space; the rare fully-stuck rows go to any cell with space.
-    """
+    Returns (row_table (nlist, cap) int32 padded with -1, counts (nlist,),
+    overflow_rows).  Rows overflowing their nearest cell spill to the
+    next-nearest cell with space; rows that fit none of their m choices
+    become OVERFLOW — scanned exactly on every query rather than dumped
+    into an arbitrary far cell where no probe would ever find them (that
+    silently caps recall)."""
     n, m = topm.shape
     counts = np.zeros(nlist, dtype=np.int64)
     table = np.full((nlist, cap), -1, dtype=np.int32)
-    spilled = []
     # pass 1..m: vectorized-ish greedy by choice rank
     unassigned = np.arange(n, dtype=np.int64)
     for rank in range(m):
@@ -169,28 +181,20 @@ def _balanced_assignment(topm: np.ndarray, nlist: int, cap: int
                 next_unassigned.append(seg[space:])
         unassigned = (np.concatenate(next_unassigned)
                       if next_unassigned else np.empty(0, dtype=np.int64))
-    # final pass: any cell with space
-    if unassigned.size:
-        spilled = unassigned
-        free_cells = np.nonzero(counts < cap)[0]
-        fi = 0
-        for row in spilled:
-            while counts[free_cells[fi]] >= cap:
-                fi += 1
-            c = free_cells[fi]
-            table[c, counts[c]] = row
-            counts[c] += 1
-    return table, counts
+    return table, counts, unassigned.astype(np.int32)
 
 
 class IVFIndex:
     """Inverted-file flat index over a collection's device store."""
 
     def __init__(self, centroids: jnp.ndarray, cells: jnp.ndarray,
-                 row_table: jnp.ndarray, collection, nprobe: int):
+                 row_table: jnp.ndarray, overflow_vecs: jnp.ndarray,
+                 overflow_rows: jnp.ndarray, collection, nprobe: int):
         self.centroids = centroids
         self.cells = cells                # (nlist, cmax, D) serving dtype
         self.row_table = row_table        # (nlist, cmax) int32
+        self.overflow_vecs = overflow_vecs  # (O, D) always-scanned block
+        self.overflow_rows = overflow_rows  # (O,) int32, -1 = padding
         self._collection = collection
         self.nprobe = nprobe
         self.stale = False
@@ -218,8 +222,8 @@ class IVFIndex:
                                chunk=int(min(16384, _pow2_at_least(n))))
         topm = np.asarray(_assign_topm(vectors, centroids,
                                        m=min(spill_choices, nlist)))
-        cap = int(max(8, -(-int(max_cell_factor * n / nlist)) // 8 * 8))
-        table, counts = _balanced_assignment(topm, nlist, cap)
+        cap = int(max(8, (int(max_cell_factor * n / nlist) + 7) // 8 * 8))
+        table, counts, overflow = _balanced_assignment(topm, nlist, cap)
         # cell-major serving-dtype corpus copy: probing becomes a block
         # gather of whole cells instead of a scattered row gather
         dtype = (jnp.bfloat16 if collection.config.compute_dtype == "bfloat16"
@@ -227,7 +231,13 @@ class IVFIndex:
         safe = jnp.maximum(jnp.asarray(table), 0)
         cells = jnp.take(vectors, safe.reshape(-1), axis=0).astype(
             dtype).reshape(nlist, cap, vectors.shape[1])
-        idx = cls(centroids, cells, jnp.asarray(table), collection, nprobe)
+        opad = (-overflow.size) % 8
+        orows = np.concatenate([overflow,
+                                np.full(opad, -1, np.int32)]) if             (overflow.size or opad) else overflow
+        ovecs = jnp.take(vectors, jnp.maximum(jnp.asarray(orows), 0),
+                         axis=0).astype(dtype) if orows.size else             jnp.zeros((0, vectors.shape[1]), dtype)
+        idx = cls(centroids, cells, jnp.asarray(table), ovecs,
+                  jnp.asarray(orows), collection, nprobe)
         idx._cell_counts = counts
         return idx
 
@@ -262,7 +272,7 @@ class IVFIndex:
                 sub = np.pad(sub, ((0, pad), (0, 0)))
             d, r = _ivf_search_kernel(
                 jnp.asarray(sub), self.centroids, self.cells, self.row_table,
-                validmask,
+                self.overflow_vecs, self.overflow_rows, validmask,
                 metric=cfg.metric, k=min(k, self.row_table.shape[1] * nprobe),
                 nprobe=nprobe, compute_dtype=cfg.compute_dtype)
             outs_d.append(np.asarray(d)[:real])
@@ -282,6 +292,8 @@ class IVFIndex:
             "nprobe": self.nprobe,
             "built_count": self._built_count,
             "cells_bytes": int(self.cells.size * self.cells.dtype.itemsize),
+            "overflow_rows": int((np.asarray(self.overflow_rows) >= 0).sum())
+            if self.overflow_rows.size else 0,
             "cell_balance": (float(counts.std() / max(counts.mean(), 1e-9))
                              if counts is not None else None),
         }
@@ -292,7 +304,8 @@ class IVFIndex:
         (parity: hnswlib's save_index, vectordb_optimized.py:306-331).
         The cell tensor is rebuilt from the row table on load."""
         return ({"ann_centroids": np.asarray(self.centroids),
-                 "ann_row_table": np.asarray(self.row_table)},
+                 "ann_row_table": np.asarray(self.row_table),
+                 "ann_overflow_rows": np.asarray(self.overflow_rows)},
                 {"kind": "ivf", "nprobe": self.nprobe,
                  "built_count": self._built_count})
 
@@ -301,13 +314,19 @@ class IVFIndex:
                       ) -> "IVFIndex":
         centroids = jnp.asarray(np.asarray(sections["ann_centroids"]))
         table = jnp.asarray(np.asarray(sections["ann_row_table"]))
+        orows = jnp.asarray(np.asarray(sections.get(
+            "ann_overflow_rows", np.zeros(0, np.int32))))
         store = collection._store
         dtype = (jnp.bfloat16 if collection.config.compute_dtype == "bfloat16"
                  else jnp.float32)
         safe = jnp.maximum(table, 0)
         cells = jnp.take(store.vectors, safe.reshape(-1), axis=0).astype(
             dtype).reshape(table.shape[0], table.shape[1], -1)
-        idx = cls(centroids, cells, table, collection, int(meta["nprobe"]))
+        ovecs = jnp.take(store.vectors, jnp.maximum(orows, 0),
+                         axis=0).astype(dtype) if orows.size else \
+            jnp.zeros((0, store.vectors.shape[1]), dtype)
+        idx = cls(centroids, cells, table, ovecs, orows, collection,
+                  int(meta["nprobe"]))
         idx._built_count = int(meta["built_count"])
         idx.stale = idx._built_count != collection._store.count
         return idx
