@@ -64,7 +64,8 @@ def _assign_topm(data: jnp.ndarray, centroids: jnp.ndarray, *, m: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("metric", "k", "nprobe", "compute_dtype"))
+                   static_argnames=("metric", "k", "nprobe", "compute_dtype",
+                                    "approx"))
 def _ivf_search_kernel(
     q: jnp.ndarray,            # (B, D) f32
     centroids: jnp.ndarray,    # (nlist, D) f32
@@ -78,6 +79,7 @@ def _ivf_search_kernel(
     k: int,
     nprobe: int,
     compute_dtype: str = "bfloat16",
+    approx: bool = False,
 ):
     b, d = q.shape
     cmax = cells.shape[1]
@@ -110,35 +112,50 @@ def _ivf_search_kernel(
     vecs = jnp.take(cells, probe, axis=0)              # (B, nprobe, cmax, D)
     vecs = vecs.reshape(b, nprobe * cmax, d)
     cand = jnp.take(row_table, probe, axis=0).reshape(b, -1)
-    if overflow_rows.shape[0] > 0:
-        # overflow rows fit none of their nearest cells: scan them exactly
-        # for every query (their count is a small fraction of N)
-        vecs = jnp.concatenate(
-            [vecs, jnp.broadcast_to(overflow_vecs[None],
-                                    (b,) + overflow_vecs.shape)], axis=1)
-        cand = jnp.concatenate(
-            [cand, jnp.broadcast_to(overflow_rows[None],
-                                    (b, overflow_rows.shape[0]))], axis=1)
-    safe = jnp.maximum(cand, 0)
-    ok = (cand >= 0) & jnp.take(validmask, safe, axis=0)
+
+    qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
+    qinv = 1.0 / jnp.maximum(jnp.sqrt(qsq[:, None]), 1e-30)
+
+    def metric_scores(vsq, cross):
+        if metric == DistanceMetric.COSINE:
+            rinv = jax.lax.rsqrt(jnp.maximum(vsq, 1e-30))
+            return 1.0 - cross * qinv * rinv
+        if metric == DistanceMetric.L2:
+            return jnp.sqrt(jnp.maximum(qsq[:, None] + vsq - 2.0 * cross,
+                                        0.0))
+        return -cross
 
     vsq = jnp.einsum("bcd,bcd->bc", vecs, vecs,
                      preferred_element_type=jnp.float32)
     cross = jnp.einsum("bd,bcd->bc", qf.astype(cd), vecs,
                        preferred_element_type=jnp.float32, precision=prec)
-    if metric == DistanceMetric.COSINE:
-        qinv = 1.0 / jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True),
-                                 1e-30)
-        rinv = jax.lax.rsqrt(jnp.maximum(vsq, 1e-30))
-        s = 1.0 - cross * qinv * rinv
-    elif metric == DistanceMetric.L2:
-        qsq = jnp.einsum("bd,bd->b", qf, qf,
-                         preferred_element_type=jnp.float32)
-        s = jnp.sqrt(jnp.maximum(qsq[:, None] + vsq - 2.0 * cross, 0.0))
-    else:
-        s = -cross
+    s = metric_scores(vsq, cross)
+
+    if overflow_rows.shape[0] > 0:
+        # overflow rows fit none of their nearest cells: scan them exactly
+        # for every query via a shared 2-D matmul (broadcasting the block
+        # per query would materialize (B, O, D))
+        ovsq = jnp.einsum("od,od->o", overflow_vecs, overflow_vecs,
+                          preferred_element_type=jnp.float32)
+        ocross = jax.lax.dot_general(
+            qf.astype(cd), overflow_vecs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        s = jnp.concatenate(
+            [s, metric_scores(ovsq[None, :], ocross)], axis=1)
+        cand = jnp.concatenate(
+            [cand, jnp.broadcast_to(overflow_rows[None],
+                                    (b, overflow_rows.shape[0]))], axis=1)
+
+    safe = jnp.maximum(cand, 0)
+    ok = (cand >= 0) & jnp.take(validmask, safe, axis=0)
     s = jnp.where(ok, s, MASKED)
-    neg, pos = jax.lax.top_k(-s, k)
+    if approx:
+        # exact top_k over ~nprobe*cmax+O columns dominates the kernel;
+        # the hardware approximate reduction is ~constant-cost at small k
+        neg, pos = jax.lax.approx_max_k(-s, k, recall_target=0.99)
+    else:
+        neg, pos = jax.lax.top_k(-s, k)
     return -neg, jnp.take_along_axis(cand, pos, axis=1)
 
 
@@ -270,11 +287,13 @@ class IVFIndex:
             pad = (-real) % min(max_query_batch, 8)
             if pad:
                 sub = np.pad(sub, ((0, pad), (0, 0)))
+            from ..kernels import pallas_quant
             d, r = _ivf_search_kernel(
                 jnp.asarray(sub), self.centroids, self.cells, self.row_table,
                 self.overflow_vecs, self.overflow_rows, validmask,
                 metric=cfg.metric, k=min(k, self.row_table.shape[1] * nprobe),
-                nprobe=nprobe, compute_dtype=cfg.compute_dtype)
+                nprobe=nprobe, compute_dtype=cfg.compute_dtype,
+                approx=pallas_quant.on_tpu())
             outs_d.append(np.asarray(d)[:real])
             outs_r.append(np.asarray(r)[:real])
         return np.concatenate(outs_d), np.concatenate(outs_r)
