@@ -176,3 +176,31 @@ class TestQuantizedScan:
         col.enable_quantized_scan("int8")
         res = col.search_quantized(q[:2], k=5, filter=Filter.eq("p", 1))
         assert all(h.metadata["p"] == 1 for hits in res for h in hits)
+
+
+def test_pq_two_stage_scan(corpus):
+    v, q, _ = corpus
+    col = Collection(CollectionConfig(name="pq", dimensions=32, metric="l2"))
+    col.insert_batch(v, [f"v{i}" for i in range(len(v))])
+    col.enable_quantized_scan("pq", m=8, iters=6)
+    exact = [[h.id for h in hits] for hits in col.search_batch(q, k=10)]
+    approx = [[h.id for h in hits]
+              for hits in col.search_quantized(q, k=10, rerank=8)]
+    overlap = np.mean([len(set(a) & set(e)) / 10
+                       for a, e in zip(approx, exact)])
+    assert overlap >= 0.6
+
+
+def test_bfloat16_collection_config(corpus):
+    """The bf16 serving config (TPU default) must trace and rank correctly
+    on every path, including quantized re-rank in bf16."""
+    v, q, _ = corpus
+    col = Collection(CollectionConfig(name="bf", dimensions=32, metric="l2",
+                                      compute_dtype="bfloat16"))
+    col.insert_batch(v, [f"v{i}" for i in range(len(v))])
+    hits = col.search(v[3], k=1)
+    assert hits[0].id == "v3"
+    res = col.search_quantized(q[:2], k=5, rerank=8)
+    assert all(len(r) == 5 for r in res)
+    col.build_ann(kind="ivf", nlist=16, nprobe=8, iters=4)
+    assert col.search(v[7], k=1, exact=False)[0].id == "v7"
