@@ -32,6 +32,10 @@ from .model import (
 
 GRAPH_FILE = "graph.fpvt"
 
+# graphs past this edge count traverse a native CSR snapshot
+# (native/graph.cpp) instead of the Python dict adjacency
+NATIVE_TRAVERSAL_THRESHOLD = 10_000
+
 
 class GraphDB:
     def __init__(self, path: Optional[str] = None):
@@ -45,6 +49,8 @@ class GraphDB:
         self._edge_types = EdgeTypeIndex()
         self._properties = PropertyIndex()
         self._hyper_nodes = HyperedgeNodeIndex()
+        self._version = 0
+        self._csr_cache: dict = {}
         if self.path is not None and (self.path / GRAPH_FILE).exists():
             self.load()
 
@@ -71,6 +77,7 @@ class GraphDB:
             if node.id in self._nodes:
                 raise ValueError(f"node {node.id!r} already exists")
             self._nodes[node.id] = node
+            self._version += 1
             self._labels.add(node.id, node.labels)
             self._properties.add(node.id, node.properties)
             return node
@@ -110,6 +117,7 @@ class GraphDB:
             node = self._nodes.pop(node_id, None)
             if node is None:
                 return False
+            self._version += 1
             for eid in list(self._adjacency.all_edges(node_id)):
                 self.delete_edge(eid)
             for hid in list(self._hyper_nodes.get(node_id)):
@@ -140,6 +148,7 @@ class GraphDB:
             if edge.id in self._edges:
                 raise ValueError(f"edge {edge.id!r} already exists")
             self._edges[edge.id] = edge
+            self._version += 1
             self._adjacency.add(edge.id, source, target)
             self._edge_types.add(edge.id, type)
             return edge
@@ -162,6 +171,7 @@ class GraphDB:
             edge = self._edges.pop(edge_id, None)
             if edge is None:
                 return False
+            self._version += 1
             self._adjacency.remove(edge_id, edge.source, edge.target)
             self._edge_types.remove(edge_id, edge.type)
             return True
@@ -296,6 +306,13 @@ class GraphDB:
                 return None
             if source == target:
                 return [source]
+            if len(self._edges) >= NATIVE_TRAVERSAL_THRESHOLD:
+                snap = self._csr(direction, edge_type)
+                if snap is not None:
+                    csr, node_ids, idx = snap
+                    path = csr.shortest_path(idx[source], idx[target])
+                    return ([node_ids[int(i)] for i in path]
+                            if path is not None else None)
             prev: Dict[str, str] = {}
             frontier = [source]
             visited = {source}
@@ -355,6 +372,84 @@ class GraphDB:
             "labels": len(list(self._labels.labels())),
             "indexed_properties": len(list(self._properties.keys())),
         }
+
+    # ------------------------------------------------------------------
+    # Native CSR traversal (native/graph.cpp)
+    # ------------------------------------------------------------------
+    def _csr(self, direction: str = "both",
+             edge_type: Optional[str] = None):
+        """Cached (NativeCSRGraph, node_ids, id->idx) snapshot, rebuilt when
+        the graph's structural version changes."""
+        from .. import native
+        if not native.graph_available():
+            return None
+        key = (direction, edge_type)
+        cached = self._csr_cache.get(key)
+        if cached is not None and cached[0] == self._version:
+            return cached[1:]
+        import numpy as np
+        node_ids = list(self._nodes.keys())
+        idx = {nid: i for i, nid in enumerate(node_ids)}
+        adj: List[List[int]] = [[] for _ in node_ids]
+        for e in self._edges.values():
+            if edge_type is not None and e.type != edge_type:
+                continue
+            s, t = idx.get(e.source), idx.get(e.target)
+            if s is None or t is None:
+                continue
+            if direction in ("out", "both"):
+                adj[s].append(t)
+            if direction in ("in", "both"):
+                adj[t].append(s)
+        indptr = np.zeros(len(node_ids) + 1, dtype=np.int64)
+        for i, lst in enumerate(adj):
+            indptr[i + 1] = indptr[i] + len(lst)
+        indices = np.empty(int(indptr[-1]), dtype=np.int32)
+        for i, lst in enumerate(adj):
+            indices[indptr[i]: indptr[i + 1]] = lst
+        csr = native.NativeCSRGraph(indptr, indices)
+        self._csr_cache = {key: (self._version, csr, node_ids, idx)}
+        return csr, node_ids, idx
+
+    def khop_nodes(self, start_ids: List[str], max_hops: int = 2,
+                   direction: str = "both",
+                   edge_type: Optional[str] = None,
+                   use_native: Optional[bool] = None
+                   ) -> List[tuple]:
+        """All nodes within ``max_hops`` of the seeds with their hop
+        distance: [(node_id, hop), ...].  Large graphs traverse the native
+        CSR snapshot; small ones BFS the Python adjacency."""
+        with self._lock:
+            if use_native is None:
+                use_native = len(self._edges) >= NATIVE_TRAVERSAL_THRESHOLD
+            if use_native:
+                snap = self._csr(direction, edge_type)
+                if snap is not None:
+                    csr, node_ids, idx = snap
+                    seeds = [idx[s] for s in start_ids if s in idx]
+                    if not seeds:
+                        return []
+                    nodes, hops = csr.bfs(seeds, max_hops)
+                    return [(node_ids[int(n)], int(h))
+                            for n, h in zip(nodes, hops)]
+            # Python BFS fallback
+            out, seen = [], set()
+            frontier = [s for s in start_ids if s in self._nodes]
+            for s in frontier:
+                if s not in seen:
+                    seen.add(s)
+                    out.append((s, 0))
+            for h in range(1, max_hops + 1):
+                nxt = []
+                for nid in frontier:
+                    for nb in self.neighbors(nid, direction, edge_type):
+                        if nb.id in seen:
+                            continue
+                        seen.add(nb.id)
+                        out.append((nb.id, h))
+                        nxt.append(nb.id)
+                frontier = nxt
+            return out
 
     # query() is attached by graphdb.cypher (mirrors the reference's
     # monkey-patched GraphDB.query, graph.py:1120)

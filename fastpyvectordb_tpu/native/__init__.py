@@ -2,11 +2,16 @@
 
 The reference's only native code is the third-party hnswlib index; here the
 ANN index runs on the TPU, and the native layer instead accelerates the
-host-side text path: a C++ BM25 inverted index + tokenizer (native/bm25.cpp).
+host-side runtime:
 
-The shared library auto-builds with g++ on first use and is cached next to
-the sources; if no toolchain is available the callers (hybrid/bm25.py) fall
-back to the pure-Python implementation.
+  * ``bm25.cpp`` — BM25 inverted index + tokenizer (hybrid/bm25.py uses it
+    automatically, bit-identical scores to the Python scorer);
+  * ``graph.cpp`` — CSR graph traversal (multi-source BFS with hop
+    distances, shortest path, seed-attributed expansion) for large
+    property graphs (graphdb/graph.py uses it past a size threshold).
+
+Shared libraries auto-build with g++ on first use and are cached next to
+the sources; without a toolchain every caller falls back to pure Python.
 """
 
 from __future__ import annotations
@@ -17,23 +22,33 @@ import threading
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
+
 _DIR = Path(__file__).parent
 _SO = _DIR / "libfvdb_native.so"
 _SRC = _DIR / "bm25.cpp"
+_GRAPH_SO = _DIR / "libfvdb_graph.so"
+_GRAPH_SRC = _DIR / "graph.cpp"
 _lock = threading.Lock()
 _lib = None
+_graph_lib = None
 _build_failed = False
+_graph_build_failed = False
 
 
-def _build() -> bool:
+def _compile(src: Path, out: Path) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-             str(_SRC), "-o", str(_SO)],
+             str(src), "-o", str(out)],
             check=True, capture_output=True, timeout=300)
         return True
     except (OSError, subprocess.SubprocessError):
         return False
+
+
+def _build() -> bool:
+    return _compile(_SRC, _SO)
 
 
 def load_library() -> Optional[ctypes.CDLL]:
@@ -182,3 +197,94 @@ class NativeBM25:
         return {"documents": self.n_docs,
                 "terms": int(self._lib.bm25_n_terms(self._h)),
                 "avg_doc_len": self.avg_doc_len, "backend": "native"}
+
+
+def load_graph_library() -> Optional[ctypes.CDLL]:
+    """Build (once) and load the CSR traversal library; None if unavailable."""
+    global _graph_lib, _graph_build_failed
+    if _graph_lib is not None:
+        return _graph_lib
+    with _lock:
+        if _graph_lib is not None or _graph_build_failed:
+            return _graph_lib
+        if not _GRAPH_SO.exists() or \
+                _GRAPH_SO.stat().st_mtime < _GRAPH_SRC.stat().st_mtime:
+            if not _compile(_GRAPH_SRC, _GRAPH_SO):
+                _graph_build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_GRAPH_SO))
+        except OSError:
+            _graph_build_failed = True
+            return None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.csr_bfs.restype = ctypes.c_int64
+        lib.csr_bfs.argtypes = [ctypes.c_int64, i64p, i32p, i32p,
+                                ctypes.c_int64, ctypes.c_int32, i32p, i32p]
+        lib.csr_shortest_path.restype = ctypes.c_int64
+        lib.csr_shortest_path.argtypes = [ctypes.c_int64, i64p, i32p,
+                                          ctypes.c_int32, ctypes.c_int32,
+                                          i32p]
+        lib.csr_bfs_attributed.restype = ctypes.c_int64
+        lib.csr_bfs_attributed.argtypes = [ctypes.c_int64, i64p, i32p, i32p,
+                                           ctypes.c_int64, ctypes.c_int32,
+                                           i32p, i32p, i32p]
+        _graph_lib = lib
+        return _graph_lib
+
+
+def graph_available() -> bool:
+    return load_graph_library() is not None
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+class NativeCSRGraph:
+    """Immutable CSR adjacency snapshot traversed in C++."""
+
+    def __init__(self, indptr: np.ndarray, indices: np.ndarray):
+        self.indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+        self.indices = np.ascontiguousarray(indices, dtype=np.int32)
+        self.n_nodes = self.indptr.shape[0] - 1
+        self._lib = load_graph_library()
+        if self._lib is None:
+            raise RuntimeError("native graph library unavailable")
+
+    def bfs(self, seeds, max_hops: int):
+        """Multi-source BFS -> (nodes (V,), hops (V,)) int32 arrays."""
+        seeds = np.ascontiguousarray(seeds, dtype=np.int32)
+        out_nodes = np.empty(self.n_nodes, dtype=np.int32)
+        out_hops = np.empty(self.n_nodes, dtype=np.int32)
+        count = self._lib.csr_bfs(
+            self.n_nodes, _i64p(self.indptr), _i32p(self.indices),
+            _i32p(seeds), seeds.size, max_hops,
+            _i32p(out_nodes), _i32p(out_hops))
+        return out_nodes[:count].copy(), out_hops[:count].copy()
+
+    def bfs_attributed(self, seeds, max_hops: int):
+        """Multi-source BFS -> (nodes, hops, seed_index-of-first-reach)."""
+        seeds = np.ascontiguousarray(seeds, dtype=np.int32)
+        out_nodes = np.empty(self.n_nodes, dtype=np.int32)
+        out_hops = np.empty(self.n_nodes, dtype=np.int32)
+        out_seed = np.empty(self.n_nodes, dtype=np.int32)
+        count = self._lib.csr_bfs_attributed(
+            self.n_nodes, _i64p(self.indptr), _i32p(self.indices),
+            _i32p(seeds), seeds.size, max_hops,
+            _i32p(out_nodes), _i32p(out_hops), _i32p(out_seed))
+        return (out_nodes[:count].copy(), out_hops[:count].copy(),
+                out_seed[:count].copy())
+
+    def shortest_path(self, src: int, dst: int):
+        """Node-index path src..dst, or None if unreachable."""
+        out = np.empty(self.n_nodes, dtype=np.int32)
+        n = self._lib.csr_shortest_path(
+            self.n_nodes, _i64p(self.indptr), _i32p(self.indices),
+            int(src), int(dst), _i32p(out))
+        return out[:n].copy() if n else None

@@ -182,3 +182,43 @@ def test_builders():
     assert len(h.nodes) == 2
     with pytest.raises(ValueError):
         g.edge().from_node(n.id).create()
+
+
+class TestNativeTraversal:
+    def test_khop_native_matches_python(self, g):
+        from fastpyvectordb_tpu import native
+        if not native.graph_available():
+            pytest.skip("no C++ toolchain")
+        py = sorted(g.khop_nodes(["alice"], 2, use_native=False))
+        nat = sorted(g.khop_nodes(["alice"], 2, use_native=True))
+        assert py == nat
+        assert ("alice", 0) in nat and any(h == 2 for _, h in nat)
+        # direction + edge-type filters
+        py = sorted(g.khop_nodes(["alice"], 2, direction="out",
+                                 edge_type="KNOWS", use_native=False))
+        nat = sorted(g.khop_nodes(["alice"], 2, direction="out",
+                                  edge_type="KNOWS", use_native=True))
+        assert py == nat == [("alice", 0), ("bob", 1), ("carol", 2)]
+
+    def test_native_shortest_path_on_large_graph(self):
+        from fastpyvectordb_tpu import native
+        import fastpyvectordb_tpu.graphdb.graph as gmod
+        if not native.graph_available():
+            pytest.skip("no C++ toolchain")
+        g = GraphDB()
+        # chain of 500 nodes -> force the native path via threshold patch
+        for i in range(500):
+            g.create_node(id=f"n{i}")
+        for i in range(499):
+            g.create_edge(f"n{i}", f"n{i+1}", "NEXT")
+        old = gmod.NATIVE_TRAVERSAL_THRESHOLD
+        gmod.NATIVE_TRAVERSAL_THRESHOLD = 1
+        try:
+            path = g.shortest_path("n0", "n499")
+            assert path[0] == "n0" and path[-1] == "n499"
+            assert len(path) == 500
+            # mutation invalidates the CSR snapshot
+            g.create_edge("n0", "n499", "SHORTCUT")
+            assert g.shortest_path("n0", "n499") == ["n0", "n499"]
+        finally:
+            gmod.NATIVE_TRAVERSAL_THRESHOLD = old
