@@ -201,6 +201,8 @@ def _knn_graph_chunk(vectors, sq_norms, start, *, r: int, chunk: int,
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n_static), 1)
     d2 = jnp.where(col_ids == row_ids, MASKED, d2)
     if n_static > 65536:
+        # 0.99 recall target inflates the approx-reduction intermediates
+        # enough to OOM at (8192, 1M); 0.95 edges are fine in practice
         neg, idx = jax.lax.approx_max_k(-d2, r, recall_target=0.95)
     else:
         neg, idx = jax.lax.top_k(-d2, r)
