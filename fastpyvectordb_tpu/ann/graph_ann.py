@@ -209,6 +209,27 @@ def _knn_graph_chunk(vectors, sq_norms, start, *, r: int, chunk: int,
     return idx.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _snap_medoids(vectors, sqn, cents, chunk: int = 256):
+    """Nearest corpus row per centroid, chunked over centroids — the full
+    (n_entries, N) distance matrix would be GBs at large entry counts."""
+    k = cents.shape[0]
+    pad = (-k) % chunk
+    cents_p = jnp.pad(cents, ((0, pad), (0, 0))) if pad else cents
+
+    def body(_, cc):
+        d2 = (jnp.einsum("kd,kd->k", cc, cc,
+                         preferred_element_type=jnp.float32)[:, None]
+              + sqn[None, :]
+              - 2.0 * jnp.dot(cc, vectors.T,
+                              preferred_element_type=jnp.float32))
+        return None, jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+    _, out = jax.lax.scan(body, None,
+                          cents_p.reshape(-1, chunk, cents.shape[1]))
+    return out.reshape(-1)[:k]
+
+
 class GraphANN:
     """Neighbor-array ANN index over a collection's device store."""
 
@@ -279,11 +300,7 @@ class GraphANN:
         n_entries = min(n_entries, n)
         cents = kmeans_fit(vectors, jax.random.PRNGKey(seed), k=n_entries,
                            iters=5, chunk=int(min(16384, n)))
-        # snap centroids to nearest real rows (medoids)
-        d2 = (jnp.einsum("kd,kd->k", cents, cents)[:, None] + sqn[None, :]
-              - 2.0 * jnp.dot(cents, vectors.T,
-                              preferred_element_type=jnp.float32))
-        medoids = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        medoids = _snap_medoids(vectors, sqn, cents)
         return cls(jnp.asarray(tbl), cents, medoids, collection,
                    **search_params)
 
