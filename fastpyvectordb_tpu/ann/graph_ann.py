@@ -234,8 +234,8 @@ class GraphANN:
     """Neighbor-array ANN index over a collection's device store."""
 
     def __init__(self, neighbors: jnp.ndarray, centroids: jnp.ndarray,
-                 medoids: jnp.ndarray, collection, beam: int = 64,
-                 expand: int = 4, iters: int = 12, n_init: int = 16):
+                 medoids: jnp.ndarray, collection, beam: int = 128,
+                 expand: int = 8, iters: int = 16, n_init: int = 32):
         self.neighbors = neighbors
         self.centroids = centroids     # (n_e, D) routing centroids
         self.medoids = medoids         # (n_e,) rows nearest each centroid
@@ -247,7 +247,7 @@ class GraphANN:
 
     # ------------------------------------------------------------------
     @classmethod
-    def build(cls, collection, r: int = 32, n_entries: int = 256,
+    def build(cls, collection, r: int = 32, n_entries: int = 4096,
               random_links: int = 4, seed: int = 0, chunk: int = 4096,
               **search_params) -> "GraphANN":
         """Exact R-NN graph on device + random long-range links + medoid
