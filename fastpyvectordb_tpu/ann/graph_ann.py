@@ -297,7 +297,8 @@ class GraphANN:
             fill[dsts_s[sel], pos[sel]] = srcs_s[sel]
             tbl = np.concatenate([fwd, fill], axis=1)
         # per-query routing structure: k-means centroids + medoid rows
-        n_entries = min(n_entries, n)
+        # (cap at n/8 so small collections don't degenerate into k = n)
+        n_entries = max(1, min(n_entries, max(16, n // 8)))
         cents = kmeans_fit(vectors, jax.random.PRNGKey(seed), k=n_entries,
                            iters=5, chunk=int(min(16384, n)))
         medoids = _snap_medoids(vectors, sqn, cents)
