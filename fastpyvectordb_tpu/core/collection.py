@@ -189,7 +189,8 @@ class Collection:
             else:
                 dists, rows = self._store.search(
                     q, k, self.config.metric, extra_mask=mask,
-                    compute_dtype=self.config.compute_dtype)
+                    compute_dtype=self.config.compute_dtype,
+                    topk=self.config.topk)
             return self._assemble(q, dists, rows, k, include_vectors)
 
     def brute_force_search(self, query, k: int = 10,

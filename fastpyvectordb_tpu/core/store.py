@@ -147,13 +147,15 @@ class DeviceVectorStore:
         metric,
         extra_mask: Optional[np.ndarray] = None,
         compute_dtype: str = "float32",
+        topk: str = "exact",
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Masked exact top-k over the live rows.
+        """Masked top-k over the live rows.
 
         queries: (B, D) float32. extra_mask: optional host bool mask over
-        rows [0, count) (a compiled Filter mask).  Returns (dists (B, k'),
-        rows (B, k')) with k' = min(k, n_valid-ish) — callers trim
-        masked-out sentinel hits via kernels.topk.valid_hits.
+        rows [0, count) (a compiled Filter mask).  topk: "exact" | "approx"
+        | "auto" (hardware approximate reduction on TPU past 128k rows).
+        Returns (dists (B, k'), rows (B, k')) with k' = min(k, capacity) —
+        callers trim masked-out sentinel hits via kernels.topk.valid_hits.
         """
         b = queries.shape[0]
         bp = _next_pow2(max(b, 8))
@@ -165,9 +167,17 @@ class DeviceVectorStore:
         else:
             mask = self.valid
         kk = min(k, self.capacity)
+        if topk == "auto":
+            try:
+                on_tpu = jax.devices()[0].platform == "tpu"
+            except Exception:
+                on_tpu = False
+            approx = on_tpu and self.capacity >= 131_072
+        else:
+            approx = topk == "approx"
         vals, rows = K.search_kernel(
             jnp.asarray(q), self.vectors, self.sq, self.rinv, mask,
-            metric=metric, k=kk, compute_dtype=compute_dtype,
+            metric=metric, k=kk, compute_dtype=compute_dtype, approx=approx,
         )
         return np.asarray(vals)[:b], np.asarray(rows)[:b]
 

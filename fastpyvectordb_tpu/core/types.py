@@ -95,6 +95,11 @@ class CollectionConfig:
     # Over-fetch factor for filtered ANN search; the exact path fuses the
     # filter mask into top-k and never over-fetches.
     overfetch: int = 10
+    # top-k selection for the exact scan: "exact" (lax.top_k), "approx"
+    # (the TPU's hardware approximate top-k, ~3-6x faster at N >= 1M for
+    # <1% recall), or "auto" (approx on TPU once the corpus passes 128k
+    # rows).
+    topk: str = "auto"
 
     def __post_init__(self) -> None:
         self.metric = DistanceMetric.parse(self.metric)
