@@ -179,7 +179,8 @@ class DeviceVectorStore:
             jnp.asarray(q), self.vectors, self.sq, self.rinv, mask,
             metric=metric, k=kk, compute_dtype=compute_dtype, approx=approx,
         )
-        return np.asarray(vals)[:b], np.asarray(rows)[:b]
+        vals, rows = jax.device_get((vals, rows))  # one host sync, not two
+        return vals[:b], rows[:b]
 
     # -- maintenance ------------------------------------------------------
     def live_rows_host(self) -> np.ndarray:

@@ -52,6 +52,12 @@ def merge_top_k(
     return -top_vals, jnp.take_along_axis(idxs, pos, axis=1)
 
 
-def valid_hits(vals: jnp.ndarray) -> jnp.ndarray:
-    """Boolean (B, k) marking hits that were not masked out."""
+def valid_hits(vals) -> "jnp.ndarray | np.ndarray":
+    """Boolean (B, k) marking hits that were not masked out.
+
+    Stays in the caller's domain: a numpy input is compared with numpy (no
+    device round-trip — this runs on the host assembly path per batch)."""
+    import numpy as np
+    if isinstance(vals, np.ndarray):
+        return vals < float(MASKED) * 0.5
     return vals < MASKED * 0.5
