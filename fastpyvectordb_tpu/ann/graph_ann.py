@@ -28,7 +28,6 @@ exact path, mirroring ann/ivf.py.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import jax
@@ -37,7 +36,7 @@ import numpy as np
 
 from ..core.types import DistanceMetric
 from ..kernels.distances import MASKED, matmul_precision
-from ..quant.kmeans import assign_chunked, kmeans_fit
+from ..quant.kmeans import kmeans_fit
 
 INVALID = jnp.int32(2_147_483_647)  # sentinel id sorting after all real ids
 

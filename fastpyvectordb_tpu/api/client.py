@@ -14,7 +14,6 @@ from __future__ import annotations
 import time
 import uuid as _uuid
 from dataclasses import dataclass
-from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Union
 
 import numpy as np

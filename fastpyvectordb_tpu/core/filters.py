@@ -25,7 +25,7 @@ from __future__ import annotations
 import enum
 import json
 import re
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -10,7 +10,7 @@ The reference has no distributed execution at all (SURVEY.md §2.12); its
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

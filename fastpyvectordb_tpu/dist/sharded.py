@@ -18,7 +18,6 @@ data axis, centroid update.  This is the framework's "training loop".
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -20,7 +20,7 @@ import dataclasses
 import math
 import re
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 _TOKEN_RE = re.compile(r"\b\w+\b")
 

@@ -19,7 +19,6 @@ import dataclasses
 from pathlib import Path
 from typing import List, Optional, Sequence
 
-import numpy as np
 
 from ..core.collection import Collection
 from ..core.filters import Filter

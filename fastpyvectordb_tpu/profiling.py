@@ -18,7 +18,7 @@ import json
 import random
 import time
 from pathlib import Path
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 
