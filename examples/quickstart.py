@@ -20,7 +20,8 @@ def main(provider: str = "hashing", path: str = "./quickstart_data"):
     print(f"collection 'articles' ({col._collection.config.dimensions}-d)")
 
     print("\n=== 2. Add documents ===")
-    col.delete(where={}) if col.count else None
+    if col.count:  # re-runnable: clear previous contents
+        col.delete(ids=col._collection.all_ids())
     ids = col.add(
         documents=[
             "JAX traces Python functions and compiles them with XLA",

@@ -212,6 +212,11 @@ class Collection:
             ids = [str(i) for i in ids]
         else:
             filt = Filter.from_dict(where)
+            if filt is None:
+                raise ValueError(
+                    "where must contain at least one condition; to clear "
+                    "the whole collection use delete(ids=collection ids) "
+                    "or Client.delete_collection")
             ids = [i for i in self._collection.all_ids()
                    if filt.evaluate(self._collection.get(i)["metadata"])]
         self._collection.delete_batch(ids)

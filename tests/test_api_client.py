@@ -158,3 +158,10 @@ def test_hashing_embedder_semantic_overlap(tmp_path):
             ids=["fox", "ml", "dl"])
     res = col.query("learning with neural networks", n_results=3)
     assert res.ids[0][0] == "dl"  # shares most tokens
+
+
+def test_delete_empty_where_rejected(col):
+    col.add(documents=["x"], ids=["1"])
+    with pytest.raises(ValueError):
+        col.delete(where={})
+    assert col.count == 1
