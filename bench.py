@@ -116,4 +116,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import time as _time
+
+    # the TPU tunnel occasionally drops mid-compile ("broken pipe") and
+    # recovers within a couple of minutes; one retry saves the recorded run
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - transient backend errors vary
+        print(f"bench attempt 1 failed ({type(e).__name__}: {e}); "
+              "retrying in 120s", file=__import__("sys").stderr)
+        _time.sleep(120)
+        main()

@@ -207,3 +207,12 @@ def test_include_vectors_alignment_under_filter(rng):
     for h in hits:
         idx = int(h.id[1:])
         np.testing.assert_allclose(h.vector, v[idx], rtol=1e-5)
+
+
+def test_topk_approx_config(rng):
+    # approx config must trace and return plausible hits on CPU too
+    col = make_collection(metric="l2", topk="approx")
+    v = rng.standard_normal((200, 16)).astype(np.float32)
+    col.insert_batch(v, [f"v{i}" for i in range(200)])
+    hits = col.search(v[17], k=5)
+    assert hits[0].id == "v17"
