@@ -267,3 +267,42 @@ def test_index_build_endpoints(client):
     r = httpx.post(f"{client.base_url}/collections/idx/index",
                    json={"kind": "hnswlib"})
     assert r.status_code == 400
+
+
+def test_websocket_subscribe_message(client, server):
+    """Subscription updates over the socket: replayed history filtered by
+    the new event-type subscription."""
+    if client.get_collection("wssub") is None:
+        client.create_collection("wssub", 8)
+    results = {}
+
+    async def run():
+        import aiohttp
+        async with aiohttp.ClientSession() as session:
+            async with session.ws_connect(
+                    f"http://127.0.0.1:{server.port}/ws/wssub") as ws:
+                await ws.send_str(json.dumps({
+                    "action": "subscribe", "collection": "wssub",
+                    "event_types": ["delete"]}))
+                # ack arrives after any replayed history
+                for _ in range(10):
+                    msg = await asyncio.wait_for(ws.receive(), timeout=10)
+                    data = json.loads(msg.data)
+                    if data.get("subscribed"):
+                        results["ack"] = True
+                        break
+                def mutate():
+                    time.sleep(0.2)
+                    client.insert("wssub", np.zeros(8), "subprobe")
+                    client.delete("wssub", "subprobe")
+                t = threading.Thread(target=mutate)
+                t.start()
+                msg = await asyncio.wait_for(ws.receive(), timeout=10)
+                results["event"] = json.loads(msg.data)
+                t.join()
+
+    asyncio.run(run())
+    assert results.get("ack") is True
+    # the insert was filtered out; only the delete is delivered
+    assert results["event"]["type"] == "delete"
+    assert results["event"]["data"]["id"] == "subprobe"
