@@ -75,7 +75,8 @@ def _beam_search_kernel(
     neighbors: jnp.ndarray,    # (N, R) int32
     centroids: jnp.ndarray,    # (n_e, D) f32 routing centroids
     medoids: jnp.ndarray,      # (n_e,) int32 rows nearest each centroid
-    validmask: jnp.ndarray,    # (cap,) bool
+    validmask: jnp.ndarray,    # (cap,) bool — tombstones only (navigation)
+    filtermask: Optional[jnp.ndarray],  # (cap,) bool filter, or None
     *,
     metric: DistanceMetric,
     k: int,
@@ -175,6 +176,14 @@ def _beam_search_kernel(
     (beam_ids, beam_scores, beam_exp), _ = jax.lax.scan(
         body, (beam_ids, beam_scores, beam_exp), None, length=iters)
 
+    if filtermask is not None:
+        # Post-navigation filtering: the beam navigates the full graph
+        # (a mask fused into navigation scores would make filtered-out
+        # regions impassable and collapse recall); only the final selection
+        # over the W beam entries applies the filter.
+        fok = ((beam_ids >= 0)
+               & jnp.take(filtermask, jnp.maximum(beam_ids, 0), axis=0))
+        beam_scores = jnp.where(fok, beam_scores, MASKED)
     _, pos = jax.lax.top_k(-beam_scores, min(k, w))
     out_ids = jnp.take_along_axis(beam_ids, pos, axis=1)
     out_scores = jnp.take_along_axis(beam_scores, pos, axis=1)
@@ -324,15 +333,21 @@ class GraphANN:
         b = q.shape[0]
         bp = max(8, 1 << (b - 1).bit_length())
         qp = np.pad(q, ((0, bp - b), (0, 0)))
-        validmask = store.valid
+        validmask = store.valid  # tombstones only — navigation stays open
+        filtermask = None
+        w = beam or self.beam
         if mask is not None:
             m = np.zeros((store.capacity,), dtype=bool)
             m[: mask.shape[0]] = mask
-            validmask = jnp.logical_and(validmask, jnp.asarray(m))
+            filtermask = jnp.asarray(m)
+            # post-filter semantics need headroom: widen the beam so up to
+            # k*overfetch filtered survivors fit among the W beam entries
+            want = max(k * max(overfetch, 1), w)
+            w = min(512, 1 << (want - 1).bit_length()) if want > w else w
         vals, rows = _beam_search_kernel(
             jnp.asarray(qp), store.vectors, self.neighbors, self.centroids,
-            self.medoids, validmask, metric=cfg.metric, k=k,
-            beam=beam or self.beam, expand=self.expand,
+            self.medoids, validmask, filtermask, metric=cfg.metric, k=k,
+            beam=w, expand=self.expand,
             iters=iters or self.iters, n_init=self.n_init,
             compute_dtype="bfloat16" if cfg.compute_dtype == "bfloat16"
             else "float32")
@@ -369,7 +384,9 @@ class GraphANN:
                   expand=int(meta["expand"]), iters=int(meta["iters"]),
                   n_init=int(meta.get("n_init", 16)))
         idx._built_count = int(meta["built_count"])
-        idx.stale = idx._built_count != collection._store.count
+        # growth past built_count is served by the collection's tail merge;
+        # only an impossible shrink (container mismatch) forces a rebuild
+        idx.stale = idx._built_count > collection._store.count
         return idx
 
     def tune(self, queries: np.ndarray, target_recall: float = 0.95,

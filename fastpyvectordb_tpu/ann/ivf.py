@@ -273,6 +273,11 @@ class IVFIndex:
         if q.ndim == 1:
             q = q[None, :]
         nprobe = int(min(nprobe or self.nprobe, self.centroids.shape[0]))
+        if mask is not None and overfetch > 1:
+            # filtered queries: the mask is fused into candidate scoring,
+            # so recall under selective filters is recovered by probing
+            # more cells (the IVF analogue of over-fetching)
+            nprobe = int(min(self.centroids.shape[0], nprobe * overfetch))
         validmask = store.valid
         if mask is not None:
             m = np.zeros((store.capacity,), dtype=bool)
@@ -347,7 +352,9 @@ class IVFIndex:
         idx = cls(centroids, cells, table, ovecs, orows, collection,
                   int(meta["nprobe"]))
         idx._built_count = int(meta["built_count"])
-        idx.stale = idx._built_count != collection._store.count
+        # growth past built_count is served by the collection's tail merge;
+        # only an impossible shrink (container mismatch) forces a rebuild
+        idx.stale = idx._built_count > collection._store.count
         return idx
 
     def tune_nprobe(self, queries: np.ndarray, target_recall: float = 0.95,

@@ -145,7 +145,9 @@ class Collection:
                     self._metadata[r] = None
             if rows:
                 self._store.delete_rows(np.asarray(rows, dtype=np.int64))
-                self._bump()
+                # deletes never invalidate ANN/quantized state: the store
+                # validity mask already excludes tombstones at search time
+                self._bump(keep_indexes=True)
             return len(rows)
 
     def update_metadata(self, id: str, metadata: dict, merge: bool = True) -> bool:
@@ -157,7 +159,7 @@ class Collection:
                 self._metadata[r] = {**self._metadata[r], **metadata}
             else:
                 self._metadata[r] = dict(metadata)
-            self._bump()
+            self._bump(keep_indexes=True)  # vectors unchanged
             return True
 
     # ------------------------------------------------------------------
@@ -182,10 +184,27 @@ class Collection:
                 exact is None and self.config.index != "flat"
                 and self._ann is not None)
             mask = self._filter_mask(filter)
+            if (use_ann and self._ann is not None and mask is not None
+                    and exact is None
+                    and int(mask.sum()) <= max(1024, 32 * k)):
+                # Highly selective filter: the exact masked scan over the
+                # few matching rows is both faster and recall-1.0, while a
+                # post-filtered ANN pass would collapse recall (the classic
+                # filtered-ANN failure mode; hnswlib has the same issue).
+                use_ann = False
             if use_ann and self._ann is not None:
+                if self._index_rebuild_due(self._ann._built_count):
+                    self._ann.mark_stale()  # rebuilt inside .search()
                 dists, rows = self._ann.search(
                     q, k, mask=mask,
                     overfetch=self.config.overfetch if filter is not None else 1)
+                built = self._ann._built_count
+                if self._store.count > built:
+                    # appended tail not yet in the index: exact-scan it and
+                    # merge (row spaces are disjoint, so no dedup needed)
+                    td, tr = self._tail_exact(q, k, mask, built)
+                    dists, rows = topk_mod.merge_topk_host(
+                        dists, rows, td, tr, k)
             else:
                 dists, rows = self._store.search(
                     q, k, self.config.metric, extra_mask=mask,
@@ -260,7 +279,8 @@ class Collection:
         self._mask_cache[fp] = (self._version, mask)
         return mask
 
-    def _bump(self, append_only: bool = False) -> None:
+    def _bump(self, append_only: bool = False,
+              keep_indexes: bool = False) -> None:
         self._version += 1
         # column-cache invalidation: appends can cheaply sync; any other
         # mutation forces a rebuild
@@ -268,10 +288,39 @@ class Collection:
             self._columns_dirty = "rebuild"
         elif self._columns_dirty != "rebuild":
             self._columns_dirty = "sync"
+        if append_only or keep_indexes:
+            # Incremental maintenance (hnswlib parity: add_items into a
+            # live index, vectordb_optimized.py:337-416): appended rows are
+            # served by an exact scan over the tail merged with the index's
+            # hits (search_batch); deletes/metadata updates are covered by
+            # the validity mask.  A threshold-triggered rebuild amortizes
+            # (_index_rebuild_due).
+            return
         if self._ann is not None:
             self._ann.mark_stale()
         if self._quantized is not None:
             self._quantized = None
+
+    def _index_rebuild_due(self, built_count: int) -> bool:
+        """True when an index built over ``built_count`` rows has drifted
+        enough (tail growth or mass deletes) that a rebuild beats serving
+        through the merge path."""
+        tail = self._store.count - built_count
+        return (tail > max(built_count // 4, 4096)
+                or self._store.n_valid * 2 < built_count)
+
+    def _tail_exact(self, q: np.ndarray, k: int,
+                    mask: Optional[np.ndarray], start: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact scan restricted to rows appended after an index snapshot."""
+        count = self._store.count
+        tm = np.zeros((count,), dtype=bool)
+        tm[start:] = True
+        if mask is not None:
+            tm[: mask.shape[0]] &= mask
+        return self._store.search(
+            q, k, self.config.metric, extra_mask=tm,
+            compute_dtype=self.config.compute_dtype, topk=self.config.topk)
 
     # ------------------------------------------------------------------
     # ANN / quantization hooks (implemented in ann/ and quant/)
@@ -294,6 +343,7 @@ class Collection:
         from ..quant.scan import QuantizedScan
         with self._lock:
             self._quantized = QuantizedScan.build(self, kind=kind, **kwargs)
+            self._quant_kwargs = dict(kwargs)  # for threshold rebuilds
             return self._quantized
 
     def set_search_params(self, **params) -> None:
@@ -320,8 +370,16 @@ class Collection:
         with self._lock:
             if self._quantized is None:
                 self.enable_quantized_scan()
+            elif self._index_rebuild_due(self._quantized.built_count):
+                self.enable_quantized_scan(
+                    kind=self._quantized.kind,
+                    **getattr(self, "_quant_kwargs", {}))
             mask = self._filter_mask(filter)
             dists, rows = self._quantized.search(q, k, rerank=rerank, mask=mask)
+            built = self._quantized.built_count
+            if self._store.count > built:
+                td, tr = self._tail_exact(q, k, mask, built)
+                dists, rows = topk_mod.merge_topk_host(dists, rows, td, tr, k)
             return self._assemble(q, dists, rows, k, False)
 
     # ------------------------------------------------------------------

@@ -112,10 +112,14 @@ class DeviceVectorStore:
         n = vecs.shape[0]
         if n == 0:
             return np.empty((0,), dtype=np.int64)
-        if self.count + n > self.capacity:
-            self._grow(self.count + n)
-        block = pad_rows(np.ascontiguousarray(vecs, dtype=np.float32),
-                         _next_pow2(max(n, 8)))
+        # The written block is padded to p rows, so the buffer must hold
+        # count + p (not just count + n): dynamic_update_slice clamps the
+        # start index, and a clamped write would silently overwrite earlier
+        # live rows while marking the new rows invalid.
+        p = _next_pow2(max(n, 8))
+        if self.count + p > self.capacity:
+            self._grow(self.count + p)
+        block = pad_rows(np.ascontiguousarray(vecs, dtype=np.float32), p)
         self.vectors, self.valid, self.sq, self.rinv = _write_block(
             self.vectors, self.valid, self.sq, self.rinv,
             jnp.asarray(block), jnp.int32(n), jnp.int32(self.count),

@@ -52,6 +52,21 @@ def merge_top_k(
     return -top_vals, jnp.take_along_axis(idxs, pos, axis=1)
 
 
+def merge_topk_host(d1, r1, d2, r2, k: int):
+    """Host-side merge of two per-query top-k lists (e.g. an ANN or
+    quantized snapshot's hits over the indexed prefix plus the exact scan
+    over the appended tail).  The two row spaces must be disjoint — the
+    indexed prefix yields rows < built_count, the tail rows >= built_count —
+    so no dedup is needed.  MASKED sentinels sort last naturally.
+    """
+    import numpy as np
+    d = np.concatenate([np.asarray(d1), np.asarray(d2)], axis=1)
+    r = np.concatenate([np.asarray(r1), np.asarray(r2)], axis=1)
+    order = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return (np.take_along_axis(d, order, axis=1),
+            np.take_along_axis(r, order, axis=1))
+
+
 def valid_hits(vals) -> "jnp.ndarray | np.ndarray":
     """Boolean (B, k) marking hits that were not masked out.
 

@@ -147,18 +147,48 @@ class StreamingVectorWriter:
     Layout: 24-byte header, then raw float32 rows.  The row count in the
     header is only advanced *after* the data is flushed, so a crash leaves a
     consistent prefix (fixing the reference's claimed-but-broken atomicity,
-    parallel_search.py:438 vs 590-594).  Sidecar `<path>.ids.json` +
-    `<path>.meta.json` hold ids/metadata, written on close().
+    parallel_search.py:438 vs 590-594).  Ids/metadata live in JSONL sidecars
+    (`<path>.ids.jsonl` / `<path>.meta.jsonl`, one line per row) flushed on
+    every append — so the crash-consistent prefix covers them too, and an
+    existing file can be reopened to resume appending (``resume=True``).
     """
 
-    def __init__(self, path: Union[str, Path], dims: int):
+    def __init__(self, path: Union[str, Path], dims: int,
+                 resume: bool = True):
         self.path = Path(path)
         self.dims = int(dims)
         self.n_rows = 0
         self.ids: list = []
         self.metadata: list = []
-        self._f = open(self.path, "w+b")
-        self._write_header()
+        existing = resume and self.path.exists() \
+            and self.path.stat().st_size >= _STREAM_HEADER.size
+        if existing:
+            self._f = open(self.path, "r+b")
+            magic, version, n_rows, dims_on_disk = _STREAM_HEADER.unpack(
+                self._f.read(_STREAM_HEADER.size))
+            if magic != _STREAM_MAGIC:
+                raise ValueError(f"{path}: not an FPVS stream")
+            if int(dims_on_disk) != self.dims:
+                raise ValueError(
+                    f"{path}: dims mismatch (file {dims_on_disk}, "
+                    f"requested {self.dims})")
+            self.n_rows = int(n_rows)
+            self.ids = _read_jsonl_sidecar(self._ids_path, self.n_rows)
+            self.metadata = _read_jsonl_sidecar(self._meta_path, self.n_rows)
+        else:
+            self._f = open(self.path, "w+b")
+            self._write_header()
+        # sidecar handles: truncate any crash-orphaned lines past n_rows
+        self._ids_f = _open_jsonl_sidecar(self._ids_path, self.ids)
+        self._meta_f = _open_jsonl_sidecar(self._meta_path, self.metadata)
+
+    @property
+    def _ids_path(self) -> Path:
+        return Path(str(self.path) + ".ids.jsonl")
+
+    @property
+    def _meta_path(self) -> Path:
+        return Path(str(self.path) + ".meta.jsonl")
 
     def _write_header(self) -> None:
         self._f.seek(0)
@@ -176,31 +206,72 @@ class StreamingVectorWriter:
         if arr.ndim != 2 or arr.shape[1] != self.dims:
             raise ValueError(f"expected (n, {self.dims}) batch, got {arr.shape}")
         n = arr.shape[0]
+        ids = list(ids) if ids is not None else [None] * n
+        metadatas = list(metadatas) if metadatas is not None else [None] * n
+        if len(ids) != n or len(metadatas) != n:
+            raise ValueError("ids/metadatas length mismatch with batch")
         self._f.seek(_STREAM_HEADER.size + self.n_rows * self.dims * 4)
         self._f.write(arr.tobytes())
+        # sidecars flush *before* the row-count advances: a crash mid-append
+        # leaves extra sidecar lines (trimmed by n_rows on read) rather than
+        # counted rows with missing ids
+        for fh, values in ((self._ids_f, ids), (self._meta_f, metadatas)):
+            fh.write("".join(json.dumps(v, default=str) + "\n"
+                             for v in values))
+            fh.flush()
+            os.fsync(fh.fileno())
         self._f.flush()
         os.fsync(self._f.fileno())
         self.n_rows += n
         self._write_header()
-        self.ids.extend(ids if ids is not None else [None] * n)
-        self.metadata.extend(metadatas if metadatas is not None else [None] * n)
+        self.ids.extend(ids)
+        self.metadata.extend(metadatas)
 
     def close(self) -> None:
         if self._f.closed:
             return
         self._write_header()
         self._f.close()
-        if any(i is not None for i in self.ids):
-            Path(str(self.path) + ".ids.json").write_text(json.dumps(self.ids))
-        if any(m is not None for m in self.metadata):
-            Path(str(self.path) + ".meta.json").write_text(
-                json.dumps(self.metadata, default=str))
+        self._ids_f.close()
+        self._meta_f.close()
 
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
         self.close()
+
+
+def _read_jsonl_sidecar(path: Path, n_rows: int) -> list:
+    """First ``n_rows`` JSONL lines (crash-orphaned suffix lines ignored),
+    padded with None up to ``n_rows``.  Falls back to the round-1 whole-list
+    ``.json`` sidecar if the JSONL file does not exist."""
+    out: list = []
+    if path.exists():
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                if len(out) >= n_rows:
+                    break
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+    else:
+        legacy = Path(str(path)[: -len(".jsonl")] + ".json")
+        if legacy.exists():
+            out = json.loads(legacy.read_text())[:n_rows]
+    out.extend([None] * (n_rows - len(out)))
+    return out
+
+
+def _open_jsonl_sidecar(path: Path, rows: list):
+    """(Re)open a sidecar for appending: rewritten from the committed rows
+    so crash-orphaned or legacy-format content can never misalign lines."""
+    f = open(path, "w", encoding="utf-8")
+    if rows:
+        f.write("".join(json.dumps(v, default=str) + "\n" for v in rows))
+        f.flush()
+        os.fsync(f.fileno())
+    return f
 
 
 class StreamingVectorReader:
@@ -218,11 +289,14 @@ class StreamingVectorReader:
         self._mm = np.memmap(self.path, dtype=np.float32, mode="r",
                              offset=_STREAM_HEADER.size,
                              shape=(self.n_rows, self.dims))
-        ids_path = Path(str(self.path) + ".ids.json")
-        self.ids = json.loads(ids_path.read_text()) if ids_path.exists() else None
-        meta_path = Path(str(self.path) + ".meta.json")
-        self.metadata = (json.loads(meta_path.read_text())
-                         if meta_path.exists() else None)
+        ids_jsonl = Path(str(self.path) + ".ids.jsonl")
+        ids_json = Path(str(self.path) + ".ids.json")
+        self.ids = (_read_jsonl_sidecar(ids_jsonl, self.n_rows)
+                    if ids_jsonl.exists() or ids_json.exists() else None)
+        meta_jsonl = Path(str(self.path) + ".meta.jsonl")
+        meta_json = Path(str(self.path) + ".meta.json")
+        self.metadata = (_read_jsonl_sidecar(meta_jsonl, self.n_rows)
+                         if meta_jsonl.exists() or meta_json.exists() else None)
 
     def load_batch(self, start: int, count: int) -> np.ndarray:
         return np.array(self._mm[start: start + count])

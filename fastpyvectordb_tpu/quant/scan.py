@@ -230,6 +230,9 @@ class QuantizedScan:
         self.codes = codes
         self._store = store
         self.metric = metric
+        # rows covered by this snapshot; rows appended later are served by
+        # the collection's exact tail merge (collection.search_quantized)
+        self.built_count = int(codes.shape[0])
 
     @classmethod
     def build(cls, collection, kind: str = "int8", **kwargs) -> "QuantizedScan":

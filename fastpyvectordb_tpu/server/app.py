@@ -271,19 +271,22 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         name = request.match_info["name"]
         c = collection_or_404(name)
         req = _parse(S.SearchRequest, await _body(request))
-        q = _query_vector(req, c)
         t0 = time.perf_counter()
-        if req.mode == "quantized":
-            loop = asyncio.get_running_loop()
-            filt = _filter_of(req)
-            hits = (await loop.run_in_executor(
-                None, lambda: c.search_quantized(q[None, :], req.k,
-                                                 filter=filt)))[0]
-        else:
-            exact = (req.exact if req.mode == "auto"
-                     else req.mode == "exact")
-            hits = await state["batcher"].search(c, q, req.k, _filter_of(req),
-                                                 exact)
+        try:
+            q = _query_vector(req, c)
+            if req.mode == "quantized":
+                loop = asyncio.get_running_loop()
+                filt = _filter_of(req)
+                hits = (await loop.run_in_executor(
+                    None, lambda: c.search_quantized(q[None, :], req.k,
+                                                     filter=filt)))[0]
+            else:
+                exact = (req.exact if req.mode == "auto"
+                         else req.mode == "exact")
+                hits = await state["batcher"].search(c, q, req.k,
+                                                     _filter_of(req), exact)
+        except ValueError as e:  # e.g. query dimension mismatch -> 400
+            return _json_error(400, str(e))
         took = (time.perf_counter() - t0) * 1000
         return web.json_response(
             {"results": [_hit_dict(h) for h in hits],
@@ -322,8 +325,11 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         else:
             return _json_error(400, "vectors or texts required")
         t0 = time.perf_counter()
-        batches = await asyncio.get_running_loop().run_in_executor(
-            None, lambda: c.search_batch(q, req.k, _filter_of(req)))
+        try:
+            batches = await asyncio.get_running_loop().run_in_executor(
+                None, lambda: c.search_batch(q, req.k, _filter_of(req)))
+        except ValueError as e:  # e.g. query dimension mismatch -> 400
+            return _json_error(400, str(e))
         took = (time.perf_counter() - t0) * 1000
         return web.json_response(
             {"results": [[_hit_dict(h) for h in hits] for hits in batches],
@@ -501,10 +507,18 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
                         continue
                     if payload.get("action") == "subscribe":
                         types = payload.get("event_types")
+                        try:
+                            etypes = ([EventType(t) for t in types]
+                                      if types else None)
+                        except ValueError:
+                            # bad event type: reply with an error instead of
+                            # tearing down the connection
+                            await ws.send_str(json.dumps(
+                                {"error": f"unknown event type in {types}"}))
+                            continue
                         await state["ws"].update_subscription(ws, Subscription(
                             collection=payload.get("collection", collection),
-                            event_types=[EventType(t) for t in types]
-                            if types else None,
+                            event_types=etypes,
                             metadata_filter=payload.get("metadata_filter")))
                         await ws.send_str(json.dumps({"subscribed": True}))
                 elif msg.type in (WSMsgType.CLOSE, WSMsgType.ERROR):

@@ -65,16 +65,18 @@ def test_tune_nprobe(built):
     assert recall >= 0.9
 
 
-def test_stale_rebuild_after_insert(built, rng):
+def test_insert_served_incrementally_without_rebuild(built, rng):
+    """Inserting after build must NOT mark the index stale (hnswlib parity:
+    live add_items); the new row is served by the exact tail merge."""
     col, v, q = built
+    built_count = col._ann._built_count
     col.insert(rng.standard_normal(24).astype(np.float32) * 0.01, id="new1")
-    assert col._ann.stale
-    # search after mutation must still work (auto-rebuild) and see new row
-    d, r = col._ann.search(np.zeros((1, 24), dtype=np.float32), k=1)
     assert not col._ann.stale
+    assert col._ann._built_count == built_count  # no rebuild happened
     hits = col.search(col.get("new1", include_vector=True)["vector"], k=1,
                       exact=False)
     assert hits[0].id == "new1"
+    assert col._ann._built_count == built_count  # still no rebuild
 
 
 def test_ann_persistence_roundtrip(tmp_path, rng):

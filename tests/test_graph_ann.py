@@ -79,10 +79,9 @@ def test_tune(built):
     assert out["recall"] >= 0.9
 
 
-def test_stale_rebuild(built, rng):
+def test_insert_served_via_tail_merge(built, rng):
     col, v, q = built
     col.insert(np.full(24, 7.5, dtype=np.float32), id="far")
-    assert col._ann.stale
+    assert not col._ann.stale  # incremental: no rebuild on insert
     hits = col.search(np.full(24, 7.5, dtype=np.float32), k=1, exact=False)
     assert hits[0].id == "far"
-    assert not col._ann.stale

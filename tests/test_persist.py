@@ -65,6 +65,43 @@ def test_streaming_header_consistent_prefix(tmp_path, rng):
     assert len(r) == 3
 
 
+def test_streaming_crash_preserves_ids_and_metadata(tmp_path, rng):
+    """Sidecars flush per-append: a crash (no close) must not lose them."""
+    path = tmp_path / "c.fpvs"
+    vecs = rng.standard_normal((5, 4)).astype(np.float32)
+    w = StreamingVectorWriter(path, dims=4)
+    w.append_batch(vecs, ids=[f"v{i}" for i in range(5)],
+                   metadatas=[{"i": i} for i in range(5)])
+    # simulate crash: no close()
+    r = StreamingVectorReader(path)
+    assert r.ids == [f"v{i}" for i in range(5)]
+    assert r.metadata == [{"i": i} for i in range(5)]
+
+
+def test_streaming_resume_appends_to_existing(tmp_path, rng):
+    path = tmp_path / "r.fpvs"
+    vecs = rng.standard_normal((8, 4)).astype(np.float32)
+    with StreamingVectorWriter(path, dims=4) as w:
+        w.append_batch(vecs[:5], ids=[f"a{i}" for i in range(5)])
+    # reopen and continue where we left off
+    with StreamingVectorWriter(path, dims=4) as w:
+        assert w.n_rows == 5 and w.ids[:5] == [f"a{i}" for i in range(5)]
+        w.append_batch(vecs[5:], ids=[f"b{i}" for i in range(3)])
+    with StreamingVectorReader(path) as r:
+        assert len(r) == 8
+        np.testing.assert_allclose(np.stack(list(r)), vecs, rtol=1e-6)
+        assert r.ids == [f"a{i}" for i in range(5)] + \
+            [f"b{i}" for i in range(3)]
+
+
+def test_streaming_resume_rejects_dims_mismatch(tmp_path, rng):
+    path = tmp_path / "m.fpvs"
+    with StreamingVectorWriter(path, dims=4) as w:
+        w.append_batch(rng.standard_normal((2, 4)).astype(np.float32))
+    with pytest.raises(ValueError, match="dims mismatch"):
+        StreamingVectorWriter(path, dims=8)
+
+
 @pytest.mark.parametrize("method,ratio", [("none", 1), ("fp16", 2), ("int8", 4)])
 def test_compression(rng, method, ratio):
     v = rng.standard_normal((100, 32)).astype(np.float32)

@@ -137,6 +137,13 @@ def test_validation_errors(client):
     r = httpx.post(f"{client.base_url}/collections/nope/search",
                    json={"vector": [0] * 8})
     assert r.status_code == 404
+    # query dimension mismatch must be a 400, not an unhandled 500
+    r = httpx.post(f"{client.base_url}/collections/vecs/search",
+                   json={"vector": [0.0] * 5, "k": 3})
+    assert r.status_code == 400
+    r = httpx.post(f"{client.base_url}/collections/vecs/search/batch",
+                   json={"vectors": [[0.0] * 5], "k": 3})
+    assert r.status_code == 400
 
 
 def test_graph_endpoints(client):
@@ -306,3 +313,37 @@ def test_websocket_subscribe_message(client, server):
     # the insert was filtered out; only the delete is delivered
     assert results["event"]["type"] == "delete"
     assert results["event"]["data"]["id"] == "subprobe"
+
+
+def test_websocket_bad_event_type_keeps_connection(client, server):
+    """An invalid event type in a subscribe message must produce an error
+    reply, not tear down the websocket."""
+    results = {}
+
+    async def run():
+        import aiohttp
+        async with aiohttp.ClientSession() as session:
+            async with session.ws_connect(
+                    f"http://127.0.0.1:{server.port}/ws") as ws:
+                await ws.send_str(json.dumps({
+                    "action": "subscribe", "event_types": ["not-a-type"]}))
+                # skip any replayed history events before the error reply
+                for _ in range(30):
+                    msg = await asyncio.wait_for(ws.receive(), timeout=10)
+                    data = json.loads(msg.data)
+                    if "error" in data:
+                        results["reply"] = data
+                        break
+                # connection still alive: a valid subscribe now succeeds
+                await ws.send_str(json.dumps({
+                    "action": "subscribe", "event_types": ["insert"]}))
+                for _ in range(10):
+                    msg = await asyncio.wait_for(ws.receive(), timeout=10)
+                    data = json.loads(msg.data)
+                    if data.get("subscribed"):
+                        results["ack"] = True
+                        break
+
+    asyncio.run(run())
+    assert "error" in results["reply"]
+    assert results.get("ack") is True
