@@ -1,0 +1,339 @@
+"""Multi-chip ANN and quantized search (SURVEY §7.6).
+
+The exact sharded scan (dist/sharded.py) row-shards the raw corpus; this
+module shards the *index structures* themselves so multi-chip deployments
+are not forced back to exact scans:
+
+  * **ShardedIVF** — the IVF cell tensor (nlist, cmax, D), row table and
+    centroids are sharded along the cell axis.  Every device routes each
+    query within its local centroid shard (probing ``ceil(nprobe/ndev)``
+    cells, doubled for recall headroom since the global best cells may
+    cluster on one shard), scores its probed cells exactly, and the
+    per-shard top-k partials are ``all_gather``-ed over ICI and merged —
+    the row table stores *global* row ids, so no re-indexing is needed.
+  * **ShardedInt8** — the int8 code matrix, dequantized row stats and the
+    re-rank corpus are row-sharded.  Coarse int8-MXU scan, candidate
+    selection, gather and exact re-rank all happen shard-locally (the
+    candidates of a shard are rows of that shard); only the final (B, k)
+    partials cross ICI.
+
+Both reuse the single-chip kernels' math and the exact path's distributed
+top-k merge.  Reference analog: none — the reference's only parallelism is
+a thread pool over chunks (parallel_search.py:313-368).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.types import DistanceMetric
+from ..kernels.distances import MASKED, matmul_precision
+from .mesh import DATA_AXIS
+
+
+def _merge_over_data_axis(vals, gidx, k, *, sqrt_l2=False):
+    """all_gather per-shard (B, kk) partials and take the global top-k."""
+    vals_g = jax.lax.all_gather(vals, DATA_AXIS)   # (ndev, B, kk)
+    idx_g = jax.lax.all_gather(gidx, DATA_AXIS)
+    ndev, b, kk = vals_g.shape
+    vals_f = jnp.moveaxis(vals_g, 0, 1).reshape(b, ndev * kk)
+    idx_f = jnp.moveaxis(idx_g, 0, 1).reshape(b, ndev * kk)
+    neg, pos = jax.lax.top_k(-vals_f, min(k, ndev * kk))
+    out_vals = -neg
+    if sqrt_l2:
+        out_vals = jnp.where(out_vals >= MASKED, out_vals,
+                             jnp.sqrt(jnp.maximum(out_vals, 0.0)))
+    return out_vals, jnp.take_along_axis(idx_f, pos, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Sharded IVF
+# ---------------------------------------------------------------------------
+
+def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
+                             nprobe_local: int,
+                             compute_dtype: str = "bfloat16"):
+    """Compile the sharded IVF search.
+
+    Expects (queries replicated, centroids/cells/row_table/cent_valid
+    sharded on DATA along the cell axis, validmask replicated).
+    """
+    metric = DistanceMetric.parse(metric)
+    cd = jnp.dtype(compute_dtype)
+    prec = matmul_precision(compute_dtype)
+
+    def local(q, centroids, cells, row_table, cent_valid, validmask):
+        b, d = q.shape
+        cmax = cells.shape[1]
+        qf = q.astype(jnp.float32)
+        # route within the local centroid shard
+        if metric == DistanceMetric.COSINE:
+            qn = qf / jnp.maximum(
+                jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-30)
+            cn = centroids / jnp.maximum(
+                jnp.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+            croute = -jnp.dot(qn, cn.T, preferred_element_type=jnp.float32,
+                              precision=prec)
+        elif metric == DistanceMetric.DOT:
+            croute = -jnp.dot(qf, centroids.T,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+        else:
+            csq = jnp.einsum("kd,kd->k", centroids, centroids,
+                             preferred_element_type=jnp.float32)
+            croute = csq[None, :] - 2.0 * jnp.dot(
+                qf, centroids.T, preferred_element_type=jnp.float32,
+                precision=prec)
+        croute = jnp.where(cent_valid[None, :], croute, MASKED)
+        npl = min(nprobe_local, centroids.shape[0])
+        _, probe = jax.lax.top_k(-croute, npl)          # (B, npl) local cells
+
+        vecs = jnp.take(cells, probe, axis=0).reshape(b, npl * cmax, d)
+        cand = jnp.take(row_table, probe, axis=0).reshape(b, -1)  # global ids
+
+        qsq = jnp.einsum("bd,bd->b", qf, qf,
+                         preferred_element_type=jnp.float32)
+        qinv = 1.0 / jnp.maximum(jnp.sqrt(qsq[:, None]), 1e-30)
+        vsq = jnp.einsum("bcd,bcd->bc", vecs, vecs,
+                         preferred_element_type=jnp.float32)
+        cross = jnp.einsum("bd,bcd->bc", qf.astype(cd), vecs,
+                           preferred_element_type=jnp.float32, precision=prec)
+        if metric == DistanceMetric.COSINE:
+            rinv = jax.lax.rsqrt(jnp.maximum(vsq, 1e-30))
+            s = 1.0 - cross * qinv * rinv
+        elif metric == DistanceMetric.L2:
+            s = jnp.sqrt(jnp.maximum(qsq[:, None] + vsq - 2.0 * cross, 0.0))
+        else:
+            s = -cross
+        safe = jnp.maximum(cand, 0)
+        ok = (cand >= 0) & jnp.take(validmask, safe, axis=0)
+        s = jnp.where(ok, s, MASKED)
+        kk = min(k, s.shape[1])
+        neg, pos = jax.lax.top_k(-s, kk)
+        return _merge_over_data_axis(-neg, jnp.take_along_axis(cand, pos,
+                                                               axis=1), k)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS), P(None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedIVF:
+    """A single-chip IVFIndex re-laid-out across a device mesh."""
+
+    def __init__(self, mesh: Mesh, centroids, cells, row_table, cent_valid,
+                 validmask, *, metric: DistanceMetric, nprobe: int,
+                 compute_dtype: str = "bfloat16"):
+        self.mesh = mesh
+        self.metric = DistanceMetric.parse(metric)
+        self.nprobe = nprobe
+        self.compute_dtype = compute_dtype
+        ndev = mesh.shape[DATA_AXIS]
+        # 2x headroom: the global best-nprobe cells may cluster on one shard
+        self.nprobe_local = max(1, min(-(-nprobe // ndev) * 2,
+                                       centroids.shape[0] // ndev))
+        shard = lambda a, nd: jax.device_put(
+            a, NamedSharding(mesh, P(DATA_AXIS, *([None] * (nd - 1)))))
+        self.centroids = shard(centroids, 2)
+        self.cells = shard(cells, 3)
+        self.row_table = shard(row_table, 2)
+        self.cent_valid = shard(cent_valid, 1)
+        self.validmask = jax.device_put(validmask, NamedSharding(mesh, P()))
+        self._fns = {}
+
+    @classmethod
+    def from_index(cls, mesh: Mesh, ivf, validmask=None) -> "ShardedIVF":
+        """Shard an ann.ivf.IVFIndex's tables across ``mesh``.
+
+        The cell axis is padded to a multiple of the data-axis size; padded
+        centroids are masked out of routing via ``cent_valid``.  Overflow
+        rows (rows that fit none of their candidate cells) are folded into
+        the padded cells of the first shard when padding exists, else
+        appended as one extra cell row per shard.
+        """
+        ndev = mesh.shape[DATA_AXIS]
+        centroids = np.asarray(ivf.centroids, dtype=np.float32)
+        cells = np.asarray(ivf.cells)
+        table = np.asarray(ivf.row_table)
+        nlist, cmax, d = cells.shape
+        pad = (-nlist) % ndev
+        orows_all = np.asarray(ivf.overflow_rows)
+        keep = orows_all >= 0
+        orows = orows_all[keep]
+        ovecs_all = np.asarray(ivf.overflow_vecs)[keep]
+        if orows.size:
+            # distribute overflow rows into extra always-probed cells: add
+            # one extra cell per shard holding a slice of the overflow and
+            # give it a centroid at the data centroid (probed ~uniformly).
+            extra = ndev  # one overflow cell per shard
+            per = -(-orows.size // extra)
+            ocells = np.zeros((extra, max(cmax, per), d), cells.dtype)
+            otab = np.full((extra, max(cmax, per)), -1, np.int32)
+            for i in range(extra):
+                part = orows[i * per:(i + 1) * per]
+                opart = ovecs_all[i * per:(i + 1) * per]
+                ocells[i, :part.size] = opart
+                otab[i, :part.size] = part
+            if ocells.shape[1] > cmax:
+                grow = ocells.shape[1] - cmax
+                cells = np.pad(cells, ((0, 0), (0, grow), (0, 0)))
+                table = np.pad(table, ((0, 0), (0, grow)),
+                               constant_values=-1)
+                cmax = cells.shape[1]
+            ocells = ocells[:, :cmax]
+            otab = otab[:, :cmax]
+            mean_c = centroids.mean(axis=0, keepdims=True)
+            centroids = np.concatenate(
+                [centroids, np.repeat(mean_c, extra, axis=0)])
+            cells = np.concatenate([cells, ocells])
+            table = np.concatenate([table, otab])
+            nlist += extra
+            pad = (-nlist) % ndev
+        if pad:
+            centroids = np.pad(centroids, ((0, pad), (0, 0)))
+            cells = np.pad(cells, ((0, pad), (0, 0), (0, 0)))
+            table = np.pad(table, ((0, pad), (0, 0)), constant_values=-1)
+        cent_valid = np.ones((centroids.shape[0],), dtype=bool)
+        if pad:
+            cent_valid[-pad:] = False
+        store = ivf._collection._store
+        vm = (np.asarray(store.valid) if validmask is None
+              else np.asarray(validmask))
+        cfg = ivf._collection.config
+        return cls(mesh, centroids, cells, table, cent_valid, vm,
+                   metric=cfg.metric, nprobe=ivf.nprobe,
+                   compute_dtype=cfg.compute_dtype)
+
+    def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
+        if k not in self._fns:
+            self._fns[k] = build_sharded_ivf_search(
+                self.mesh, metric=self.metric, k=k,
+                nprobe_local=self.nprobe_local,
+                compute_dtype=self.compute_dtype)
+        d, r = self._fns[k](q, self.centroids, self.cells, self.row_table,
+                            self.cent_valid, self.validmask)
+        return np.asarray(d), np.asarray(r)
+
+
+# ---------------------------------------------------------------------------
+# Sharded int8 two-stage scan
+# ---------------------------------------------------------------------------
+
+def build_sharded_int8_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
+                              c: int, rerank_dtype: str = "bfloat16"):
+    """Compile the sharded int8 coarse scan + shard-local exact re-rank.
+
+    Expects (queries replicated; codes/vsq/rinv/vectors/valid row-sharded
+    on DATA; vmin/scale replicated).  Candidate rows of a shard are rows of
+    that shard, so the gather + re-rank never leave the device; only the
+    (B, k) partials are all_gather-ed.
+    """
+    metric = DistanceMetric.parse(metric)
+
+    def local(q, codes, vmin, scale, vsq, rinv, vectors, valid):
+        from ..quant.scalar import _distances_int8_matmul
+        from ..quant.scan import _rerank_body
+        shard_rows = codes.shape[0]
+        s = _distances_int8_matmul(q, codes, vmin, scale, vsq, rinv,
+                                   metric=metric)
+        s = jnp.where(valid[None, :], s, MASKED)
+        cc = min(c, shard_rows)
+        negc, crows = jax.lax.top_k(-s, cc)             # shard-local rows
+        cand_vecs = jnp.take(vectors, crows, axis=0)
+        kk = min(k, cc)
+        vals, rows = _rerank_body(q, cand_vecs, crows, -negc < MASKED * 0.5,
+                                  metric, kk, rerank_dtype)
+        gidx = rows + jax.lax.axis_index(DATA_AXIS) * shard_rows
+        return _merge_over_data_axis(vals, gidx, k)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None), P(DATA_AXIS, None), P(None), P(None),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS, None),
+                  P(DATA_AXIS)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedInt8:
+    """A quant.scan int8 snapshot re-laid-out across a device mesh."""
+
+    def __init__(self, mesh: Mesh, codes, vmin, scale, vsq, rinv, vectors,
+                 valid, *, metric: DistanceMetric,
+                 rerank_dtype: str = "bfloat16"):
+        self.mesh = mesh
+        self.metric = DistanceMetric.parse(metric)
+        self.rerank_dtype = rerank_dtype
+        ndev = mesh.shape[DATA_AXIS]
+        n = codes.shape[0]
+        if n % ndev:
+            raise ValueError(f"rows {n} not divisible by data axis {ndev}; "
+                             "pad to a power-of-two bucket first")
+        shard = lambda a, nd: jax.device_put(
+            a, NamedSharding(mesh, P(DATA_AXIS, *([None] * (nd - 1)))))
+        rep = lambda a: jax.device_put(a, NamedSharding(mesh, P()))
+        self.codes = shard(codes, 2)
+        self.vsq, self.rinv = shard(vsq, 1), shard(rinv, 1)
+        self.vectors = shard(vectors, 2)
+        self.valid = shard(valid, 1)
+        self.vmin, self.scale = rep(vmin), rep(scale)
+        self._fns = {}
+
+    @classmethod
+    def from_scan(cls, mesh: Mesh, scan) -> "ShardedInt8":
+        """Shard a quant.scan.QuantizedScan (kind="int8") across ``mesh``."""
+        if scan.kind != "int8":
+            raise ValueError(f"ShardedInt8 requires an int8 scan, "
+                             f"got {scan.kind!r}")
+        if not hasattr(scan, "_sq_stats"):
+            scan._sq_stats = scan.quantizer.corpus_stats(scan.codes)
+        vsq, rinv = scan._sq_stats
+        n = scan.codes.shape[0]
+        store = scan._store
+        ndev = mesh.shape[DATA_AXIS]
+        pad = (-n) % ndev
+        codes = np.asarray(scan.codes)
+        vecs = np.asarray(store.vectors[:n])
+        valid = np.asarray(store.valid[:n])
+        vsq, rinv = np.asarray(vsq), np.asarray(rinv)
+        if pad:
+            codes = np.pad(codes, ((0, pad), (0, 0)))
+            vecs = np.pad(vecs, ((0, pad), (0, 0)))
+            valid = np.pad(valid, (0, pad))
+            vsq = np.pad(vsq, (0, pad))
+            rinv = np.pad(rinv, (0, pad))
+        dtype_name = ("bfloat16"
+                      if getattr(scan, "compute_dtype", "float32")
+                      == "bfloat16" else "float32")
+        return cls(mesh, codes, np.asarray(scan.quantizer.vmin),
+                   np.asarray(scan.quantizer.scale), vsq, rinv,
+                   vecs.astype(jnp.dtype(dtype_name)), valid,
+                   metric=scan.metric, rerank_dtype=dtype_name)
+
+    def search(self, queries, k: int, rerank: int = 4
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
+        c = max(k * max(rerank, 1), k)
+        key = (k, c)
+        if key not in self._fns:
+            self._fns[key] = build_sharded_int8_search(
+                self.mesh, metric=self.metric, k=k, c=c,
+                rerank_dtype=self.rerank_dtype)
+        d, r = self._fns[key](q, self.codes, self.vmin, self.scale,
+                              self.vsq, self.rinv, self.vectors, self.valid)
+        return np.asarray(d), np.asarray(r)

@@ -1,0 +1,114 @@
+"""Sharded IVF + sharded int8 two-stage search on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from fastpyvectordb_tpu import Collection, CollectionConfig
+from fastpyvectordb_tpu.dist.mesh import make_mesh
+from fastpyvectordb_tpu.dist.sharded_ann import ShardedInt8, ShardedIVF
+
+D = 16
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(5)
+    n = 4096
+    centers = rng.standard_normal((24, D)).astype(np.float32) * 2
+    v = centers[rng.integers(0, 24, n)] + 0.25 * rng.standard_normal(
+        (n, D)).astype(np.float32)
+    col = Collection(CollectionConfig(name="sh", dimensions=D, metric="l2"))
+    col.insert_batch(v, [f"v{i}" for i in range(n)])
+    q = centers[rng.integers(0, 24, 8)] + 0.25 * rng.standard_normal(
+        (8, D)).astype(np.float32)
+    exact = [set(r.tolist()) for r in _exact_rows(col, q, 10)]
+    return col, v, q, exact
+
+
+def _exact_rows(col, q, k):
+    _, rows = col._store.search(q, k, col.config.metric)
+    return rows
+
+
+def test_sharded_ivf_recall(built, mesh):
+    col, v, q, exact = built
+    col.build_ann(kind="ivf", nlist=64, nprobe=12, iters=5)
+    sh = ShardedIVF.from_index(mesh, col._ann)
+    d, rows = sh.search(q, 10)
+    assert rows.shape == (8, 10)
+    recall = np.mean([len(set(r.tolist()) & e) / 10
+                      for r, e in zip(rows, exact)])
+    assert recall >= 0.9, f"sharded IVF recall {recall:.3f}"
+    # distances must be sorted ascending per query
+    assert all(np.all(np.diff(row) >= -1e-5) for row in d)
+
+
+def test_sharded_ivf_respects_tombstones(built, mesh):
+    col, v, q, exact = built
+    if col._ann is None:
+        col.build_ann(kind="ivf", nlist=64, nprobe=12, iters=5)
+    # tombstone the exact nearest of q[0]
+    _, r = col._store.search(q[:1], 1, col.config.metric)
+    dead = int(r[0, 0])
+    valid = np.asarray(col._store.valid).copy()
+    valid[dead] = False
+    sh = ShardedIVF.from_index(mesh, col._ann, validmask=valid)
+    _, rows = sh.search(q[:1], 10)
+    assert dead not in rows[0].tolist()
+
+
+def test_sharded_ivf_overflow_rows_reachable(mesh):
+    """Rows that spilled to the overflow block must stay findable."""
+    rng = np.random.default_rng(9)
+    n = 1024
+    v = rng.standard_normal((n, D)).astype(np.float32)
+    col = Collection(CollectionConfig(name="ov", dimensions=D, metric="l2"))
+    col.insert_batch(v, [f"v{i}" for i in range(n)])
+    # tiny cells force overflow
+    col.build_ann(kind="ivf", nlist=32, nprobe=8, iters=4,
+                  max_cell_factor=0.6, spill_choices=2)
+    overflow = np.asarray(col._ann.overflow_rows)
+    overflow = overflow[overflow >= 0]
+    if overflow.size == 0:
+        pytest.skip("no overflow produced")
+    sh = ShardedIVF.from_index(mesh, col._ann)
+    probe = v[overflow[:4]]
+    _, rows = sh.search(probe, 5)
+    for qi, want in enumerate(overflow[:4]):
+        assert want in rows[qi].tolist()
+
+
+def test_sharded_int8_matches_single_chip(built, mesh):
+    col, v, q, exact = built
+    scan = col.enable_quantized_scan("int8")
+    sh = ShardedInt8.from_scan(mesh, scan)
+    d, rows = sh.search(q, 10, rerank=4)
+    assert rows.shape == (8, 10)
+    recall = np.mean([len(set(r.tolist()) & e) / 10
+                      for r, e in zip(rows, exact)])
+    assert recall >= 0.95, f"sharded int8 recall {recall:.3f}"
+    # agreement with the single-chip quantized path
+    d1, r1 = scan.search(q, 10, rerank=4)
+    agree = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                     for a, b in zip(rows, r1)])
+    assert agree >= 0.9
+
+
+def test_sharded_int8_respects_tombstones(built, mesh):
+    col, v, q, exact = built
+    if col._quantized is None:
+        col.enable_quantized_scan("int8")
+    _, r = col._store.search(q[:1], 1, col.config.metric)
+    dead = int(r[0, 0])
+    col.delete(f"v{dead}")
+    sh = ShardedInt8.from_scan(mesh, col._quantized)
+    _, rows = sh.search(q[:1], 10)
+    assert dead not in rows[0].tolist()
