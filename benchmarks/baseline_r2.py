@@ -1,0 +1,273 @@
+"""BASELINE.json benchmark configs 1, 2 and 5 + the method-crossover table.
+
+Round-1 measured only the 1M x 768 configs; this script covers the rest
+(BASELINE.md:39-41) and produces the crossover table the round-1 verdict
+asked for: which method wins at which (corpus, batch) point.
+
+  config1    10k x 384 brute force, batch 32
+  config2    100k x 384 exact scan with fused where-filter masks
+  config5    5M x 768 binary-Hamming prefilter -> exact bf16 re-rank
+             (+ hybrid graph rescoring of the final top-k);
+             at 5M the f32 corpus (15.4 GB) no longer fits HBM — the
+             serving copy is bf16 (7.7 GB) and the prefilter runs on
+             1-bit codes (480 MB)
+  crossover  (exact bf16 | int8 2-stage | binary 2-stage | IVF) x
+             (B = 1, 8, 64, 256) at 1M x 768
+
+Every iteration uses DISTINCT query batches (the axon runtime dedups
+identical dispatches).  One JSON line per measurement.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp
+import numpy as np
+
+from fastpyvectordb_tpu.core.types import DistanceMetric
+from fastpyvectordb_tpu.kernels import distances as K
+
+REPS = 6
+
+
+def timed(fn, inputs):
+    jax.block_until_ready(fn(inputs[0]))
+    t0 = time.perf_counter()
+    outs = [fn(x) for x in inputs[1:]]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / (len(inputs) - 1)
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def qbatches(rng, n, b, d):
+    return [jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+            for _ in range(n)]
+
+
+def recall(rows, gt, k):
+    return float(np.mean([len(set(a.tolist()[:k]) & set(e.tolist()[:k])) / k
+                          for a, e in zip(np.asarray(rows), gt)]))
+
+
+# ---------------------------------------------------------------------------
+def config1():
+    """10k x 384 brute force @ B=32 (BASELINE config 1)."""
+    n, d, b, k = 10_000, 384, 32, 10
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    stats = K.corpus_stats(v)
+    mask = jnp.ones((n,), bool)
+    f = lambda q: K.search_kernel(q, v, stats["sq"], stats["rinv"], mask,
+                                  metric=DistanceMetric.COSINE, k=k,
+                                  compute_dtype="float32")
+    dt = timed(f, qbatches(rng, REPS, b, d))
+    emit(exp="config1_bruteforce_10kx384_b32", ms=round(dt * 1e3, 3),
+         qps=round(b / dt, 1),
+         ref_blas_qps=167, vs_ref=round(b / dt / 167, 1))
+
+
+def config2():
+    """100k x 384 exact with fused filter masks (BASELINE config 2)."""
+    n, d, b, k = 100_000, 384, 64, 10
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    stats = K.corpus_stats(v)
+    for name, sel in (("none", None), ("50pct", 0.5), ("1pct", 0.01)):
+        if sel is None:
+            mask = jnp.ones((n,), bool)
+        else:
+            m = np.zeros((n,), bool)
+            m[rng.choice(n, int(n * sel), replace=False)] = True
+            mask = jnp.asarray(m)
+        f = lambda q: K.search_kernel(q, v, stats["sq"], stats["rinv"],
+                                      mask, metric=DistanceMetric.COSINE,
+                                      k=k, compute_dtype="bfloat16")
+        dt = timed(f, qbatches(rng, REPS, b, d))
+        emit(exp=f"config2_filtered_100kx384_b64_{name}",
+             ms=round(dt * 1e3, 3), qps=round(b / dt, 1))
+
+
+# ---------------------------------------------------------------------------
+def _gen_corpus(n, d, seed=0, chunk=500_000):
+    """Host-side normalized corpus, chunked to bound peak RAM."""
+    rng = np.random.default_rng(seed)
+    out = np.empty((n, d), np.float32)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        x = rng.standard_normal((e - s, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        out[s:e] = x
+    return out
+
+
+def config5(n=5_000_000, b=64, k=10, rerank=16):
+    """5M x 768 binary prefilter -> exact bf16 re-rank -> graph rescoring."""
+    from fastpyvectordb_tpu.quant.binary import BinaryQuantizer, _BQ_TILE_N
+    from fastpyvectordb_tpu.quant.scan import _binary_two_stage
+
+    d = 768
+    rng = np.random.default_rng(2)
+    emit(exp="config5_setup", n=n, d=d, b=b, rerank=rerank)
+    v = _gen_corpus(n, d, seed=2)
+
+    # serving copy: bf16 on device (f32 would be 15.4 GB > HBM)
+    vdev = jnp.asarray(v[:1]).astype(jnp.bfloat16)  # placeholder warm
+    tile = 1_000_000
+    parts = [jnp.asarray(v[s:s + tile]).astype(jnp.bfloat16)
+             for s in range(0, n, tile)]
+    vbf16 = jnp.concatenate(parts)
+    del parts, vdev
+    qz = BinaryQuantizer().train(v[:200_000])
+    # encode in tiles (device)
+    codes = jnp.concatenate([qz.encode(v[s:s + tile])
+                             for s in range(0, n, tile)])
+    codes_t = codes.T
+    pad = (-n) % _BQ_TILE_N
+    codes_tp = jnp.pad(codes_t, ((0, 0), (0, pad))) if pad else codes_t
+    maskp = jnp.concatenate([jnp.ones((n,), bool),
+                             jnp.zeros((pad,), bool)]) if pad else \
+        jnp.ones((n,), bool)
+    jax.block_until_ready((vbf16, codes_tp))
+    emit(exp="config5_resident_gb",
+         bf16_gb=round(vbf16.nbytes / 2**30, 2),
+         codes_gb=round(codes_tp.nbytes / 2**30, 2))
+
+    batches = qbatches(rng, REPS, b, d)
+    c = k * rerank
+    n_chunks = 16
+
+    def pipeline(q):
+        return _binary_two_stage(
+            q, qz.thresholds, codes_tp, vbf16, maskp, dims=d,
+            metric=DistanceMetric.COSINE, k=k, c=c, n_chunks=n_chunks,
+            rerank_dtype="bfloat16")
+
+    # ground truth: exact bf16 scan (for recall)
+    stats = K.corpus_stats(vbf16)
+    gt = []
+    gtf = lambda q: K.search_kernel(q, vbf16, stats["sq"], stats["rinv"],
+                                    maskp[:n], metric=DistanceMetric.COSINE,
+                                    k=k, compute_dtype="bfloat16",
+                                    approx=True)
+    dt_exact = timed(gtf, batches)
+    for q in batches:
+        gt.append(np.asarray(gtf(q)[1]))
+    emit(exp="config5_exact_bf16_5Mx768", ms=round(dt_exact * 1e3, 2),
+         qps=round(b / dt_exact, 1))
+
+    dt = timed(pipeline, batches)
+    _, rows = pipeline(batches[-1])
+    rec = recall(rows, [gt[-1]], k)
+    emit(exp="config5_binary_prefilter_rerank_5Mx768",
+         ms=round(dt * 1e3, 2), qps=round(b / dt, 1),
+         recall_at_10_vs_bf16=round(rec, 4),
+         vs_exact=round(dt_exact / dt, 2))
+
+    # hybrid graph rescoring of the final top-k (host-side decay formula,
+    # graphdb/hybrid.py: vw*seed/(1+hop) + gw/hop) over a 100k-node entity
+    # graph — measures the added cost on top of the device pipeline
+    from fastpyvectordb_tpu.graphdb import GraphDB
+    g = GraphDB()
+    hop_of = {}
+    ring = 100_000
+    grng = np.random.default_rng(3)
+    hops = grng.integers(1, 4, ring)
+    for i in range(0, ring, 997):  # sparse node sample is enough for cost
+        g.create_node(["Entity"], {"row": int(i)}, id=f"e{i}")
+    t0 = time.perf_counter()
+    reps = 0
+    for q in batches[1:]:
+        vals, rows = pipeline(q)
+        vals, rows = np.asarray(vals), np.asarray(rows)
+        hop = hops[rows % ring]  # hop distance lookup per hit
+        rescored = 0.6 * (1.0 - vals) / (1 + hop) + 0.4 / np.maximum(hop, 1)
+        order = np.argsort(-rescored, axis=1)
+        _ = np.take_along_axis(rows, order, axis=1)
+        reps += 1
+    dt_g = (time.perf_counter() - t0) / reps
+    emit(exp="config5_plus_graph_rescoring", ms=round(dt_g * 1e3, 2),
+         qps=round(b / dt_g, 1),
+         rescoring_overhead_ms=round((dt_g - dt) * 1e3, 3))
+
+
+# ---------------------------------------------------------------------------
+def crossover(n=1_000_000, k=10):
+    """Method x batch-size crossover at 1M x 768."""
+    from fastpyvectordb_tpu.core.collection import Collection
+    from fastpyvectordb_tpu.core.types import CollectionConfig
+
+    d = 768
+    rng = np.random.default_rng(4)
+    emit(exp="crossover_setup", n=n, d=d)
+    v = _gen_corpus(n, d, seed=4)
+    col = Collection(CollectionConfig(
+        name="x", dimensions=d, metric="cosine", compute_dtype="bfloat16",
+        topk="approx"))
+    tile = 500_000
+    for s in range(0, n, tile):
+        col.insert_batch(v[s:s + tile],
+                         [f"v{i}" for i in range(s, min(s + tile, n))])
+    emit(exp="crossover_ingested", rows=col.count())
+
+    def bench(name, call, batches, b):
+        # warm
+        call(batches[0])
+        t0 = time.perf_counter()
+        for q in batches[1:]:
+            call(q)
+        dt = (time.perf_counter() - t0) / (len(batches) - 1)
+        emit(exp=f"crossover_{name}_b{b}", ms=round(dt * 1e3, 3),
+             qps=round(b / dt, 1))
+
+    # exact bf16
+    for b in (1, 8, 64, 256):
+        batches = [rng.standard_normal((b, d)).astype(np.float32)
+                   for _ in range(REPS)]
+        bench("exact_bf16", lambda q: col._store.search(
+            q, k, DistanceMetric.COSINE, compute_dtype="bfloat16",
+            topk="approx"), batches, b)
+
+    # int8 two-stage
+    col.enable_quantized_scan("int8")
+    for b in (1, 8, 64, 256):
+        batches = [rng.standard_normal((b, d)).astype(np.float32)
+                   for _ in range(REPS)]
+        bench("int8_2stage", lambda q: col._quantized.search(q, k, rerank=4),
+              batches, b)
+
+    # binary two-stage
+    col.enable_quantized_scan("binary")
+    for b in (1, 8, 64, 256):
+        batches = [rng.standard_normal((b, d)).astype(np.float32)
+                   for _ in range(REPS)]
+        bench("binary_2stage",
+              lambda q: col._quantized.search(q, k, rerank=16), batches, b)
+
+    # IVF
+    t0 = time.perf_counter()
+    col.build_ann(kind="ivf")
+    emit(exp="crossover_ivf_build", s=round(time.perf_counter() - t0, 1))
+    for b in (1, 8, 64, 256):
+        batches = [rng.standard_normal((b, d)).astype(np.float32)
+                   for _ in range(REPS)]
+        bench("ivf", lambda q: col._ann.search(q, k), batches, b)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("configs", nargs="*",
+                    default=["config1", "config2", "config5", "crossover"])
+    args = ap.parse_args()
+    for c in args.configs:
+        globals()[c]()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Minimal repro for ROADMAP #14: IVF batch-256 returns worse results than
+batch-64 on IDENTICAL queries at 1M x 768.
+
+Bisects the suspects:
+  * batch size (64 / 128 / 256) through the same _ivf_search_kernel
+  * approx vs exact final top-k
+  * the big cell gather (take(cells, probe)) in isolation: checksum of the
+    gathered block at B=64 vs 256 on the same queries
+
+Prints per-variant agreement with the B=64 baseline and recall vs the
+exact scan.  One JSON line per measurement.
+"""
+
+import json
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp
+import numpy as np
+
+from fastpyvectordb_tpu.ann.ivf import _ivf_search_kernel
+from fastpyvectordb_tpu.core.collection import Collection
+from fastpyvectordb_tpu.core.types import CollectionConfig, DistanceMetric
+
+N, D, K, NPROBE = 1_000_000, 768, 10, 64
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    v = np.empty((N, D), np.float32)
+    for s in range(0, N, 500_000):
+        x = rng.standard_normal((min(500_000, N - s), D)).astype(np.float32)
+        v[s:s + x.shape[0]] = x / np.linalg.norm(x, axis=1, keepdims=True)
+    col = Collection(CollectionConfig(name="r", dimensions=D,
+                                      metric="cosine",
+                                      compute_dtype="bfloat16"))
+    for s in range(0, N, 500_000):
+        col.insert_batch(v[s:s + 500_000],
+                         [f"v{i}" for i in range(s, s + 500_000)])
+    col.build_ann(kind="ivf")
+    ivf = col._ann
+    emit(exp="setup", nlist=int(ivf.centroids.shape[0]),
+         cmax=int(ivf.row_table.shape[1]), nprobe=ivf.nprobe)
+
+    q = np.ascontiguousarray(
+        rng.standard_normal((256, D)).astype(np.float32))
+    # exact ground truth
+    _, gt = col._store.search(q, K, DistanceMetric.COSINE,
+                              compute_dtype="bfloat16", topk="approx")
+
+    def run(mqb, approx):
+        outs = []
+        for s in range(0, 256, mqb):
+            sub = jnp.asarray(q[s: s + mqb])
+            _, r = _ivf_search_kernel(
+                sub, ivf.centroids, ivf.cells, ivf.row_table,
+                ivf.overflow_vecs, ivf.overflow_rows, col._store.valid,
+                metric=DistanceMetric.COSINE,
+                k=min(K, ivf.row_table.shape[1] * NPROBE), nprobe=NPROBE,
+                compute_dtype="bfloat16", approx=approx)
+            outs.append(np.asarray(r))
+        return np.concatenate(outs)
+
+    base = run(64, True)
+    rec_base = np.mean([len(set(a.tolist()) & set(e.tolist())) / K
+                        for a, e in zip(base, np.asarray(gt))])
+    emit(exp="baseline_mqb64_approx", recall=round(float(rec_base), 4))
+
+    for mqb in (128, 256):
+        for approx in (True, False):
+            rows = run(mqb, approx)
+            rec = np.mean([len(set(a.tolist()) & set(e.tolist())) / K
+                           for a, e in zip(rows, np.asarray(gt))])
+            agree = np.mean([len(set(a.tolist()) & set(b.tolist())) / K
+                             for a, b in zip(rows, base)])
+            emit(exp=f"mqb{mqb}_{'approx' if approx else 'exact'}",
+                 recall=round(float(rec), 4),
+                 agree_with_mqb64=round(float(agree), 4))
+
+    # isolate the big gather: checksum of gathered candidate rows must be
+    # identical for the same query regardless of batch size
+    @jax.jit
+    def gather_checksum(sub):
+        qf = sub.astype(jnp.float32)
+        cn = ivf.centroids / jnp.maximum(
+            jnp.linalg.norm(ivf.centroids, axis=1, keepdims=True), 1e-30)
+        qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True),
+                              1e-30)
+        croute = -jnp.dot(qn, cn.T, preferred_element_type=jnp.float32)
+        _, probe = jax.lax.top_k(-croute, NPROBE)
+        vecs = jnp.take(ivf.cells, probe, axis=0)
+        return jnp.sum(vecs.astype(jnp.float32), axis=(1, 2, 3)), probe
+
+    cs64 = []
+    pr64 = []
+    for s in range(0, 256, 64):
+        c, p = gather_checksum(jnp.asarray(q[s: s + 64]))
+        cs64.append(np.asarray(c))
+        pr64.append(np.asarray(p))
+    cs64 = np.concatenate(cs64)
+    pr64 = np.concatenate(pr64)
+    c256, p256 = gather_checksum(jnp.asarray(q))
+    c256, p256 = np.asarray(c256), np.asarray(p256)
+    emit(exp="gather_isolation",
+         probe_rows_identical=bool((pr64 == p256).all()),
+         checksum_max_abs_diff=float(np.abs(cs64 - c256).max()),
+         checksum_rel_diff=float(np.abs(cs64 - c256).max()
+                                 / max(np.abs(cs64).max(), 1e-9)))
+
+
+if __name__ == "__main__":
+    main()
