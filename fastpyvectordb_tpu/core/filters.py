@@ -317,6 +317,21 @@ class Condition(Filter):
                     return np.asarray(m, dtype=bool) & present
                 except (TypeError, ValueError):
                     pass  # incomparable literal: fall through to object path
+        if op in (FilterOp.CONTAINS, FilterOp.REGEX):
+            typed = cols.typed(self.field)
+            if typed is not None:  # homogeneous str column: C-speed paths
+                if op == FilterOp.CONTAINS:
+                    m = np.char.find(typed, str(val)) >= 0
+                else:
+                    # numpy has no regex kernel; evaluate once per unique
+                    # value (categorical columns have few) and scatter back
+                    pat = re.compile(str(val))
+                    uniq, inv = np.unique(typed, return_inverse=True)
+                    hit = np.fromiter(
+                        (pat.search(u) is not None for u in uniq),
+                        bool, uniq.size)
+                    m = hit[inv]
+                return np.asarray(m, dtype=bool) & present
         col = cols.objects(self.field)
         if op == FilterOp.EQ:
             return present & np.fromiter(

@@ -46,6 +46,31 @@ def test_contains_regex():
     assert mask_of(Filter.regex("title", r"^ML")) == [False, False, True, False, False]
 
 
+def test_contains_regex_mixed_type_column_falls_back():
+    # a non-str value in the column disables the typed fast path; the
+    # object-row fallback must still match only the str rows
+    rows = [{"t": "alpha beta"}, {"t": 42}, {"t": "beta"}, {}, None]
+    cols = ColumnView(rows)
+    assert Filter.contains("t", "beta").mask(cols).tolist() == \
+        [True, False, True, False, False]
+    assert Filter.regex("t", r"^beta").mask(cols).tolist() == \
+        [False, False, True, False, False]
+    for f in (Filter.contains("t", "beta"), Filter.regex("t", r"^beta")):
+        assert f.mask(cols).tolist() == [f.evaluate(r) for r in rows]
+
+
+def test_contains_regex_vectorized_matches_rowwise():
+    # larger homogeneous-str column exercises the np.char.find / unique
+    # scatter paths; must agree with per-row evaluate exactly
+    rows = [{"s": f"item-{i % 7}-{'even' if i % 2 == 0 else 'odd'}"}
+            for i in range(500)]
+    rows[100] = {}  # missing field
+    cols = ColumnView(rows)
+    for f in (Filter.contains("s", "even"), Filter.contains("s", "item-3"),
+              Filter.regex("s", r"item-[12]-"), Filter.regex("s", r"odd$")):
+        assert f.mask(cols).tolist() == [f.evaluate(r) for r in rows]
+
+
 def test_composition():
     f = Filter.and_([Filter.eq("cat", "book"), Filter.gt("price", 5)])
     assert mask_of(f) == [True, False, False, False, False]
