@@ -141,12 +141,11 @@ def config5(n=5_000_000, b=64, k=10, rerank=16):
 
     batches = qbatches(rng, REPS, b, d)
     c = k * rerank
-    n_chunks = 16
 
     def pipeline(q):
         return _binary_two_stage(
             q, qz.thresholds, codes_tp, vbf16, maskp, dims=d,
-            metric=DistanceMetric.COSINE, k=k, c=c, n_chunks=n_chunks,
+            metric=DistanceMetric.COSINE, k=k, c=c,
             rerank_dtype="bfloat16")
 
     # ground truth: exact bf16 scan (for recall)

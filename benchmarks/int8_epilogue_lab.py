@@ -95,6 +95,8 @@ def v2_rawint(q, codes, rs_vmin_qconst_dummy, rs, vectors, mask, *,
 
 
 def main():
+    import sys
+    want = set(sys.argv[1:]) or {"raw", "v0", "v1", "v2"}
     metric = DistanceMetric.COSINE
     rng = np.random.default_rng(0)
     print(json.dumps({"exp": "setup", "n": N, "d": D, "b": B, "c": C}),
@@ -126,37 +128,42 @@ def main():
     gt_last = gt[-1]
     print(json.dumps({"exp": "ground_truth_ready"}), flush=True)
 
-    # raw matmul reference point
-    @jax.jit
-    def raw_mm(q):
-        qi = jnp.clip(jnp.round(q * 127.0), -127, 127).astype(jnp.int8)
-        ci = jax.lax.dot_general(
-            qi, codes, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        return jnp.sum(ci, axis=1)  # force materialization cheaply
+    if "raw" in want:
+        # raw matmul reference point
+        @jax.jit
+        def raw_mm(q):
+            qi = jnp.clip(jnp.round(q * 127.0), -127, 127).astype(jnp.int8)
+            ci = jax.lax.dot_general(
+                qi, codes, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return jnp.sum(ci, axis=1)  # force materialization cheaply
 
-    dt = timed(raw_mm, batches)
-    print(json.dumps({"exp": "raw_s8s8_matmul", "ms": round(dt * 1e3, 2)}),
-          flush=True)
+        dt = timed(raw_mm, batches)
+        print(json.dumps({"exp": "raw_s8s8_matmul",
+                          "ms": round(dt * 1e3, 2)}), flush=True)
 
-    # v0: shipped pipeline
-    f0 = lambda q: _int8_two_stage(
-        q, codes, qz.vmin, qz.scale, vsq, rinv, vbf16, mask, metric=metric,
-        k=K, c=C, n_chunks=16, approx=True, rerank_dtype="bfloat16")
-    dt = timed(f0, batches)
-    report("v0_current", dt, f0(batches[-1])[1], gt_last)
+    if "v0" in want:
+        # v0: shipped pipeline (post-fix this equals v1's structure; the
+        # round-1 hierarchical-selection pipeline measured 110 ms here)
+        f0 = lambda q: _int8_two_stage(
+            q, codes, qz.vmin, qz.scale, vsq, rinv, vbf16, mask,
+            metric=metric, k=K, c=C, approx=True, rerank_dtype="bfloat16")
+        dt = timed(f0, batches)
+        report("v0_current", dt, f0(batches[-1])[1], gt_last)
 
-    # v1: direct approx_max_k on fused scores
-    f1 = lambda q: v1_direct(q, codes, qz.vmin, qz.scale, vsq, rinv, vbf16,
-                             mask, metric=metric, k=K, c=C)
-    dt = timed(f1, batches)
-    report("v1_direct", dt, f1(batches[-1])[1], gt_last)
+    if "v1" in want:
+        # v1: direct approx_max_k on fused scores
+        f1 = lambda q: v1_direct(q, codes, qz.vmin, qz.scale, vsq, rinv,
+                                 vbf16, mask, metric=metric, k=K, c=C)
+        dt = timed(f1, batches)
+        report("v1_direct", dt, f1(batches[-1])[1], gt_last)
 
-    # v2: raw-int32 ranking (normalized corpus)
-    f2 = lambda q: v2_rawint(q, codes, None, rs, vbf16, mask,
-                             metric=metric, k=K, c=C)
-    dt = timed(f2, batches)
-    report("v2_rawint", dt, f2(batches[-1])[1], gt_last)
+    if "v2" in want:
+        # v2: raw-int32 ranking (normalized corpus)
+        f2 = lambda q: v2_rawint(q, codes, None, rs, vbf16, mask,
+                                 metric=metric, k=K, c=C)
+        dt = timed(f2, batches)
+        report("v2_rawint", dt, f2(batches[-1])[1], gt_last)
 
 
 if __name__ == "__main__":

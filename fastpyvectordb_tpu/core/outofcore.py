@@ -88,6 +88,11 @@ class OutOfCoreSearcher:
         best_vals = jnp.full((b, kk), MASKED, dtype=jnp.float32)
         best_rows = jnp.zeros((b, kk), dtype=jnp.int32)
         t = self.tile_rows
+        # bf16 serving: demote tiles on the HOST so each host->device copy
+        # moves half the bytes — the transfer, not the matmul, bounds
+        # streamed search
+        wire_dtype = (jnp.bfloat16 if jnp.dtype(self.compute_dtype)
+                      == jnp.bfloat16 else np.float32)
         for start in range(0, self.n, t):
             stop = min(start + t, self.n)
             rows = stop - start
@@ -99,6 +104,7 @@ class OutOfCoreSearcher:
                 tile_mask[:rows] = True
             if rows < t:
                 tile_np = np.pad(tile_np, ((0, t - rows), (0, 0)))
+            tile_np = tile_np.astype(wire_dtype)
             best_vals, best_rows = _tile_step(
                 qd, jnp.asarray(tile_np), jnp.asarray(tile_mask),
                 jnp.int32(start), best_vals, best_rows,

@@ -62,29 +62,19 @@ def _masked_topk(s, mask, *, k: int, approx: bool):
     return -neg, rows
 
 
-@functools.partial(jax.jit, static_argnames=("k_per_chunk", "n_chunks"))
-def _masked_candidates_chunked(s, mask, *, k_per_chunk: int,
-                               n_chunks: int):
-    """Hierarchical candidate selection: approx_max_k's cost scales with k,
-    so instead of one large-k reduction over N, take a small top-k from each
-    of ``n_chunks`` column chunks and return their union (unordered — the
-    exact re-rank stage orders).  The true global top results live in
-    *some* chunk's top-k, so candidate recall is preserved while the
-    reduction cost drops by ~n_chunks."""
-    b, n = s.shape
+def _masked_candidates(s, mask, *, c: int):
+    """Masked approximate candidate selection, directly on the (B, N)
+    scores with the TPU's hardware approx top-k.
+
+    Round-2 finding (benchmarks/int8_epilogue_lab.py): the round-1
+    hierarchical pad->reshape->3-D per-chunk selection broke XLA's
+    matmul->reduction fusion and cost ~110 ms/batch at 1M x 768; one
+    direct ``approx_max_k`` over the fused scores runs the same pipeline
+    in 5.6 ms at candidate-recall >= 0.99 after exact re-rank."""
     if mask is not None:
         s = jnp.where(mask[None, :], s, MASKED)
-    pad = (-n) % n_chunks
-    if pad:
-        s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=MASKED)
-    chunk = s.shape[1] // n_chunks
-    sc = s.reshape(b, n_chunks, chunk)
-    neg, idx = jax.lax.approx_max_k(-sc, k_per_chunk, recall_target=0.95)
-    offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[None, :, None]
-    rows = (idx + offs).reshape(b, n_chunks * k_per_chunk)
-    vals = (-neg).reshape(b, n_chunks * k_per_chunk)
-    rows = jnp.where(rows < n, rows, 0)
-    return vals, rows
+    neg, rows = jax.lax.approx_max_k(-s, c, recall_target=0.95)
+    return -neg, rows
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
@@ -168,20 +158,19 @@ def _rerank(queries: jnp.ndarray, cand_vecs: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "metric", "k", "c", "n_chunks", "approx", "rerank_dtype"))
+    "metric", "k", "c", "approx", "rerank_dtype"))
 def _int8_two_stage(q, codes, vmin, scale, vsq, rinv, vectors, mask, *,
-                    metric: DistanceMetric, k: int, c: int, n_chunks: int,
+                    metric: DistanceMetric, k: int, c: int,
                     approx: bool, rerank_dtype: str):
     """The ENTIRE int8 two-stage search as one dispatch: int8-MXU coarse
-    scan -> hierarchical candidate selection -> gather -> exact re-rank ->
+    scan -> approx candidate selection -> gather -> exact re-rank ->
     final top-k.  One dispatch matters: each separate call pays tunnel /
     host latency that can exceed the kernel time."""
     from .scalar import _distances_int8_matmul
     s = _distances_int8_matmul(q, codes, vmin, scale, vsq, rinv,
                                metric=metric)
     if approx:
-        cvals, crows = _masked_candidates_chunked(
-            s, mask, k_per_chunk=-(-c // n_chunks), n_chunks=n_chunks)
+        cvals, crows = _masked_candidates(s, mask, c=c)
     else:
         if mask is not None:
             s = jnp.where(mask[None, :], s, MASKED)
@@ -193,13 +182,13 @@ def _int8_two_stage(q, codes, vmin, scale, vsq, rinv, vectors, mask, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "dims", "metric", "k", "c", "n_chunks", "rerank_dtype"))
+    "dims", "metric", "k", "c", "rerank_dtype"))
 def _binary_two_stage(q, thresholds, codes_t, vectors, mask, *, dims: int,
-                      metric: DistanceMetric, k: int, c: int, n_chunks: int,
+                      metric: DistanceMetric, k: int, c: int,
                       rerank_dtype: str):
     """The ENTIRE binary two-stage search as one dispatch (TPU path):
     query sign bits -> MXU Hamming scan (kernels/pallas_quant.py:
-    hamming_mxu_scores) -> hierarchical candidate selection -> gather ->
+    hamming_mxu_scores) -> approx candidate selection -> gather ->
     exact re-rank.  Caller pre-pads: B to a multiple of 8, codes_t columns
     to the Pallas tile, mask to the padded width (False on padding)."""
     from ..kernels.pallas_quant import hamming_mxu_scores
@@ -212,8 +201,7 @@ def _binary_two_stage(q, thresholds, codes_t, vectors, mask, *, dims: int,
         bits = jnp.pad(bits, ((0, 0), (0, pad)))
     qpm = (2.0 * bits.astype(jnp.float32) - 1.0).astype(jnp.bfloat16)
     s = hamming_mxu_scores(qpm, codes_t)
-    cvals, crows = _masked_candidates_chunked(
-        s, mask, k_per_chunk=-(-c // n_chunks), n_chunks=n_chunks)
+    cvals, crows = _masked_candidates(s, mask, c=c)
     safe = jnp.minimum(crows, vectors.shape[0] - 1)
     cand_vecs = jnp.take(vectors, safe, axis=0)  # native storage dtype
     return _rerank_body(q, cand_vecs, safe, cvals < MASKED * 0.5, metric,
@@ -297,7 +285,6 @@ class QuantizedScan:
         c = min(max(k * max(rerank, 1), k), n)
         on_tpu = pallas_quant.on_tpu()
         rerank_dtype = getattr(self, "compute_dtype", "float32")
-        n_chunks = max(1, min(16, n // 16384))
         kk = min(k, c)
 
         # single-dispatch full pipelines (coarse scan -> candidates ->
@@ -311,8 +298,7 @@ class QuantizedScan:
             dists, rows = _int8_two_stage(
                 jnp.asarray(q), jnp.asarray(self.codes), qz.vmin, qz.scale,
                 vsq, rinv, self._store.vectors, m, metric=self.metric,
-                k=kk, c=c, n_chunks=n_chunks, approx=on_tpu,
-                rerank_dtype=rerank_dtype)
+                k=kk, c=c, approx=on_tpu, rerank_dtype=rerank_dtype)
             return np.asarray(dists), np.asarray(rows)
 
         if self.kind == "binary" and rerank > 1 and on_tpu:
@@ -324,7 +310,7 @@ class QuantizedScan:
                 jnp.asarray(qp), self.quantizer.thresholds,
                 self._codes_t_padded, self._store.vectors, self._mask_padded(m),
                 dims=self.quantizer.dims, metric=self.metric, k=kk, c=c,
-                n_chunks=n_chunks, rerank_dtype=rerank_dtype)
+                rerank_dtype=rerank_dtype)
             return np.asarray(dists)[:b], np.asarray(rows)[:b]
 
         # general path (PQ, CPU binary, rerank<=1)

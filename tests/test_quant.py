@@ -206,16 +206,16 @@ def test_bfloat16_collection_config(corpus):
     assert col.search(v[7], k=1, exact=False)[0].id == "v7"
 
 
-def test_hierarchical_candidate_selection_covers_global_top():
-    """The per-chunk candidate union must contain the true global top-k."""
+def test_candidate_selection_covers_global_top():
+    """The approx candidate set must contain the true global top-k and
+    never surface masked rows (CPU approx_max_k falls back to exact)."""
     import jax.numpy as jnp
-    from fastpyvectordb_tpu.quant.scan import _masked_candidates_chunked
+    from fastpyvectordb_tpu.quant.scan import _masked_candidates
     rng = np.random.default_rng(4)
     s = rng.standard_normal((6, 1000)).astype(np.float32)
     mask = np.ones(1000, dtype=bool)
     mask[500:600] = False
-    vals, rows = _masked_candidates_chunked(
-        jnp.asarray(s), jnp.asarray(mask), k_per_chunk=16, n_chunks=8)
+    vals, rows = _masked_candidates(jnp.asarray(s), jnp.asarray(mask), c=128)
     rows = np.asarray(rows)
     masked_s = np.where(mask[None, :], s, np.inf)
     want = np.argsort(masked_s, axis=1)[:, :10]
