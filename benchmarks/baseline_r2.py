@@ -95,16 +95,9 @@ def config2():
 
 
 # ---------------------------------------------------------------------------
-def _gen_corpus(n, d, seed=0, chunk=500_000):
-    """Host-side normalized corpus, chunked to bound peak RAM."""
-    rng = np.random.default_rng(seed)
-    out = np.empty((n, d), np.float32)
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        x = rng.standard_normal((e - s, d)).astype(np.float32)
-        x /= np.linalg.norm(x, axis=1, keepdims=True)
-        out[s:e] = x
-    return out
+# recall-bearing configs use the clustered corpus (quantizers/ANN exploit
+# structure; see benchmarks/_data.py)
+from _data import clustered_corpus, clustered_queries  # noqa: E402
 
 
 def config5(n=5_000_000, b=64, k=10, rerank=16):
@@ -115,7 +108,7 @@ def config5(n=5_000_000, b=64, k=10, rerank=16):
     d = 768
     rng = np.random.default_rng(2)
     emit(exp="config5_setup", n=n, d=d, b=b, rerank=rerank)
-    v = _gen_corpus(n, d, seed=2)
+    v, centers = clustered_corpus(n, d, seed=2)
 
     # serving copy: bf16 on device (f32 would be 15.4 GB > HBM)
     vdev = jnp.asarray(v[:1]).astype(jnp.bfloat16)  # placeholder warm
@@ -139,7 +132,8 @@ def config5(n=5_000_000, b=64, k=10, rerank=16):
          bf16_gb=round(vbf16.nbytes / 2**30, 2),
          codes_gb=round(codes_tp.nbytes / 2**30, 2))
 
-    batches = qbatches(rng, REPS, b, d)
+    batches = [jnp.asarray(clustered_queries(centers, b, seed=100 + i))
+               for i in range(REPS)]
     c = k * rerank
 
     def pipeline(q):
@@ -203,9 +197,8 @@ def crossover(n=1_000_000, k=10):
     from fastpyvectordb_tpu.core.types import CollectionConfig
 
     d = 768
-    rng = np.random.default_rng(4)
     emit(exp="crossover_setup", n=n, d=d)
-    v = _gen_corpus(n, d, seed=4)
+    v, centers = clustered_corpus(n, d, seed=4)
     col = Collection(CollectionConfig(
         name="x", dimensions=d, metric="cosine", compute_dtype="bfloat16",
         topk="approx"))
@@ -215,48 +208,65 @@ def crossover(n=1_000_000, k=10):
                          [f"v{i}" for i in range(s, min(s + tile, n))])
     emit(exp="crossover_ingested", rows=col.count())
 
-    def bench(name, call, batches, b):
-        # warm
-        call(batches[0])
-        t0 = time.perf_counter()
-        for q in batches[1:]:
-            call(q)
-        dt = (time.perf_counter() - t0) / (len(batches) - 1)
-        emit(exp=f"crossover_{name}_b{b}", ms=round(dt * 1e3, 3),
-             qps=round(b / dt, 1))
+    # clustered queries per batch size + exact ground truth for recall
+    qsets = {b: [clustered_queries(centers, b, seed=1000 * b + i)
+                 for i in range(REPS)]
+             for b in (1, 8, 64, 256, 1024)}
+    gt_last = {}
 
-    # exact bf16
-    for b in (1, 8, 64, 256):
-        batches = [rng.standard_normal((b, d)).astype(np.float32)
-                   for _ in range(REPS)]
+    def bench(name, call, b, recall_vs=None):
+        batches = qsets[b]
+        try:
+            call(batches[0])  # warm/compile
+            t0 = time.perf_counter()
+            for q in batches[1:]:
+                out = call(q)
+            dt = (time.perf_counter() - t0) / (len(batches) - 1)
+            row = {"exp": f"crossover_{name}_b{b}", "ms": round(dt * 1e3, 3),
+                   "qps": round(b / dt, 1)}
+            rows = np.asarray(out[1])
+            if recall_vs is not None:
+                gt = recall_vs[b]
+                row["recall"] = round(float(np.mean(
+                    [len(set(a.tolist()) & set(e.tolist())) / k
+                     for a, e in zip(rows, gt)])), 4)
+            else:
+                gt_last[b] = rows  # exact pass doubles as ground truth
+            emit(**row)
+        except Exception as e:  # OOM at the largest batches: record, go on
+            emit(exp=f"crossover_{name}_b{b}", error=f"{type(e).__name__}",
+                 detail=str(e)[:200])
+
+    # exact bf16 (B=1024 is the headline bench.py config)
+    for b in (1, 8, 64, 256, 1024):
         bench("exact_bf16", lambda q: col._store.search(
             q, k, DistanceMetric.COSINE, compute_dtype="bfloat16",
-            topk="approx"), batches, b)
+            topk="approx"), b)
 
-    # int8 two-stage
+    # int8 two-stage — the int8 MXU path is 2x bf16 peak and streams half
+    # the bytes, so at large batch it can overtake the exact bf16 scan
     col.enable_quantized_scan("int8")
-    for b in (1, 8, 64, 256):
-        batches = [rng.standard_normal((b, d)).astype(np.float32)
-                   for _ in range(REPS)]
+    for b in (1, 8, 64, 256, 1024):
         bench("int8_2stage", lambda q: col._quantized.search(q, k, rerank=4),
-              batches, b)
+              b, recall_vs=gt_last)
 
     # binary two-stage
     col.enable_quantized_scan("binary")
     for b in (1, 8, 64, 256):
-        batches = [rng.standard_normal((b, d)).astype(np.float32)
-                   for _ in range(REPS)]
         bench("binary_2stage",
-              lambda q: col._quantized.search(q, k, rerank=16), batches, b)
+              lambda q: col._quantized.search(q, k, rerank=16), b,
+              recall_vs=gt_last)
 
-    # IVF
+    # IVF (drop the quantized snapshot first — the cell tensor is another
+    # 1.5 GB and HBM is 16 GB)
+    col._quantized = None
     t0 = time.perf_counter()
     col.build_ann(kind="ivf")
-    emit(exp="crossover_ivf_build", s=round(time.perf_counter() - t0, 1))
+    emit(exp="crossover_ivf_build", s=round(time.perf_counter() - t0, 1),
+         **{kk: vv for kk, vv in col._ann.stats().items()
+            if kk in ("nlist", "cmax", "nprobe")})
     for b in (1, 8, 64, 256):
-        batches = [rng.standard_normal((b, d)).astype(np.float32)
-                   for _ in range(REPS)]
-        bench("ivf", lambda q: col._ann.search(q, k), batches, b)
+        bench("ivf", lambda q: col._ann.search(q, k), b, recall_vs=gt_last)
 
 
 def main():

@@ -40,12 +40,9 @@ def bench(call, batches):
 
 
 def main():
+    from _data import clustered_corpus, clustered_queries
     want = sys.argv[1:] or ["exact", "ivf", "g64x12", "g128x16"]
-    rng = np.random.default_rng(7)
-    v = np.empty((N, D), np.float32)
-    for s in range(0, N, 500_000):
-        x = rng.standard_normal((min(500_000, N - s), D)).astype(np.float32)
-        v[s:s + x.shape[0]] = x / np.linalg.norm(x, axis=1, keepdims=True)
+    v, centers = clustered_corpus(N, D, seed=7)
     col = Collection(CollectionConfig(name="g", dimensions=D, metric="cosine",
                                       compute_dtype="bfloat16",
                                       topk="approx"))
@@ -55,9 +52,8 @@ def main():
     emit(exp="ingested", rows=col.count())
 
     # per-batch-size query sets + exact ground truth for recall
-    qsets = {b: [np.ascontiguousarray(
-        rng.standard_normal((b, D)).astype(np.float32))
-        for _ in range(REPS)] for b in BATCHES}
+    qsets = {b: [clustered_queries(centers, b, seed=10 * b + i)
+                 for i in range(REPS)] for b in BATCHES}
     gt = {}
     for b in BATCHES:
         if "exact" in want:

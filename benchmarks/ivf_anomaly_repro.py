@@ -1,14 +1,18 @@
-"""Minimal repro for ROADMAP #14: IVF batch-256 returns worse results than
-batch-64 on IDENTICAL queries at 1M x 768.
+"""Minimal repro for ROADMAP #14: IVF batch-256 returned worse results than
+batch-64 on IDENTICAL queries at 1M x 768 in round 1.
 
-Bisects the suspects:
-  * batch size (64 / 128 / 256) through the same _ivf_search_kernel
-  * approx vs exact final top-k
-  * the big cell gather (take(cells, probe)) in isolation: checksum of the
-    gathered block at B=64 vs 256 on the same queries
+Round-2 findings so far:
+  * the corpus must be CLUSTERED (r1's setup) — on uniform Gaussian data
+    IVF recall is legitimately poor at any batch size and the comparison
+    is meaningless;
+  * at r1's default nprobe=32 with nlist=2000 the B=256 block gather is
+    (256, 32, cmax, 768) bf16 ~ 18 GB and the compile simply OOMs HBM —
+    large batches are a capacity cliff, not a silent-wrong-answer mode.
+    This repro uses r1's measured anomaly config (nlist=2048, nprobe=8,
+    gather ~2.3 GB) where B=256 compiles, to test for a true mismatch.
 
-Prints per-variant agreement with the B=64 baseline and recall vs the
-exact scan.  One JSON line per measurement.
+Bisects: batch size (64/128/256) x approx/exact final top-k, plus the
+cell gather isolated with checksums.  One JSON line per measurement.
 """
 
 import json
@@ -19,11 +23,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import jax.numpy as jnp
 import numpy as np
 
+from _data import clustered_corpus, clustered_queries
 from fastpyvectordb_tpu.ann.ivf import _ivf_search_kernel
 from fastpyvectordb_tpu.core.collection import Collection
 from fastpyvectordb_tpu.core.types import CollectionConfig, DistanceMetric
 
-N, D, K, NPROBE = 1_000_000, 768, 10, 64
+N, D, K, NLIST, NPROBE = 1_000_000, 768, 10, 2048, 8
 
 
 def emit(**kw):
@@ -31,27 +36,25 @@ def emit(**kw):
 
 
 def main():
-    rng = np.random.default_rng(0)
-    v = np.empty((N, D), np.float32)
-    for s in range(0, N, 500_000):
-        x = rng.standard_normal((min(500_000, N - s), D)).astype(np.float32)
-        v[s:s + x.shape[0]] = x / np.linalg.norm(x, axis=1, keepdims=True)
+    v, centers = clustered_corpus(N, D, seed=0)
     col = Collection(CollectionConfig(name="r", dimensions=D,
                                       metric="cosine",
                                       compute_dtype="bfloat16"))
     for s in range(0, N, 500_000):
-        col.insert_batch(v[s:s + 500_000],
-                         [f"v{i}" for i in range(s, s + 500_000)])
-    col.build_ann(kind="ivf")
+        e = min(s + 500_000, N)
+        col.insert_batch(v[s:e], [f"v{i}" for i in range(s, e)])
+    col.build_ann(kind="ivf", nlist=NLIST, nprobe=NPROBE)
     ivf = col._ann
     emit(exp="setup", nlist=int(ivf.centroids.shape[0]),
-         cmax=int(ivf.row_table.shape[1]), nprobe=ivf.nprobe)
+         cmax=int(ivf.row_table.shape[1]), nprobe=NPROBE,
+         gather_gb=round(256 * NPROBE * ivf.row_table.shape[1] * D * 2
+                         / 2**30, 2))
 
-    q = np.ascontiguousarray(
-        rng.standard_normal((256, D)).astype(np.float32))
+    q = clustered_queries(centers, 256, seed=1)
     # exact ground truth
     _, gt = col._store.search(q, K, DistanceMetric.COSINE,
                               compute_dtype="bfloat16", topk="approx")
+    gt = np.asarray(gt)
 
     def run(mqb, approx):
         outs = []
@@ -68,14 +71,19 @@ def main():
 
     base = run(64, True)
     rec_base = np.mean([len(set(a.tolist()) & set(e.tolist())) / K
-                        for a, e in zip(base, np.asarray(gt))])
+                        for a, e in zip(base, gt)])
     emit(exp="baseline_mqb64_approx", recall=round(float(rec_base), 4))
 
     for mqb in (128, 256):
         for approx in (True, False):
-            rows = run(mqb, approx)
+            try:
+                rows = run(mqb, approx)
+            except Exception as e:
+                emit(exp=f"mqb{mqb}_{'approx' if approx else 'exact'}",
+                     error=type(e).__name__, detail=str(e)[:160])
+                continue
             rec = np.mean([len(set(a.tolist()) & set(e.tolist())) / K
-                           for a, e in zip(rows, np.asarray(gt))])
+                           for a, e in zip(rows, gt)])
             agree = np.mean([len(set(a.tolist()) & set(b.tolist())) / K
                              for a, b in zip(rows, base)])
             emit(exp=f"mqb{mqb}_{'approx' if approx else 'exact'}",
@@ -96,8 +104,7 @@ def main():
         vecs = jnp.take(ivf.cells, probe, axis=0)
         return jnp.sum(vecs.astype(jnp.float32), axis=(1, 2, 3)), probe
 
-    cs64 = []
-    pr64 = []
+    cs64, pr64 = [], []
     for s in range(0, 256, 64):
         c, p = gather_checksum(jnp.asarray(q[s: s + 64]))
         cs64.append(np.asarray(c))
