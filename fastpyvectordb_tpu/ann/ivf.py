@@ -285,7 +285,16 @@ class IVFIndex:
             validmask = jnp.logical_and(validmask, jnp.asarray(m))
         cfg = self._collection.config
         outs_d, outs_r = [], []
-        # bound per-dispatch gather memory: process queries in sub-batches
+        # bound per-dispatch gather memory: the probe materializes a
+        # (b, nprobe, cmax, D) block, so cap the sub-batch such that the
+        # gather stays under ~4 GB (measured: 18 GB at B=256/nprobe=32/
+        # cmax=752/768-d OOMs the 16 GB HBM outright)
+        cmax = self.row_table.shape[1]
+        d = self.centroids.shape[1]
+        itemsize = self.cells.dtype.itemsize
+        per_q = max(nprobe * cmax * d * itemsize, 1)
+        safe_b = max(8, int((4 << 30) // per_q) // 8 * 8)
+        max_query_batch = int(min(max_query_batch, safe_b))
         for s in range(0, q.shape[0], max_query_batch):
             sub = q[s: s + max_query_batch]
             real = sub.shape[0]

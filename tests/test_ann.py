@@ -114,3 +114,17 @@ def test_graph_ann_persistence_roundtrip(tmp_path, rng):
                           np.asarray(col._ann.neighbors))
     hits = col2.search(v[7], k=1, exact=False)
     assert hits[0].id == "v7"
+
+
+def test_batch_size_does_not_change_results(built):
+    """Identical queries must return identical rows regardless of the
+    internal sub-batch size (round-1 ROADMAP #14); the sub-batch is also
+    memory-capped so huge batches chunk instead of OOMing the gather."""
+    col, v, q = built
+    rng = np.random.default_rng(3)
+    centers = v[rng.integers(0, v.shape[0], 8)]
+    qq = np.concatenate([q, centers + 0.1 * rng.standard_normal(
+        (8, v.shape[1])).astype(np.float32)])  # 24 queries
+    _, r_small = col._ann.search(qq, 5, max_query_batch=8)
+    _, r_big = col._ann.search(qq, 5, max_query_batch=256)
+    assert np.array_equal(r_small, r_big)
