@@ -302,12 +302,18 @@ class IVFIndex:
             if pad:
                 sub = np.pad(sub, ((0, pad), (0, 0)))
             from ..kernels import pallas_quant
+            # ROADMAP #14 root cause (round 2, on chip): approx_max_k over
+            # the candidate axis loses recall batch-dependently (0.93 exact
+            # vs 0.88 approx at B>=128, identical queries) while exact
+            # top_k over the ~nprobe*cmax candidates is cheap — approx only
+            # pays (and stays accurate) on very wide reductions
+            ncand = nprobe * self.row_table.shape[1]
             d, r = _ivf_search_kernel(
                 jnp.asarray(sub), self.centroids, self.cells, self.row_table,
                 self.overflow_vecs, self.overflow_rows, validmask,
                 metric=cfg.metric, k=min(k, self.row_table.shape[1] * nprobe),
                 nprobe=nprobe, compute_dtype=cfg.compute_dtype,
-                approx=pallas_quant.on_tpu())
+                approx=pallas_quant.on_tpu() and ncand > 131_072)
             outs_d.append(np.asarray(d)[:real])
             outs_r.append(np.asarray(r)[:real])
         return np.concatenate(outs_d), np.concatenate(outs_r)
