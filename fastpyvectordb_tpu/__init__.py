@@ -16,6 +16,7 @@ from .core.types import (  # noqa: F401
 )
 from .core.filters import Filter, FilterOp  # noqa: F401
 from .core.collection import Collection  # noqa: F401
+from .core.bigcollection import BigCollection  # noqa: F401
 from .core.vectordb import VectorDB  # noqa: F401
 
 __version__ = "0.1.0"
@@ -27,6 +28,7 @@ __all__ = [
     "Filter",
     "FilterOp",
     "Collection",
+    "BigCollection",
     "VectorDB",
     "__version__",
 ]

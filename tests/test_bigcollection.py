@@ -1,0 +1,118 @@
+"""BigCollection: host vectors + device codes for beyond-HBM corpora
+(the TPU rendition of the reference's >10M mmap+binary+re-rank tier,
+README.md:571-578, parallel_search.py:427-750, 895-947)."""
+
+import numpy as np
+import pytest
+
+from fastpyvectordb_tpu import BigCollection, Filter
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((32, 64)).astype(np.float32) * 2
+    v = centers[rng.integers(0, 32, 6000)] + 0.3 * rng.standard_normal(
+        (6000, 64)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    q = centers[rng.integers(0, 32, 12)] + 0.3 * rng.standard_normal(
+        (12, 64)).astype(np.float32)
+    return v, q
+
+
+def exact_topk(v, valid, q, k):
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    vn = v
+    s = 1 - qn @ vn.T
+    s[:, ~valid] = np.inf
+    return np.argsort(s, axis=1)[:, :k]
+
+
+@pytest.fixture(scope="module", params=["binary", "int8"])
+def built(request, data):
+    v, q = data
+    col = BigCollection(64, metric="cosine", codec=request.param)
+    col.insert_batch(v[:5000], [f"v{i}" for i in range(5000)],
+                     [{"g": i % 4} for i in range(5000)])
+    return col, v, q
+
+
+def test_recall_vs_exact(built, data):
+    col, v, q = built
+    gt = exact_topk(v[:5000], np.ones(5000, bool), q, 10)
+    hits = col.search_batch(q, k=10, rerank=16)
+    rec = np.mean([
+        len({int(h.id[1:]) for h in hl} & set(g.tolist())) / 10
+        for hl, g in zip(hits, gt)])
+    # binary 1-bit coarse + exact re-rank clears 0.8 on clustered data;
+    # int8 is near-exact
+    assert rec >= (0.8 if col.codec == "binary" else 0.95), rec
+
+
+def test_incremental_append_served(built, data):
+    col, v, q = built
+    if col.count() == 5000:
+        col.insert_batch(v[5000:6000], [f"v{i}" for i in range(5000, 6000)],
+                         [{"g": i % 4} for i in range(5000, 6000)])
+    # a query equal to an appended row must find it (no rebuild happened)
+    hits = col.search(v[5500], k=3, rerank=16)
+    assert hits[0].id == "v5500"
+
+
+def test_filtered_search(built):
+    col, v, q = built
+    hits = col.search(q[0], k=8, filter=Filter.eq("g", 2), rerank=32)
+    assert hits and all(h.metadata["g"] == 2 for h in hits)
+
+
+def test_delete_tombstones(built, data):
+    col, v, q = built
+    target = col.search(v[123], k=1)[0]
+    assert target.id == "v123"
+    assert col.delete("v123")
+    hits = col.search(v[123], k=3)
+    assert all(h.id != "v123" for h in hits)
+    # restore for other tests (unique id, re-insert allowed after delete)
+    col.insert(v[123], "v123", {"g": 123 % 4})
+
+
+def test_dup_and_dims_validation(built):
+    col, v, q = built
+    with pytest.raises(ValueError):
+        col.insert(v[0], "v0")
+    with pytest.raises(ValueError):
+        col.insert(np.zeros(8, np.float32), "tiny")
+
+
+def test_memory_compression(built):
+    col, _, _ = built
+    m = col.memory_usage()
+    want = 28 if col.codec == "binary" else 3.5
+    assert m["compression"] >= want, m
+
+
+def test_persistence_roundtrip(tmp_path, data):
+    v, q = data
+    col = BigCollection(64, metric="cosine", codec="binary",
+                        base_path=tmp_path / "big")
+    col.insert_batch(v[:2000], [f"v{i}" for i in range(2000)],
+                     [{"g": i % 4} for i in range(2000)])
+    col.delete("v7")
+    col.save()
+
+    col2 = BigCollection(64, base_path=tmp_path / "big")
+    assert col2.codec == "binary" and col2.count() == 1999
+    hits = col2.search(v[42], k=1)
+    assert hits[0].id == "v42"
+    assert all(h.id != "v7" for h in col2.search(v[7], k=5))
+    # reloaded store keeps appending incrementally
+    col2.insert(v[3000], "fresh", {"g": 0})
+    assert col2.search(v[3000], k=1)[0].id == "fresh"
+
+
+def test_empty_and_k_gt_count():
+    col = BigCollection(16, codec="int8")
+    assert col.search(np.zeros(16, np.float32), k=5) == []
+    col.insert_batch(np.eye(16, dtype=np.float32)[:3], ["a", "b", "c"])
+    hits = col.search(np.eye(16, dtype=np.float32)[0], k=50)
+    assert len(hits) == 3 and hits[0].id == "a"
