@@ -269,6 +269,81 @@ def crossover(n=1_000_000, k=10):
         bench("ivf", lambda q: col._ann.search(q, k), b, recall_vs=gt_last)
 
 
+def crossover_kernel(n=1_000_000, k=10):
+    """Kernel-level method x batch crossover: device-staged query batches,
+    direct kernel calls — the hardware truth with the dev-tunnel dispatch
+    overhead (~30 ms + ~60 ms/MB H2D in this environment) factored out.
+    Shapes match the API-level crossover so compiles are cache hits."""
+    from fastpyvectordb_tpu.core.collection import Collection
+    from fastpyvectordb_tpu.core.types import CollectionConfig
+    from fastpyvectordb_tpu.kernels import distances as Kd
+    from fastpyvectordb_tpu.quant.scan import (_binary_two_stage,
+                                               _int8_two_stage)
+
+    d = 768
+    emit(exp="crossover_kernel_setup", n=n, d=d)
+    v, centers = clustered_corpus(n, d, seed=4)
+    col = Collection(CollectionConfig(
+        name="xk", dimensions=d, metric="cosine", compute_dtype="bfloat16",
+        topk="approx"))
+    tile = 500_000
+    for s in range(0, n, tile):
+        col.insert_batch(v[s:s + tile],
+                         [f"v{i}" for i in range(s, min(s + tile, n))])
+    store = col._store
+    metric = DistanceMetric.COSINE
+
+    def qsets(b):
+        # pad to the store's pow2 bucket so compiles are shared
+        bp = max(8, 1 << (b - 1).bit_length())
+        outs = []
+        for i in range(REPS):
+            q = clustered_queries(centers, b, seed=1000 * b + i)
+            outs.append(jnp.asarray(np.pad(q, ((0, bp - b), (0, 0)))))
+        jax.block_until_ready(outs)
+        return outs
+
+    def run(name, fn, b):
+        batches = qsets(b)
+        try:
+            jax.block_until_ready(fn(batches[0]))
+            t0 = time.perf_counter()
+            outs = [fn(q) for q in batches[1:]]
+            jax.block_until_ready(outs)
+            dt = (time.perf_counter() - t0) / (len(batches) - 1)
+            emit(exp=f"kernel_{name}_b{b}", ms=round(dt * 1e3, 3),
+                 qps=round(b / dt, 1))
+        except Exception as e:
+            emit(exp=f"kernel_{name}_b{b}", error=type(e).__name__,
+                 detail=str(e)[:160])
+
+    for b in (1, 8, 64, 256, 1024):
+        run("exact_bf16", lambda q: Kd.search_kernel(
+            q, store.vectors, store.sq, store.rinv, store.valid,
+            metric=metric, k=k, compute_dtype="bfloat16", approx=True), b)
+
+    scan = col.enable_quantized_scan("int8")
+    qz = scan.quantizer
+    vsq, rinv = qz.corpus_stats(scan.codes)
+    codes = jnp.asarray(scan.codes)
+    m = store.valid[:n]
+    for b in (1, 8, 64, 256, 1024):
+        run("int8_2stage", lambda q: _int8_two_stage(
+            q, codes, qz.vmin, qz.scale, vsq, rinv, store.vectors, m,
+            metric=metric, k=k, c=4 * k, approx=True,
+            rerank_dtype="bfloat16"), b)
+
+    scan = col.enable_quantized_scan("binary")
+    scan._ensure_binary_tpu_layout(n)
+    bq = scan.quantizer
+    mp = scan._mask_padded(m)
+    ct = scan._codes_t_padded
+    for b in (1, 8, 64, 256, 1024):
+        run("binary_2stage", lambda q: _binary_two_stage(
+            q, bq.thresholds, ct, store.vectors, mp, dims=d, metric=metric,
+            k=k, c=16 * k, rerank_dtype="bfloat16"), b)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("configs", nargs="*",

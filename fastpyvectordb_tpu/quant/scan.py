@@ -275,6 +275,12 @@ class QuantizedScan:
         q = np.ascontiguousarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
+        b = q.shape[0]
+        # pad the batch to a power-of-two bucket (>=8) so repeated serving
+        # batch sizes share one compile (mirrors DeviceVectorStore.search)
+        bp = max(8, 1 << (b - 1).bit_length())
+        if bp != b:
+            q = np.pad(q, ((0, bp - b), (0, 0)))
         n = self.codes.shape[0]
         # combine the caller's filter mask with store validity (tombstones)
         valid = self._store.valid[:n]
@@ -299,15 +305,12 @@ class QuantizedScan:
                 jnp.asarray(q), jnp.asarray(self.codes), qz.vmin, qz.scale,
                 vsq, rinv, self._store.vectors, m, metric=self.metric,
                 k=kk, c=c, approx=on_tpu, rerank_dtype=rerank_dtype)
-            return np.asarray(dists), np.asarray(rows)
+            return np.asarray(dists)[:b], np.asarray(rows)[:b]
 
         if self.kind == "binary" and rerank > 1 and on_tpu:
             self._ensure_binary_tpu_layout(n)
-            b = q.shape[0]
-            bp = (-b) % 8
-            qp = np.pad(q, ((0, bp), (0, 0))) if bp else q
             dists, rows = _binary_two_stage(
-                jnp.asarray(qp), self.quantizer.thresholds,
+                jnp.asarray(q), self.quantizer.thresholds,
                 self._codes_t_padded, self._store.vectors, self._mask_padded(m),
                 dims=self.quantizer.dims, metric=self.metric, k=kk, c=c,
                 rerank_dtype=rerank_dtype)
@@ -333,13 +336,13 @@ class QuantizedScan:
             coarse = self.coarse_distances(q)
             cvals, crows = masked_top_k(coarse, c, m)
         if rerank <= 1:
-            return np.asarray(cvals)[:, :k], np.asarray(crows)[:, :k]
+            return np.asarray(cvals)[:b, :k], np.asarray(crows)[:b, :k]
         cand_ok = cvals < MASKED * 0.5
         cand_vecs = jnp.take(self._store.vectors, crows, axis=0)
         dists, rows = _rerank(jnp.asarray(q), cand_vecs.astype(jnp.float32),
                               crows, jnp.asarray(cand_ok),
                               metric=self.metric, k=kk)
-        return np.asarray(dists), np.asarray(rows)
+        return np.asarray(dists)[:b], np.asarray(rows)[:b]
 
     def _ensure_binary_tpu_layout(self, n: int) -> None:
         """Cache the word-major corpus padded to the Pallas tile width."""
