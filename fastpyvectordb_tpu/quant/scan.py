@@ -282,8 +282,18 @@ class QuantizedScan:
         if bp != b:
             q = np.pad(q, ((0, bp - b), (0, 0)))
         n = self.codes.shape[0]
-        # combine the caller's filter mask with store validity (tombstones)
-        valid = self._store.valid[:n]
+        # combine the caller's filter mask with store validity (tombstones).
+        # The sliced validity view is cached per store buffer: jnp arrays
+        # are immutable and the store REPLACES .valid on mutation, so
+        # identity is the correct cache key — re-slicing per call would
+        # issue an extra device dispatch per search (tens of ms through a
+        # remote-attached chip).
+        src = self._store.valid
+        if getattr(self, "_valid_src", None) is not src:
+            self._valid_src = src
+            self._valid_sliced = src[:n]
+            self._valid_padded = None  # binary layout re-pads lazily
+        valid = self._valid_sliced
         if mask is not None:
             m = jnp.asarray(mask[:n]) & valid
         else:
@@ -355,9 +365,15 @@ class QuantizedScan:
             self._bq_pad = pad
 
     def _mask_padded(self, m) -> jnp.ndarray:
-        if self._bq_pad:
-            return jnp.pad(m, (0, self._bq_pad))
-        return m
+        if not self._bq_pad:
+            return m
+        # the unfiltered case is every search's hot path: cache the padded
+        # validity mask instead of re-dispatching a pad per call
+        if m is getattr(self, "_valid_sliced", None):
+            if getattr(self, "_valid_padded", None) is None:
+                self._valid_padded = jnp.pad(m, (0, self._bq_pad))
+            return self._valid_padded
+        return jnp.pad(m, (0, self._bq_pad))
 
     def memory_usage(self) -> dict:
         return self.quantizer.memory_usage(self.codes.shape[0])
