@@ -1,0 +1,406 @@
+"""IVF-PQ — coarse inverted file over product-quantized residual codes.
+
+Composes the two structures the reference keeps separate (hnswlib ANN,
+vectordb_optimized.py:271-280, and ProductQuantizer, quantization.py:
+414-615) into the classic IVF-PQ layout, redesigned for the TPU:
+
+  * the coarse router is the same balanced k-means + cell-major layout as
+    ann/ivf.py, but cells hold **uint8 PQ codes of residuals** (M bytes a
+    row instead of 2·D for bf16 cells) — a 1M x 768 corpus's cell table
+    drops from 1.5 GB to 96 MB, so 10M+ corpora serve entirely from HBM;
+  * scoring avoids per-(query, cell) lookup tables: with residual
+    decomposition  q·x̂ = q·centroid + Σ_m q_m·codebook[m, code_m],
+    the ADC table is **cell-independent** — one (B, M, K) einsum per
+    batch (MXU work), the routing matmul already supplies q·centroid,
+    and per-row reconstruction norms are precomputed at build time, so
+    cosine / L2 / dot all reduce to the same three tensors;
+  * the only gather is the LUT ADC sum over probed candidates, flattened
+    to a single take_along_axis on a (B, M·K) table;
+  * an optional exact re-rank stage (same _rerank_body as quant/scan.py)
+    restores recall lost to PQ approximation, fused into the one dispatch.
+
+Memory per row: M bytes (codes) + 4 (norm) + 4 (row id) ≈ 104 B at M=96,
+vs 3072 B f32 / 1536 B bf16 — ~15-30x compression on the scanned axis.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import DistanceMetric
+from ..kernels.distances import MASKED
+from ..quant.kmeans import kmeans_fit
+from ..quant.product import _encode as _pq_encode
+from .ivf import _assign_topm, _balanced_assignment, _pow2_at_least
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _recon_norms(codes: jnp.ndarray, codebooks: jnp.ndarray,
+                 base: jnp.ndarray, *, chunk: int = 16384) -> jnp.ndarray:
+    """||base + decode(codes)||^2 per row, chunked.  codes (N, M) uint8,
+    codebooks (M, K, ds), base (N, D) f32 (the assigned centroids)."""
+    n, m = codes.shape
+    d = base.shape[1]
+    pad = (-n) % chunk
+    codes_p = jnp.pad(codes, ((0, pad), (0, 0))) if pad else codes
+    base_p = jnp.pad(base, ((0, pad), (0, 0))) if pad else base
+
+    def body(_, xs):
+        c, b = xs  # (chunk, M) uint8, (chunk, D)
+        dec = jax.vmap(
+            lambda cb, col: jnp.take(cb, col.astype(jnp.int32), axis=0),
+            in_axes=(0, 1))(codebooks, c)          # (M, chunk, ds)
+        xhat = b + jnp.moveaxis(dec, 0, 1).reshape(-1, d)
+        return None, jnp.einsum("nd,nd->n", xhat, xhat,
+                                preferred_element_type=jnp.float32)
+
+    _, out = jax.lax.scan(body, None,
+                          (codes_p.reshape(-1, chunk, m),
+                           base_p.reshape(-1, chunk, d)))
+    return out.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "metric", "k", "c", "nprobe", "rerank_dtype", "do_rerank"))
+def _ivfpq_search_kernel(
+    q: jnp.ndarray,            # (B, D) f32
+    centroids: jnp.ndarray,    # (nlist, D) f32
+    codebooks: jnp.ndarray,    # (M, K, ds) f32 residual codebooks
+    codes: jnp.ndarray,        # (nlist, cmax, M) uint8 cell-major PQ codes
+    norms: jnp.ndarray,        # (nlist, cmax) f32 reconstruction sq-norms
+    row_table: jnp.ndarray,    # (nlist, cmax) int32, -1 = padding
+    overflow_vecs: jnp.ndarray,  # (O, D) f32 (O may be 0)
+    overflow_rows: jnp.ndarray,  # (O,) int32
+    validmask: jnp.ndarray,    # (cap,) bool
+    vectors: jnp.ndarray,      # (cap, D) store vectors (re-rank source)
+    *,
+    metric: DistanceMetric,
+    k: int,
+    c: int,                    # candidates kept before re-rank
+    nprobe: int,
+    rerank_dtype: str = "bfloat16",
+    do_rerank: bool = True,
+):
+    b, d = q.shape
+    nlist, cmax, m = codes.shape
+    kk = codebooks.shape[1]
+    qf = q.astype(jnp.float32)
+
+    # ---- stage 1: route (and keep q·centroid — it is half the score) ----
+    qc = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
+    if metric == DistanceMetric.COSINE:
+        cn = jnp.maximum(jnp.linalg.norm(centroids, axis=1), 1e-30)
+        route = qc / cn[None, :]
+    elif metric == DistanceMetric.DOT:
+        route = qc
+    else:
+        csq = jnp.einsum("kd,kd->k", centroids, centroids,
+                         preferred_element_type=jnp.float32)
+        route = -(csq[None, :] - 2.0 * qc)
+    _, probe = jax.lax.top_k(route, nprobe)            # (B, nprobe)
+
+    # ---- stage 2: cell-independent ADC table (one MXU einsum) -----------
+    qsub = qf.reshape(b, m, d // m)
+    lut = jnp.einsum("bmd,mkd->bmk", qsub, codebooks,
+                     preferred_element_type=jnp.float32)  # (B, M, K)
+    lut_flat = lut.reshape(b, m * kk)
+
+    # ---- stage 3: gather probed code blocks, ADC-sum the cross products -
+    codes_g = jnp.take(codes, probe, axis=0)           # (B, P, cmax, M) u8
+    norms_g = jnp.take(norms, probe, axis=0).reshape(b, -1)
+    cand = jnp.take(row_table, probe, axis=0).reshape(b, -1)
+    offs = (jnp.arange(m, dtype=jnp.int32) * kk)       # flatten (m, code)
+    idx = codes_g.astype(jnp.int32) + offs[None, None, None, :]
+    adc = jnp.sum(jnp.take_along_axis(
+        lut_flat, idx.reshape(b, -1), axis=1
+    ).reshape(b, nprobe * cmax, m), axis=2)            # Σ_m q_m·y_m
+    qc_g = jnp.take_along_axis(
+        qc, probe, axis=1)[:, :, None]                 # (B, P, 1) q·centroid
+    cross = (qc_g + adc.reshape(b, nprobe, cmax)).reshape(b, -1)
+
+    qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
+    qinv = 1.0 / jnp.maximum(jnp.sqrt(qsq[:, None]), 1e-30)
+
+    def metric_scores(vsq, xr):
+        if metric == DistanceMetric.COSINE:
+            rinv = jax.lax.rsqrt(jnp.maximum(vsq, 1e-30))
+            return 1.0 - xr * qinv * rinv
+        if metric == DistanceMetric.L2:
+            return jnp.sqrt(jnp.maximum(qsq[:, None] + vsq - 2.0 * xr, 0.0))
+        return -xr
+
+    s = metric_scores(norms_g, cross)
+
+    if overflow_rows.shape[0] > 0:
+        ovsq = jnp.einsum("od,od->o", overflow_vecs, overflow_vecs,
+                          preferred_element_type=jnp.float32)
+        ocross = jax.lax.dot_general(
+            qf, overflow_vecs, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = jnp.concatenate([s, metric_scores(ovsq[None, :], ocross)], axis=1)
+        cand = jnp.concatenate(
+            [cand, jnp.broadcast_to(overflow_rows[None],
+                                    (b, overflow_rows.shape[0]))], axis=1)
+
+    safe = jnp.maximum(cand, 0)
+    ok = (cand >= 0) & jnp.take(validmask, safe, axis=0)
+    s = jnp.where(ok, s, MASKED)
+
+    if not do_rerank:
+        neg, pos = jax.lax.top_k(-s, k)
+        return -neg, jnp.take_along_axis(cand, pos, axis=1)
+
+    # ---- stage 4: exact re-rank of the PQ top-c against store rows ------
+    from ..quant.scan import _rerank_body
+    cneg, cpos = jax.lax.top_k(-s, c)
+    crows = jnp.take_along_axis(safe, cpos, axis=1)
+    cok = -cneg < MASKED * 0.5
+    cand_vecs = jnp.take(vectors, crows, axis=0)       # (B, c, D)
+    return _rerank_body(qf, cand_vecs, crows, cok, metric, k, rerank_dtype)
+
+
+class IVFPQIndex:
+    """Inverted-file product-quantized index over a collection's store.
+
+    Same serving contract as ann/ivf.py's IVFIndex (search / mark_stale /
+    export_sections), at ~1/16th the device memory of the bf16 cell table.
+    """
+
+    def __init__(self, centroids, codebooks, codes, norms, row_table,
+                 overflow_vecs, overflow_rows, collection, nprobe: int,
+                 rerank: int = 8):
+        self.centroids = centroids
+        self.codebooks = codebooks          # (M, K, ds)
+        self.codes = codes                  # (nlist, cmax, M) uint8
+        self.norms = norms                  # (nlist, cmax) f32
+        self.row_table = row_table
+        self.overflow_vecs = overflow_vecs
+        self.overflow_rows = overflow_rows
+        self._collection = collection
+        self.nprobe = nprobe
+        self.rerank = rerank                # candidate factor c = rerank*k
+        self.stale = False
+        self._built_count = collection._store.count
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(cls, collection, nlist: Optional[int] = None,
+              nprobe: Optional[int] = None, m: int = 96, pq_k: int = 256,
+              iters: int = 10, pq_iters: int = 12, seed: int = 0,
+              max_cell_factor: float = 1.5, spill_choices: int = 8,
+              train_sample: int = 200_000, rerank: int = 8) -> "IVFPQIndex":
+        store = collection._store
+        n = store.count
+        if n == 0:
+            raise ValueError("cannot build IVF-PQ over an empty collection")
+        d = store.vectors.shape[1]
+        if d % m != 0:
+            # snap M down to the nearest divisor of D
+            while d % m:
+                m -= 1
+        vectors = store.vectors[:n].astype(jnp.float32)
+        if nlist is None:
+            nlist = int(min(max(int(math.sqrt(n)) * 2, 8), 8192,
+                            max(n // 4, 1)))
+        nlist = max(1, min(nlist, n))
+        if nprobe is None:
+            nprobe = max(1, min(nlist, collection.config.ivf_nprobe))
+        centroids = kmeans_fit(vectors, jax.random.PRNGKey(seed), k=nlist,
+                               iters=iters,
+                               chunk=int(min(16384, _pow2_at_least(n))))
+        topm = np.asarray(_assign_topm(vectors, centroids,
+                                       m=min(spill_choices, nlist)))
+        cap = int(max(8, (int(max_cell_factor * n / nlist) + 7) // 8 * 8))
+        table, counts, overflow = _balanced_assignment(topm, nlist, cap)
+
+        # assigned centroid per row (for residuals); overflow rows excluded
+        cell_of = np.full(n, -1, np.int64)
+        flat = table.reshape(-1)
+        owner = np.repeat(np.arange(nlist, dtype=np.int64), cap)
+        live = flat >= 0
+        cell_of[flat[live]] = owner[live]
+        assigned = np.nonzero(cell_of >= 0)[0]
+        base = jnp.take(centroids, jnp.asarray(cell_of[assigned]), axis=0)
+        resid = jnp.take(vectors, jnp.asarray(assigned), axis=0) - base
+
+        # shared residual codebooks (M x K x ds) — a single vmapped k-means
+        rs = np.asarray(resid[:min(train_sample, assigned.size)])
+        sub = jnp.moveaxis(jnp.asarray(rs).reshape(-1, m, d // m), 1, 0)
+        keys = jax.random.split(jax.random.PRNGKey(seed + 1), m)
+        codebooks = jax.vmap(
+            lambda x, key: kmeans_fit(x, key, k=pq_k, iters=pq_iters,
+                                      chunk=min(16384, max(256,
+                                                           sub.shape[1]))))(
+            sub, keys)
+
+        rcodes = _pq_encode(resid, codebooks)          # (n_assigned, M)
+        rnorms = _recon_norms(rcodes, codebooks, base)
+
+        # scatter row-major codes/norms into the cell-major layout
+        codes_t = np.zeros((nlist * cap, m), np.uint8)
+        norms_t = np.zeros((nlist * cap,), np.float32)
+        pos_of = np.full(n, -1, np.int64)              # row -> flat slot
+        pos_of[flat[live]] = np.nonzero(live)[0]
+        slots = pos_of[assigned]
+        codes_t[slots] = np.asarray(rcodes)
+        norms_t[slots] = np.asarray(rnorms)
+
+        opad = (-overflow.size) % 8
+        orows = np.concatenate([overflow, np.full(opad, -1, np.int32)]) \
+            if (overflow.size or opad) else overflow
+        # overflow is scanned exactly in f32; cells live as uint8 codes
+        ovecs = (jnp.take(vectors, jnp.maximum(jnp.asarray(orows), 0),
+                          axis=0).astype(jnp.float32)
+                 if orows.size else jnp.zeros((0, d), jnp.float32))
+        idx = cls(centroids, codebooks,
+                  jnp.asarray(codes_t).reshape(nlist, cap, m),
+                  jnp.asarray(norms_t).reshape(nlist, cap),
+                  jnp.asarray(table), ovecs, jnp.asarray(orows),
+                  collection, nprobe, rerank=rerank)
+        idx._cell_counts = counts
+        return idx
+
+    # ------------------------------------------------------------------
+    def search(self, queries: np.ndarray, k: int,
+               mask: Optional[np.ndarray] = None, overfetch: int = 1,
+               nprobe: Optional[int] = None, rerank: Optional[int] = None,
+               max_query_batch: int = 256
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.stale:
+            rebuilt = IVFPQIndex.build(
+                self._collection, nlist=self.centroids.shape[0],
+                nprobe=self.nprobe, m=self.codes.shape[2],
+                pq_k=self.codebooks.shape[1], rerank=self.rerank)
+            self.__dict__.update(rebuilt.__dict__)
+        store = self._collection._store
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        nprobe = int(min(nprobe or self.nprobe, self.centroids.shape[0]))
+        if mask is not None and overfetch > 1:
+            nprobe = int(min(self.centroids.shape[0], nprobe * overfetch))
+        validmask = store.valid
+        if mask is not None:
+            mm = np.zeros((store.capacity,), dtype=bool)
+            mm[: mask.shape[0]] = mask
+            validmask = jnp.logical_and(validmask, jnp.asarray(mm))
+        cfg = self._collection.config
+        rr = rerank if rerank is not None else self.rerank
+        ncand = nprobe * self.row_table.shape[1] + \
+            int(self.overflow_rows.shape[0])
+        c = int(min(max(k, k * rr), ncand))
+        outs_d, outs_r = [], []
+        for s in range(0, q.shape[0], max_query_batch):
+            sub = q[s: s + max_query_batch]
+            real = sub.shape[0]
+            pad = (-real) % min(max_query_batch, 8)
+            if pad:
+                sub = np.pad(sub, ((0, pad), (0, 0)))
+            dd, r = _ivfpq_search_kernel(
+                jnp.asarray(sub), self.centroids, self.codebooks, self.codes,
+                self.norms, self.row_table, self.overflow_vecs,
+                self.overflow_rows, validmask, store.vectors,
+                metric=cfg.metric, k=min(k, ncand), c=c, nprobe=nprobe,
+                rerank_dtype=cfg.compute_dtype, do_rerank=rr > 0)
+            outs_d.append(np.asarray(dd)[:real])
+            outs_r.append(np.asarray(r)[:real])
+        return np.concatenate(outs_d), np.concatenate(outs_r)
+
+    # ------------------------------------------------------------------
+    def mark_stale(self) -> None:
+        self.stale = True
+
+    def stats(self) -> dict:
+        counts = getattr(self, "_cell_counts", None)
+        return {
+            "kind": "ivfpq",
+            "nlist": int(self.centroids.shape[0]),
+            "cmax": int(self.row_table.shape[1]),
+            "m": int(self.codes.shape[2]),
+            "pq_k": int(self.codebooks.shape[1]),
+            "nprobe": self.nprobe,
+            "rerank": self.rerank,
+            "built_count": self._built_count,
+            "codes_bytes": int(self.codes.size),
+            "overflow_rows": int((np.asarray(self.overflow_rows) >= 0).sum())
+            if self.overflow_rows.size else 0,
+            "cell_balance": (float(counts.std() / max(counts.mean(), 1e-9))
+                             if counts is not None else None),
+        }
+
+    def memory_usage(self) -> dict:
+        n = self._built_count
+        d = self.centroids.shape[1]
+        orig = n * d * 4
+        quant = (self.codes.size + self.norms.size * 4
+                 + self.row_table.size * 4 + self.codebooks.size * 4
+                 + self.centroids.size * 4)
+        return {"original_bytes": orig, "index_bytes": int(quant),
+                "compression_ratio": orig / max(quant, 1)}
+
+    # -- persistence ---------------------------------------------------
+    def export_sections(self) -> tuple:
+        """(sections, meta) for the collection's FPVT container.  Codes,
+        norms and tables persist verbatim (they cannot be rebuilt from the
+        store without re-running k-means)."""
+        return ({"ann_centroids": np.asarray(self.centroids),
+                 "ann_codebooks": np.asarray(self.codebooks),
+                 "ann_pq_codes": np.asarray(self.codes).reshape(
+                     -1, self.codes.shape[2]),
+                 "ann_pq_norms": np.asarray(self.norms).reshape(-1, 1),
+                 "ann_row_table": np.asarray(self.row_table),
+                 "ann_overflow_rows": np.asarray(self.overflow_rows)},
+                {"kind": "ivfpq", "nprobe": self.nprobe,
+                 "rerank": self.rerank, "built_count": self._built_count,
+                 "nlist": int(self.centroids.shape[0]),
+                 "cmax": int(self.row_table.shape[1])})
+
+    @classmethod
+    def from_sections(cls, collection, sections: dict, meta: dict
+                      ) -> "IVFPQIndex":
+        nlist, cmax = int(meta["nlist"]), int(meta["cmax"])
+        centroids = jnp.asarray(np.asarray(sections["ann_centroids"]))
+        codebooks = jnp.asarray(np.asarray(sections["ann_codebooks"]))
+        codes = jnp.asarray(np.asarray(
+            sections["ann_pq_codes"]).reshape(nlist, cmax, -1))
+        norms = jnp.asarray(np.asarray(
+            sections["ann_pq_norms"]).reshape(nlist, cmax))
+        table = jnp.asarray(np.asarray(sections["ann_row_table"]))
+        orows = jnp.asarray(np.asarray(sections.get(
+            "ann_overflow_rows", np.zeros(0, np.int32))))
+        store = collection._store
+        ovecs = (jnp.take(store.vectors, jnp.maximum(orows, 0),
+                          axis=0).astype(jnp.float32)
+                 if orows.size else
+                 jnp.zeros((0, store.vectors.shape[1]), jnp.float32))
+        idx = cls(centroids, codebooks, codes, norms, table, ovecs, orows,
+                  collection, int(meta["nprobe"]),
+                  rerank=int(meta.get("rerank", 8)))
+        idx._built_count = int(meta["built_count"])
+        idx.stale = idx._built_count > collection._store.count
+        return idx
+
+    def tune_nprobe(self, queries: np.ndarray, target_recall: float = 0.95,
+                    k: int = 10, max_nprobe: Optional[int] = None) -> int:
+        store = self._collection._store
+        cfg = self._collection.config
+        _, exact_r = store.search(queries, k, cfg.metric,
+                                  compute_dtype=cfg.compute_dtype)
+        limit = max_nprobe or self.centroids.shape[0]
+        nprobe = max(1, self.nprobe // 4)
+        while nprobe <= limit:
+            _, r = self.search(queries, k, nprobe=nprobe)
+            hits = np.mean([len(set(a.tolist()) & set(e.tolist())) / k
+                            for a, e in zip(r, exact_r)])
+            if hits >= target_recall:
+                self.nprobe = nprobe
+                return nprobe
+            nprobe *= 2
+        self.nprobe = limit
+        return limit

@@ -332,6 +332,9 @@ class Collection:
             if kind == "ivf":
                 from ..ann.ivf import IVFIndex
                 self._ann = IVFIndex.build(self, **kwargs)
+            elif kind == "ivfpq":
+                from ..ann.ivfpq import IVFPQIndex
+                self._ann = IVFPQIndex.build(self, **kwargs)
             elif kind == "graph":
                 from ..ann.graph_ann import GraphANN
                 self._ann = GraphANN.build(self, **kwargs)
@@ -488,6 +491,9 @@ class Collection:
             if ann_meta["kind"] == "ivf":
                 from ..ann.ivf import IVFIndex
                 self._ann = IVFIndex.from_sections(self, sections, ann_meta)
+            elif ann_meta["kind"] == "ivfpq":
+                from ..ann.ivfpq import IVFPQIndex
+                self._ann = IVFPQIndex.from_sections(self, sections, ann_meta)
             elif ann_meta["kind"] == "graph":
                 from ..ann.graph_ann import GraphANN
                 self._ann = GraphANN.from_sections(self, sections, ann_meta)

@@ -1,0 +1,135 @@
+"""IVF-PQ index tests: recall vs exact, metrics, filters, persistence,
+incremental tail merge, compression accounting."""
+
+import numpy as np
+import pytest
+
+from fastpyvectordb_tpu import Collection, CollectionConfig, Filter
+
+
+def make_col(metric="l2", n=4000, d=32, seed=11):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((32, d)).astype(np.float32) * 2
+    v = centers[rng.integers(0, 32, n)] + 0.3 * rng.standard_normal(
+        (n, d)).astype(np.float32)
+    col = Collection(CollectionConfig(name="ivfpq", dimensions=d,
+                                      metric=metric))
+    col.insert_batch(v, [f"v{i}" for i in range(n)],
+                     [{"g": i % 4} for i in range(n)])
+    q = centers[rng.integers(0, 32, 16)] + 0.3 * rng.standard_normal(
+        (16, d)).astype(np.float32)
+    return col, v, q
+
+
+@pytest.fixture(scope="module")
+def built():
+    col, v, q = make_col()
+    col.build_ann(kind="ivfpq", nlist=64, nprobe=8, iters=6, m=8, pq_k=64,
+                  pq_iters=8, rerank=16)
+    return col, v, q
+
+
+def ids_of(res):
+    return [[h.id for h in hits] for hits in res]
+
+
+def recall_of(col, rows, exact_ids, k=10):
+    out = []
+    for b, e in zip(rows, exact_ids):
+        ids = {col._row_to_id[int(r)] for r in b if r >= 0}
+        out.append(len(ids & set(e)) / k)
+    return float(np.mean(out))
+
+
+def test_recall_vs_exact(built):
+    col, v, q = built
+    exact = ids_of(col.search_batch(q, k=10, exact=True))
+    approx = ids_of(col.search_batch(q, k=10, exact=False))
+    rec = np.mean([len(set(a) & set(e)) / 10 for a, e in zip(approx, exact)])
+    assert rec >= 0.9, f"IVF-PQ recall@10 {rec:.3f} < 0.9"
+
+
+def test_rerank_raises_recall(built):
+    col, v, q = built
+    exact = ids_of(col.search_batch(q, k=10, exact=True))
+    _, r_no = col._ann.search(q, 10, rerank=0)
+    _, r_rr = col._ann.search(q, 10, rerank=16)
+    assert recall_of(col, r_rr, exact) >= recall_of(col, r_no, exact)
+    assert recall_of(col, r_rr, exact) >= 0.9
+
+
+def test_higher_nprobe_raises_recall(built):
+    col, v, q = built
+    exact = ids_of(col.search_batch(q, k=10, exact=True))
+    _, lo = col._ann.search(q, 10, nprobe=1, rerank=16)
+    _, hi = col._ann.search(q, 10, nprobe=32, rerank=16)
+    assert recall_of(col, hi, exact) >= recall_of(col, lo, exact)
+    assert recall_of(col, hi, exact) >= 0.9
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot"])
+def test_other_metrics(metric):
+    col, v, q = make_col(metric=metric, n=2000, d=32, seed=7)
+    col.build_ann(kind="ivfpq", nlist=32, nprobe=8, iters=6, m=8, pq_k=64,
+                  pq_iters=8)
+    exact = ids_of(col.search_batch(q, k=10, exact=True))
+    approx = ids_of(col.search_batch(q, k=10, exact=False))
+    rec = np.mean([len(set(a) & set(e)) / 10 for a, e in zip(approx, exact)])
+    assert rec >= 0.85, f"{metric} recall {rec:.3f}"
+
+
+def test_filtered(built):
+    col, v, q = built
+    res = col.search_batch(q[:4], k=8, filter=Filter.eq("g", 2), exact=False)
+    assert all(h.metadata["g"] == 2 for hits in res for h in hits)
+
+
+def test_deletes_respected(built):
+    col, v, q = built
+    hits = col.search(q[0], k=5, exact=False)
+    victim = hits[0].id
+    col.delete(victim)
+    try:
+        after = col.search(q[0], k=5, exact=False)
+        assert victim not in [h.id for h in after]
+    finally:
+        row = int(victim[1:])
+        col.insert(v[row], id=victim, metadata={"g": row % 4})
+
+
+def test_incremental_tail_merge():
+    col, v, q = make_col(n=2000, d=32, seed=3)
+    col.build_ann(kind="ivfpq", nlist=32, nprobe=8, iters=6, m=8, pq_k=64,
+                  pq_iters=8)
+    # planted new vector appended after the build must be findable
+    target = q[0] / np.linalg.norm(q[0])
+    col.insert(target.astype(np.float32), id="planted")
+    assert not col._ann.stale
+    hits = col.search(target, k=3, exact=False)
+    assert hits[0].id == "planted"
+
+
+def test_persistence_roundtrip(tmp_path):
+    from pathlib import Path
+    col, v, q = make_col(n=1500, d=32, seed=5)
+    col.base_path = Path(tmp_path) / "ivfpq_col"
+    col.build_ann(kind="ivfpq", nlist=32, nprobe=8, iters=6, m=8, pq_k=64,
+                  pq_iters=8)
+    before_d, before_r = col._ann.search(q, 5)
+    col.save()
+    col2 = Collection(CollectionConfig(name="ivfpq", dimensions=32),
+                      base_path=col.base_path)
+    assert type(col2._ann).__name__ == "IVFPQIndex"
+    assert col2.config.index == "ivfpq" and not col2._ann.stale
+    after_d, after_r = col2._ann.search(q, 5)
+    np.testing.assert_array_equal(before_r, after_r)
+    np.testing.assert_allclose(before_d, after_d, rtol=1e-5, atol=1e-5)
+
+
+def test_compression_accounting(built):
+    col, v, q = built
+    mu = col._ann.memory_usage()
+    assert mu["compression_ratio"] > 2.0
+    st = col._ann.stats()
+    assert st["kind"] == "ivfpq"
+    assert st["m"] == 8 and st["pq_k"] == 64
