@@ -54,8 +54,16 @@ class Collection:
         self._mask_cache: Dict[str, Tuple[int, np.ndarray]] = {}
         self._ann = None  # optional ANN index (ann/ivf.py), built on demand
         self._quantized = None  # optional quantized scan state (quant/)
+        self._wal = None  # write-ahead log (persist/wal.py), durability="wal"
         if self.base_path is not None and (self.base_path / STORE_FILE).exists():
             self._load()
+        if (self.base_path is not None
+                and getattr(self.config, "durability", "snapshot") == "wal"):
+            from ..persist.wal import WriteAheadLog
+            self._wal = WriteAheadLog(
+                self.base_path / "wal.log",
+                fsync=getattr(self.config, "wal_fsync", False))
+            self._replay_wal()
 
     # ------------------------------------------------------------------
     # CRUD
@@ -88,6 +96,10 @@ class Collection:
             dup = [i for i in ids if i in self._id_to_row]
             if dup:
                 raise ValueError(f"IDs already exist: {dup[:8]}")
+            if self._wal is not None:
+                self._wal.log_insert(
+                    ids, metadatas if metadatas is not None else [None] * n,
+                    arr)
             rows = self._store.append(arr)
             for j, (rid, row) in enumerate(zip(ids, rows)):
                 self._id_to_row[rid] = int(row)
@@ -136,6 +148,10 @@ class Collection:
 
     def delete_batch(self, ids: Sequence[str]) -> int:
         with self._lock:
+            if self._wal is not None:
+                live = [i for i in ids if str(i) in self._id_to_row]
+                if live:
+                    self._wal.log_delete(live)
             rows = []
             for i in ids:
                 r = self._id_to_row.pop(str(i), None)
@@ -155,6 +171,8 @@ class Collection:
             r = self._id_to_row.get(str(id))
             if r is None:
                 return False
+            if self._wal is not None:
+                self._wal.log_update_metadata(str(id), metadata, merge)
             if merge and self._metadata[r]:
                 self._metadata[r] = {**self._metadata[r], **metadata}
             else:
@@ -470,6 +488,35 @@ class Collection:
                 sections.update(ann_sections)
                 meta["ann"] = ann_meta
             save_container(self.base_path / STORE_FILE, sections, meta=meta)
+            if self._wal is not None:
+                # the snapshot now covers everything in the log
+                self._wal.truncate()
+
+    def _replay_wal(self) -> None:
+        """Re-apply logged mutations on top of the loaded snapshot.
+
+        Replay is *forgiving* (inserts upsert, deletes/updates of missing
+        ids no-op) so a crash between the snapshot rename and the log
+        truncation — which leaves already-snapshotted records in the log —
+        converges to the same state instead of erroring on duplicates.
+        """
+        from ..persist import wal as W
+        wal, self._wal = self._wal, None  # suppress re-logging during replay
+        try:
+            for op, obj, vecs in wal.replay():
+                if op == W.OP_INSERT:
+                    dup = [i for i in obj["ids"] if i in self._id_to_row]
+                    if dup:
+                        self.delete_batch(dup)
+                    self.insert_batch(vecs, obj["ids"], obj["metadatas"])
+                elif op == W.OP_DELETE:
+                    self.delete_batch(
+                        [i for i in obj["ids"] if i in self._id_to_row])
+                elif op == W.OP_UPDATE_META:
+                    self.update_metadata(obj["id"], obj["metadata"],
+                                         obj.get("merge", True))
+        finally:
+            self._wal = wal
 
     def _load(self) -> None:
         c = load_container(self.base_path / STORE_FILE)

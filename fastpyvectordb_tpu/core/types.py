@@ -100,6 +100,15 @@ class CollectionConfig:
     # <1% recall), or "auto" (approx on TPU once the corpus passes 128k
     # rows).
     topk: str = "auto"
+    # durability: "snapshot" (reference parity — state persists only on
+    # save(), vectordb_optimized.py:306-331) or "wal" (every mutation is
+    # logged to a checksummed write-ahead log first and replayed over the
+    # last snapshot on load; persist/wal.py).  Requires a base_path.
+    durability: str = "snapshot"
+    # fsync the WAL on every append (true durability against power loss;
+    # ~10-100x slower appends on most filesystems) vs flush-only (survives
+    # process crashes, the common case).
+    wal_fsync: bool = False
 
     def __post_init__(self) -> None:
         self.metric = DistanceMetric.parse(self.metric)

@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import struct
+import zlib
 from pathlib import Path
 from typing import Any, Dict, Iterator, Optional, Union
 
@@ -63,6 +64,7 @@ def save_container(path: Union[str, Path], sections: Dict[str, SectionValue],
             entry = {"kind": "json"}
         entry["offset"] = offset
         entry["nbytes"] = len(raw)
+        entry["crc32"] = zlib.crc32(raw) & 0xFFFFFFFF
         header["sections"][name] = entry
         blobs.append((offset, raw))
         offset = _align(offset + len(raw))
@@ -127,6 +129,26 @@ class Container:
         if entry["kind"] == "json":
             return json.loads(raw.decode("utf-8"))
         return raw
+
+    def verify(self, name: Optional[str] = None) -> bool:
+        """Recompute section checksums (all sections, or one).  Returns True
+        when every checked section matches its stored crc32; sections from
+        pre-CRC containers (no crc32 field) are skipped.  Raises ValueError
+        naming the first corrupted section."""
+        names = [name] if name is not None else list(self.sections)
+        for n in names:
+            entry = self.sections[n]
+            crc = entry.get("crc32")
+            if crc is None:
+                continue
+            with open(self.path, "rb") as f:
+                f.seek(self._data_start + entry["offset"])
+                raw = f.read(entry["nbytes"])
+            if (zlib.crc32(raw) & 0xFFFFFFFF) != crc:
+                raise ValueError(
+                    f"{self.path}: section {n!r} failed its CRC32 check "
+                    "(file corrupted or truncated)")
+        return True
 
 
 def load_container(path: Union[str, Path], mmap_arrays: bool = True) -> Container:
