@@ -51,6 +51,7 @@ class Collection:
         self._columns: Optional[ColumnView] = None
         self._columns_version = -1
         self._columns_dirty: Optional[str] = None  # None | "sync" | "rebuild"
+        self._columns_patchset: set = set()  # rows pending point-patch
         self._mask_cache: Dict[str, Tuple[int, np.ndarray]] = {}
         self._ann = None  # optional ANN index (ann/ivf.py), built on demand
         self._quantized = None  # optional quantized scan state (quant/)
@@ -163,7 +164,7 @@ class Collection:
                 self._store.delete_rows(np.asarray(rows, dtype=np.int64))
                 # deletes never invalidate ANN/quantized state: the store
                 # validity mask already excludes tombstones at search time
-                self._bump(keep_indexes=True)
+                self._bump(keep_indexes=True, patched_rows=rows)
             return len(rows)
 
     def update_metadata(self, id: str, metadata: dict, merge: bool = True) -> bool:
@@ -177,7 +178,7 @@ class Collection:
                 self._metadata[r] = {**self._metadata[r], **metadata}
             else:
                 self._metadata[r] = dict(metadata)
-            self._bump(keep_indexes=True)  # vectors unchanged
+            self._bump(keep_indexes=True, patched_rows=[r])  # vectors same
             return True
 
     # ------------------------------------------------------------------
@@ -273,14 +274,19 @@ class Collection:
     def _column_view(self) -> ColumnView:
         if self._columns is not None and self._columns_version != self._version \
                 and self._columns_dirty == "sync":
-            # pure appends since the columns were built: extend, don't rebuild
+            # appends extend; deleted/updated rows are point-patched —
+            # neither needs the O(N x columns) rebuild
             self._columns.sync_appended()
+            if self._columns_patchset:
+                self._columns.patch_rows(sorted(self._columns_patchset))
+            self._columns_patchset.clear()
             self._columns_version = self._version
             self._columns_dirty = None
         if self._columns is None or self._columns_version != self._version:
             self._columns = ColumnView(self._metadata)
             self._columns_version = self._version
             self._columns_dirty = None
+            self._columns_patchset.clear()
         return self._columns
 
     def _filter_mask(self, filter: Optional[Filter]) -> Optional[np.ndarray]:
@@ -298,11 +304,17 @@ class Collection:
         return mask
 
     def _bump(self, append_only: bool = False,
-              keep_indexes: bool = False) -> None:
+              keep_indexes: bool = False,
+              patched_rows: Optional[Sequence[int]] = None) -> None:
         self._version += 1
-        # column-cache invalidation: appends can cheaply sync; any other
-        # mutation forces a rebuild
-        if not append_only:
+        # column-cache invalidation: appends cheaply sync, known row
+        # mutations (delete tombstones / metadata updates) point-patch;
+        # only shape-changing mutations (compact, load) force a rebuild
+        if patched_rows is not None:
+            if self._columns_dirty != "rebuild":
+                self._columns_patchset.update(int(r) for r in patched_rows)
+                self._columns_dirty = "sync"
+        elif not append_only:
             self._columns_dirty = "rebuild"
         elif self._columns_dirty != "rebuild":
             self._columns_dirty = "sync"

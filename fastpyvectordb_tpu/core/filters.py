@@ -123,6 +123,46 @@ class ColumnView:
         self._typed.clear()
         self._built_len = n
 
+    def patch_rows(self, rows_idx) -> None:
+        """Point-update cached columns for specific mutated rows (deletes
+        tombstoning metadata to None, in-place metadata updates) instead of
+        the wholesale O(N x columns) rebuild — a delete's stale column
+        values are screened by the store validity mask anyway, so this
+        keeps mutation cost O(mutated rows)."""
+        for i in rows_idx:
+            if i >= self._built_len:
+                continue  # not yet covered; sync_appended will read it fresh
+            r = self._rows[i]
+            for key, col in self._present.items():
+                col[i] = r is not None and key in r
+            for key, col in self._obj.items():
+                col[i] = r.get(key, _MISSING) if r is not None else _MISSING
+            for key, col in self._num.items():
+                v = r.get(key, _MISSING) if r is not None else _MISSING
+                if isinstance(v, bool):
+                    col[i] = float(v)
+                elif isinstance(v, (int, float)):
+                    col[i] = v
+                else:
+                    col[i] = np.nan
+            for key in list(self._typed):
+                arr = self._typed[key]
+                if arr is None:
+                    continue
+                v = r.get(key) if r is not None else None
+                if v is None:
+                    arr[i] = "" if arr.dtype.kind == "U" else np.nan
+                elif arr.dtype.kind == "U" and isinstance(v, str) \
+                        and len(v) <= arr.dtype.itemsize // 4:
+                    arr[i] = v
+                elif arr.dtype.kind == "f" and isinstance(v, (int, float)) \
+                        and not isinstance(v, bool):
+                    arr[i] = v
+                else:
+                    # value no longer fits the typed layout: drop the cache
+                    # for this key (it rebuilds lazily on next use)
+                    del self._typed[key]
+
     def __len__(self) -> int:
         return len(self._rows)
 

@@ -144,7 +144,13 @@ def test_collection_append_sync_path(tmp_path):
                      [{"g": 1}] * 6)
     assert col._columns_dirty == "sync"
     assert len(col.search(np.zeros(8, np.float32), k=30, filter=f)) == 11
-    # a delete forces a rebuild
+    # a delete point-patches the mutated row instead of an O(N) rebuild
+    deleted_row = col._id_to_row["b0"]
     col.delete("b0")
-    assert col._columns_dirty == "rebuild"
+    assert col._columns_dirty == "sync"
+    assert deleted_row in col._columns_patchset
     assert len(col.search(np.zeros(8, np.float32), k=30, filter=f)) == 10
+    # a metadata update patches too and the mask reflects the new value
+    col.update_metadata("b1", {"g": 0}, merge=True)
+    assert col._columns_dirty == "sync"
+    assert len(col.search(np.zeros(8, np.float32), k=30, filter=f)) == 9
