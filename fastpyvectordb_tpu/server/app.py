@@ -298,7 +298,7 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         req = _parse(S.BuildIndexRequest, await _body(request))
         loop = asyncio.get_running_loop()
         try:
-            if req.kind in ("ivf", "graph"):
+            if req.kind in ("ivf", "ivfpq", "graph"):
                 await loop.run_in_executor(
                     None, lambda: c.build_ann(kind=req.kind, **req.params))
                 info = c._ann.stats()

@@ -1,0 +1,301 @@
+"""Shard router — one HTTP front over N single-chip engine servers.
+
+A TPU chip is owned by exactly one process (DEPLOYMENT.md), so scale-out
+runs one engine server per chip with the corpus row-sharded across them.
+This router is the stateless front: writes hash-route by id to their home
+shard, searches fan out to every shard concurrently and merge top-k by
+score (all metrics are lower-is-closer, core/types.py:24-28), so the
+merged result is exactly what a single server over the union corpus would
+return.  The reference has no multi-node story at all; its closest analog
+is a plain HTTP load balancer, which cannot shard a corpus.
+
+Run: ``python -m fastpyvectordb_tpu.server.router --shard http://h1:8000
+--shard http://h2:8000 --port 9000``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import time
+import uuid
+import zlib
+from typing import List, Optional
+
+try:
+    import aiohttp
+    from aiohttp import web
+except ImportError:  # pragma: no cover - aiohttp is in the base env
+    aiohttp = None
+    web = None
+
+JSON = "application/json"
+
+
+def _shard_of(id: str, n: int) -> int:
+    return zlib.crc32(str(id).encode("utf-8")) % n
+
+
+def create_router_app(shards: List[str],
+                      request_timeout: float = 120.0) -> "web.Application":
+    """aiohttp application routing over ``shards`` (base URLs)."""
+    if web is None:
+        raise RuntimeError("aiohttp is required for the shard router")
+    if not shards:
+        raise ValueError("at least one shard URL is required")
+    shards = [s.rstrip("/") for s in shards]
+    n = len(shards)
+    app = web.Application(client_max_size=1024 * 2**20)
+    state = app["state"] = {"shards": shards}
+
+    async def session() -> aiohttp.ClientSession:
+        if "session" not in state:
+            state["session"] = aiohttp.ClientSession(
+                timeout=aiohttp.ClientTimeout(total=request_timeout))
+        return state["session"]
+
+    async def _close(app):
+        if "session" in state:
+            await state["session"].close()
+
+    app.on_cleanup.append(_close)
+
+    def _err(status: int, detail: str):
+        return web.json_response({"detail": detail}, status=status)
+
+    async def _post(url: str, body: dict):
+        s = await session()
+        async with s.post(url, json=body) as r:
+            return r.status, await r.json(content_type=None)
+
+    async def _fanout_post(path: str, body: dict):
+        return await asyncio.gather(
+            *[_post(u + path, body) for u in shards])
+
+    # -- health / collections ------------------------------------------
+    async def health(request):
+        s = await session()
+
+        async def one(u):
+            try:
+                async with s.get(u + "/health") as r:
+                    return {"shard": u, "ok": r.status == 200,
+                            **(await r.json(content_type=None))}
+            except Exception as e:  # unreachable shard must not 500 the front
+                return {"shard": u, "ok": False, "error": str(e)}
+
+        per = await asyncio.gather(*[one(u) for u in shards])
+        return web.json_response(
+            {"status": "ok" if all(p["ok"] for p in per) else "degraded",
+             "role": "shard-router", "n_shards": n, "shards": per})
+
+    async def create_collection(request):
+        body = await request.json()
+        outs = await _fanout_post("/collections", body)
+        worst = max(o[0] for o in outs)
+        return web.json_response(outs[0][1], status=worst)
+
+    async def delete_collection(request):
+        name = request.match_info["name"]
+        s = await session()
+        codes = []
+        for u in shards:
+            async with s.delete(f"{u}/collections/{name}") as r:
+                codes.append(r.status)
+        return web.json_response({"deleted": name}, status=max(codes))
+
+    async def list_collections(request):
+        s = await session()
+        async with s.get(shards[0] + "/collections") as r:
+            base = await r.json(content_type=None)
+        return web.json_response(base)
+
+    async def get_collection(request):
+        """Aggregate per-shard counts into one logical collection view."""
+        name = request.match_info["name"]
+        s = await session()
+        infos, status = [], 200
+        for u in shards:
+            async with s.get(f"{u}/collections/{name}") as r:
+                status = max(status, r.status)
+                if r.status == 200:
+                    infos.append(await r.json(content_type=None))
+        if not infos:
+            return _err(404, f"collection {name!r} not found")
+        agg = dict(infos[0])
+        if "count" in agg:
+            agg["count"] = sum(i.get("count", 0) for i in infos)
+        agg["n_shards"] = n
+        return web.json_response(agg, status=200)
+
+    # -- writes: hash-route by id --------------------------------------
+    async def insert(request):
+        name = request.match_info["name"]
+        body = await request.json()
+        if not body.get("id"):
+            # assign the id here so routing stays deterministic
+            body["id"] = str(uuid.uuid4())
+        st, out = await _post(
+            f"{shards[_shard_of(body['id'], n)]}/collections/{name}/vectors",
+            body)
+        return web.json_response(out, status=st)
+
+    async def upsert(request):
+        name = request.match_info["name"]
+        body = await request.json()
+        if not body.get("id"):
+            return _err(400, "upsert requires an id")
+        u = shards[_shard_of(body["id"], n)]
+        s = await session()
+        async with s.put(f"{u}/collections/{name}/vectors", json=body) as r:
+            return web.json_response(await r.json(content_type=None),
+                                     status=r.status)
+
+    async def insert_batch(request):
+        name = request.match_info["name"]
+        body = await request.json()
+        vectors = body.get("vectors") or []
+        ids = body.get("ids") or [str(uuid.uuid4()) for _ in vectors]
+        metas = body.get("metadatas")
+        if len(ids) != len(vectors):
+            return _err(400, "ids/vectors length mismatch")
+        parts = {i: ([], [], []) for i in range(n)}
+        for j, (v, rid) in enumerate(zip(vectors, ids)):
+            sv, si, sm = parts[_shard_of(rid, n)]
+            sv.append(v)
+            si.append(rid)
+            sm.append(metas[j] if metas else None)
+        calls = []
+        for i, (sv, si, sm) in parts.items():
+            if not sv:
+                continue
+            calls.append(_post(
+                f"{shards[i]}/collections/{name}/vectors/batch",
+                {"vectors": sv, "ids": si,
+                 "metadatas": sm if metas else None}))
+        outs = await asyncio.gather(*calls)
+        bad = [o for o in outs if o[0] >= 400]
+        if bad:
+            return web.json_response(bad[0][1], status=bad[0][0])
+        return web.json_response({"ids": ids}, status=201)
+
+    async def get_vector(request):
+        name, rid = request.match_info["name"], request.match_info["id"]
+        u = shards[_shard_of(rid, n)]
+        s = await session()
+        async with s.get(f"{u}/collections/{name}/vectors/{rid}",
+                         params=request.rel_url.query) as r:
+            return web.json_response(await r.json(content_type=None),
+                                     status=r.status)
+
+    async def delete_vector(request):
+        name, rid = request.match_info["name"], request.match_info["id"]
+        u = shards[_shard_of(rid, n)]
+        s = await session()
+        async with s.delete(f"{u}/collections/{name}/vectors/{rid}") as r:
+            return web.json_response(await r.json(content_type=None),
+                                     status=r.status)
+
+    async def list_ids(request):
+        name = request.match_info["name"]
+        s = await session()
+        ids: List[str] = []
+        for u in shards:
+            async with s.get(f"{u}/collections/{name}/ids",
+                             params={"limit": "1000000"}) as r:
+                if r.status == 200:
+                    ids.extend((await r.json(content_type=None))["ids"])
+        q = request.rel_url.query
+        off = int(q.get("offset", 0))
+        lim = int(q.get("limit", 100))
+        return web.json_response({"ids": ids[off: off + lim],
+                                  "total": len(ids)})
+
+    # -- search: fan out + merge ---------------------------------------
+    def _merge_hits(per_shard: List[List[dict]], k: int) -> List[dict]:
+        flat = [h for hits in per_shard for h in hits]
+        flat.sort(key=lambda h: h["score"])
+        return flat[:k]
+
+    async def search(request):
+        name = request.match_info["name"]
+        body = await request.json()
+        k = int(body.get("k", 10))
+        t0 = time.perf_counter()
+        outs = await _fanout_post(f"/collections/{name}/search", body)
+        bad = [o for o in outs if o[0] >= 400]
+        if len(bad) == len(outs):
+            return web.json_response(bad[0][1], status=bad[0][0])
+        merged = _merge_hits(
+            [o[1]["results"] for o in outs if o[0] == 200], k)
+        return web.json_response(
+            {"results": merged,
+             "took_ms": round((time.perf_counter() - t0) * 1e3, 3),
+             "shards_ok": sum(1 for o in outs if o[0] == 200)})
+
+    async def search_batch(request):
+        name = request.match_info["name"]
+        body = await request.json()
+        k = int(body.get("k", 10))
+        t0 = time.perf_counter()
+        outs = await _fanout_post(f"/collections/{name}/search/batch", body)
+        bad = [o for o in outs if o[0] >= 400]
+        if len(bad) == len(outs):
+            return web.json_response(bad[0][1], status=bad[0][0])
+        oks = [o[1]["results"] for o in outs if o[0] == 200]
+        nq = len(oks[0]) if oks else 0
+        merged = [_merge_hits([res[i] for res in oks], k)
+                  for i in range(nq)]
+        return web.json_response(
+            {"results": merged,
+             "took_ms": round((time.perf_counter() - t0) * 1e3, 3),
+             "shards_ok": len(oks)})
+
+    async def build_index(request):
+        name = request.match_info["name"]
+        body = await request.json()
+        outs = await _fanout_post(f"/collections/{name}/index", body)
+        worst = max(o[0] for o in outs)
+        return web.json_response(
+            {"built": body.get("kind"), "per_shard": [o[1] for o in outs]},
+            status=worst)
+
+    async def admin_save(request):
+        outs = await _fanout_post("/admin/save", {})
+        return web.json_response({"saved": all(o[0] == 200 for o in outs)})
+
+    r = app.router
+    r.add_get("/health", health)
+    r.add_get("/collections", list_collections)
+    r.add_post("/collections", create_collection)
+    r.add_get("/collections/{name}", get_collection)
+    r.add_delete("/collections/{name}", delete_collection)
+    r.add_post("/collections/{name}/vectors", insert)
+    r.add_put("/collections/{name}/vectors", upsert)
+    r.add_post("/collections/{name}/vectors/batch", insert_batch)
+    r.add_get("/collections/{name}/vectors/{id}", get_vector)
+    r.add_delete("/collections/{name}/vectors/{id}", delete_vector)
+    r.add_get("/collections/{name}/ids", list_ids)
+    r.add_post("/collections/{name}/search", search)
+    r.add_post("/collections/{name}/search/batch", search_batch)
+    r.add_post("/collections/{name}/index", build_index)
+    r.add_post("/admin/save", admin_save)
+    return app
+
+
+def main(argv: Optional[List[str]] = None) -> None:  # pragma: no cover
+    ap = argparse.ArgumentParser(description="fastpyvectordb_tpu shard router")
+    ap.add_argument("--shard", action="append", required=True,
+                    help="base URL of an engine server (repeatable)")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=9000)
+    args = ap.parse_args(argv)
+    web.run_app(create_router_app(args.shard), host=args.host,
+                port=args.port, print=lambda *a: print(json.dumps(
+                    {"router": True, "port": args.port,
+                     "shards": args.shard})))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

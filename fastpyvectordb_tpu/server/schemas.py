@@ -49,7 +49,7 @@ class SearchRequest(BaseModel):
 
 
 class BuildIndexRequest(BaseModel):
-    kind: str = "ivf"            # ivf | graph | int8 | binary | pq
+    kind: str = "ivf"            # ivf | ivfpq | graph | int8 | binary | pq
     params: Dict[str, Any] = {}
 
 

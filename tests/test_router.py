@@ -1,0 +1,131 @@
+"""Shard-router tests: two engine shards behind one front; merged search
+must equal a single engine over the union corpus."""
+
+import asyncio
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+aiohttp = pytest.importorskip("aiohttp")
+httpx = pytest.importorskip("httpx")
+
+from fastpyvectordb_tpu.server.app import create_app
+from fastpyvectordb_tpu.server.router import _shard_of, create_router_app
+
+
+def free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+class AppThread:
+    def __init__(self, app_factory):
+        self.port = free_port()
+        self.loop = asyncio.new_event_loop()
+        self.started = threading.Event()
+        self._factory = app_factory
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+        assert self.started.wait(20), "server failed to start"
+
+    def _run(self):
+        asyncio.set_event_loop(self.loop)
+        from aiohttp import web
+        app = self._factory()
+        runner = web.AppRunner(app)
+        self.loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, "127.0.0.1", self.port)
+        self.loop.run_until_complete(site.start())
+        self.started.set()
+        self.loop.run_forever()
+
+    @property
+    def url(self):
+        return f"http://127.0.0.1:{self.port}"
+
+
+@pytest.fixture(scope="module")
+def cluster(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("router")
+    shards = [AppThread(lambda i=i: create_app(
+        db_path=str(tmp / f"s{i}"), full=False)) for i in range(2)]
+    router = AppThread(
+        lambda: create_router_app([s.url for s in shards]))
+    yield router, shards
+
+
+def test_health_aggregates(cluster):
+    router, shards = cluster
+    r = httpx.get(router.url + "/health", timeout=30).json()
+    assert r["status"] == "ok" and r["n_shards"] == 2
+    assert all(p["ok"] for p in r["shards"])
+
+
+def test_sharded_crud_and_merged_search(cluster):
+    router, shards = cluster
+    rng = np.random.default_rng(0)
+    n, d, k = 120, 16, 10
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    ids = [f"v{i}" for i in range(n)]
+
+    with httpx.Client(base_url=router.url, timeout=60) as c:
+        c.post("/collections", json={"name": "m", "dimensions": d,
+                                     "metric": "l2"}).raise_for_status()
+        r = c.post("/collections/m/vectors/batch",
+                   json={"vectors": v.tolist(), "ids": ids,
+                         "metadatas": [{"i": i} for i in range(n)]})
+        r.raise_for_status()
+        assert r.json()["ids"] == ids
+
+        # rows actually split across shards
+        info = c.get("/collections/m").json()
+        assert info["count"] == n and info["n_shards"] == 2
+        per = [httpx.get(s.url + "/collections/m", timeout=30).json()["count"]
+               for s in shards]
+        assert sorted(per) != [0, n] and sum(per) == n
+
+        # point reads route to the owning shard
+        got = c.get("/collections/m/vectors/v7").json()
+        assert got["id"] == "v7" and got["metadata"]["i"] == 7
+
+        # merged search == brute-force over the union
+        q = v[3] + 0.01
+        hits = c.post("/collections/m/search",
+                      json={"vector": q.tolist(), "k": k}).json()["results"]
+        d2 = np.linalg.norm(v - q[None, :], axis=1)
+        expect = [ids[i] for i in np.argsort(d2)[:k]]
+        assert [h["id"] for h in hits] == expect
+        scores = [h["score"] for h in hits]
+        assert scores == sorted(scores)
+
+        # batch merge, one row per query
+        out = c.post("/collections/m/search/batch",
+                     json={"vectors": [v[5].tolist(), v[50].tolist()],
+                           "k": 3}).json()["results"]
+        assert out[0][0]["id"] == "v5" and out[1][0]["id"] == "v50"
+
+        # delete routes home and disappears from merged results
+        assert c.delete("/collections/m/vectors/v5").status_code == 200
+        out = c.post("/collections/m/search",
+                     json={"vector": v[5].tolist(), "k": 3}).json()["results"]
+        assert "v5" not in [h["id"] for h in out]
+
+        # id listing aggregates across shards
+        listed = c.get("/collections/m/ids", params={"limit": 1000}).json()
+        assert listed["total"] == n - 1
+
+
+def test_shard_assignment_is_stable():
+    assert _shard_of("abc", 4) == _shard_of("abc", 4)
+    spread = {_shard_of(f"id{i}", 4) for i in range(64)}
+    assert spread == {0, 1, 2, 3}
+
+
+def test_search_propagates_missing_collection(cluster):
+    router, _ = cluster
+    r = httpx.post(router.url + "/collections/nope/search",
+                   json={"vector": [0.0] * 16, "k": 3}, timeout=30)
+    assert r.status_code == 404
