@@ -393,7 +393,8 @@ class Collection:
                         f"{type(self._ann).__name__} has no parameter {key!r}")
                 setattr(self._ann, key, int(value))
 
-    def search_quantized(self, queries, k: int = 10, rerank: int = 4,
+    def search_quantized(self, queries, k: int = 10,
+                         rerank: Optional[int] = None,
                          filter: Optional[Filter] = None
                          ) -> List[List[SearchResult]]:
         """Two-stage compressed scan -> exact re-rank (the reference's hybrid
@@ -408,6 +409,8 @@ class Collection:
                     kind=self._quantized.kind,
                     **getattr(self, "_quant_kwargs", {}))
             mask = self._filter_mask(filter)
+            if rerank is None:  # tuned default if set (tune_rerank), else 4
+                rerank = getattr(self._quantized, "default_rerank", 4)
             dists, rows = self._quantized.search(q, k, rerank=rerank, mask=mask)
             built = self._quantized.built_count
             if self._store.count > built:

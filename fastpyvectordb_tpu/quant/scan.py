@@ -375,5 +375,34 @@ class QuantizedScan:
             return self._valid_padded
         return jnp.pad(m, (0, self._bq_pad))
 
+    def tune_rerank(self, queries: np.ndarray, target_recall: float = 0.95,
+                    k: int = 10, max_rerank: int = 256) -> int:
+        """Smallest re-rank candidate factor whose recall@k vs the exact
+        scan clears ``target_recall`` on the given query sample.
+
+        The right factor is data-dependent: ~4 suffices for int8 anywhere,
+        but 1-bit Hamming ordering degrades sharply on *clustered* corpora
+        (intra-cluster sign patterns collide), where binary needs 32-128.
+        Mirrors IVFIndex.tune_nprobe; returns the chosen factor (also used
+        as the default by subsequent ``search`` calls via
+        ``self.default_rerank``)."""
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        exact_d, exact_r = self._store.search(
+            q, k, self.metric,
+            compute_dtype=getattr(self, "compute_dtype", "float32"))
+        rerank = 4
+        while rerank <= max_rerank:
+            _, rows = self.search(q, k, rerank=rerank)
+            hits = np.mean([len(set(a.tolist()) & set(e.tolist())) / k
+                            for a, e in zip(rows, exact_r)])
+            if hits >= target_recall:
+                self.default_rerank = rerank
+                return rerank
+            rerank *= 2
+        self.default_rerank = max_rerank
+        return max_rerank
+
     def memory_usage(self) -> dict:
         return self.quantizer.memory_usage(self.codes.shape[0])
