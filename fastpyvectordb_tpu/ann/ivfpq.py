@@ -386,6 +386,40 @@ class IVFPQIndex:
         idx.stale = idx._built_count > collection._store.count
         return idx
 
+    def tune(self, queries: np.ndarray, target_recall: float = 0.95,
+             k: int = 10, max_nprobe: Optional[int] = None,
+             max_rerank: int = 64) -> Tuple[int, int, float]:
+        """Jointly tune (nprobe, rerank) against exact ground truth.
+
+        Escalates the cheaper knob first (nprobe doubles — more cells
+        probed), then deepens the re-rank candidate pool when routing
+        alone saturates (the usual PQ limiter: the true neighbor is in a
+        probed cell but its approximate ADC rank falls outside the
+        candidate cut).  Installs and returns the chosen settings plus the
+        achieved recall."""
+        store = self._collection._store
+        cfg = self._collection.config
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        _, exact_r = store.search(q, k, cfg.metric,
+                                  compute_dtype=cfg.compute_dtype)
+        limit = max_nprobe or self.centroids.shape[0]
+        npb = max(1, self.nprobe)
+        rr = max(4, self.rerank)
+        while True:
+            _, rows = self.search(q, k, nprobe=npb, rerank=rr)
+            rec = float(np.mean(
+                [len(set(a.tolist()) & set(e.tolist())) / k
+                 for a, e in zip(rows, exact_r)]))
+            if rec >= target_recall or (npb >= limit and rr >= max_rerank):
+                self.nprobe, self.rerank = int(npb), int(rr)
+                return int(npb), int(rr), rec
+            if npb < limit:
+                npb = min(limit, npb * 2)
+            else:
+                rr *= 2
+
     def tune_nprobe(self, queries: np.ndarray, target_recall: float = 0.95,
                     k: int = 10, max_nprobe: Optional[int] = None) -> int:
         store = self._collection._store

@@ -133,3 +133,16 @@ def test_compression_accounting(built):
     st = col._ann.stats()
     assert st["kind"] == "ivfpq"
     assert st["m"] == 8 and st["pq_k"] == 64
+
+
+def test_joint_tune():
+    col, v, q = make_col(n=3000, d=32, seed=13)
+    col.build_ann(kind="ivfpq", nlist=32, nprobe=2, iters=6, m=8, pq_k=64,
+                  pq_iters=8, rerank=4)
+    npb, rr, rec = col._ann.tune(q, target_recall=0.95, k=10)
+    assert rec >= 0.95
+    assert col._ann.nprobe == npb and col._ann.rerank == rr
+    # the tuned settings are what search now uses by default
+    exact = ids_of(col.search_batch(q, k=10, exact=True))
+    _, rows = col._ann.search(q, 10)
+    assert recall_of(col, rows, exact) >= 0.9
