@@ -66,3 +66,16 @@ def test_rag_chunker_overlap():
     # nothing lost: every word appears somewhere
     joined = set(" ".join(chunks).split())
     assert all(f"word{i}" in joined for i in range(200))
+
+
+def test_production_ops_example(capsys, monkeypatch):
+    """The ops walkthrough (WAL / CRC / IVF-PQ / tune_rerank / router)
+    must run end-to-end offline."""
+    monkeypatch.setattr(sys, "argv", ["production_ops.py"])
+    import runpy
+    runpy.run_path(str(REPO / "examples" / "production_ops.py"),
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "recovered 99 rows" in out
+    assert "corrupted file detected" in out
+    assert "All production-ops demos passed." in out
