@@ -229,6 +229,250 @@ class ShardedIVF:
 
 
 # ---------------------------------------------------------------------------
+# Sharded IVF-PQ
+# ---------------------------------------------------------------------------
+
+def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
+                               c: int, nprobe_local: int, shard_rows: int,
+                               rerank_dtype: str = "bfloat16"):
+    """Compile the sharded IVF-PQ search: cell-sharded ADC scoring, then a
+    row-sharded exact re-rank.
+
+    Phase 1 (cell axis): each device routes within its local centroid
+    shard, ADC-scores its probed cells (cell-independent LUT, same math as
+    ann/ivfpq.py), and contributes top-c candidates with *global* row ids.
+    Phase 2 (row axis): the merged candidate list is re-scored exactly —
+    each device scores the candidates whose rows it owns (the corpus is
+    row-sharded, so no cross-device gather of vectors), everyone else
+    reports MASKED, and an elementwise ``pmin`` assembles the full exact
+    score matrix before the final top-k.  Only (B, c)-sized tensors ever
+    cross ICI.
+    """
+    metric = DistanceMetric.parse(metric)
+
+    def local(q, centroids, codebooks, codes, norms, row_table, cent_valid,
+              vectors, validmask):
+        b, d = q.shape
+        nlist_l, cmax, m = codes.shape
+        kk_cb = codebooks.shape[1]
+        qf = q.astype(jnp.float32)
+        # ---- phase 1: route within the local centroid shard --------------
+        qc = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
+        if metric == DistanceMetric.COSINE:
+            cn = jnp.maximum(jnp.linalg.norm(centroids, axis=1), 1e-30)
+            route = qc / cn[None, :]
+        elif metric == DistanceMetric.DOT:
+            route = qc
+        else:
+            csq = jnp.einsum("kd,kd->k", centroids, centroids,
+                             preferred_element_type=jnp.float32)
+            route = -(csq[None, :] - 2.0 * qc)
+        route = jnp.where(cent_valid[None, :], route, -MASKED)
+        npl = min(nprobe_local, nlist_l)
+        _, probe = jax.lax.top_k(route, npl)
+
+        qsub = qf.reshape(b, m, d // m)
+        lut = jnp.einsum("bmd,mkd->bmk", qsub, codebooks,
+                         preferred_element_type=jnp.float32)
+        lut_flat = lut.reshape(b, m * kk_cb)
+        codes_g = jnp.take(codes, probe, axis=0)
+        norms_g = jnp.take(norms, probe, axis=0).reshape(b, -1)
+        cand = jnp.take(row_table, probe, axis=0).reshape(b, -1)
+        offs = jnp.arange(m, dtype=jnp.int32) * kk_cb
+        idx = codes_g.astype(jnp.int32) + offs[None, None, None, :]
+        adc = jnp.sum(jnp.take_along_axis(
+            lut_flat, idx.reshape(b, -1), axis=1
+        ).reshape(b, npl * cmax, m), axis=2)
+        qc_g = jnp.take_along_axis(qc, probe, axis=1)[:, :, None]
+        cross = (qc_g + adc.reshape(b, npl, cmax)).reshape(b, -1)
+
+        qsq = jnp.einsum("bd,bd->b", qf, qf,
+                         preferred_element_type=jnp.float32)
+        qinv = 1.0 / jnp.maximum(jnp.sqrt(qsq[:, None]), 1e-30)
+        if metric == DistanceMetric.COSINE:
+            rinv = jax.lax.rsqrt(jnp.maximum(norms_g, 1e-30))
+            s = 1.0 - cross * qinv * rinv
+        elif metric == DistanceMetric.L2:
+            s = jnp.maximum(qsq[:, None] + norms_g - 2.0 * cross, 0.0)
+        else:
+            s = -cross
+        safe = jnp.maximum(cand, 0)
+        ok = (cand >= 0) & jnp.take(validmask, safe, axis=0)
+        s = jnp.where(ok, s, MASKED)
+        cc = min(c, s.shape[1])
+        negc, cpos = jax.lax.top_k(-s, cc)
+        crows = jnp.take_along_axis(safe, cpos, axis=1)
+        crows = jnp.where(-negc < MASKED * 0.5, crows, -1)
+
+        # merge candidates across the cell shards (cells are disjoint)
+        rows_g = jax.lax.all_gather(crows, DATA_AXIS)      # (ndev, B, cc)
+        vals_g = jax.lax.all_gather(-negc, DATA_AXIS)
+        ndev = rows_g.shape[0]
+        rows_f = jnp.moveaxis(rows_g, 0, 1).reshape(b, ndev * cc)
+        vals_f = jnp.moveaxis(vals_g, 0, 1).reshape(b, ndev * cc)
+        cg = min(c, ndev * cc)
+        _, sel = jax.lax.top_k(-vals_f, cg)
+        grows = jnp.take_along_axis(rows_f, sel, axis=1)   # (B, cg) global
+
+        # ---- phase 2: row-sharded exact re-rank --------------------------
+        lo = jax.lax.axis_index(DATA_AXIS) * shard_rows
+        own = (grows >= lo) & (grows < lo + shard_rows)
+        lrow = jnp.clip(grows - lo, 0, shard_rows - 1)
+        cv = jnp.take(vectors, lrow, axis=0)               # (B, cg, D)
+        vsq = jnp.einsum("bcd,bcd->bc", cv, cv,
+                         preferred_element_type=jnp.float32)
+        cd2 = jnp.dtype(rerank_dtype)
+        cross2 = jnp.einsum("bd,bcd->bc", qf.astype(cd2), cv.astype(cd2),
+                            preferred_element_type=jnp.float32,
+                            precision=matmul_precision(rerank_dtype))
+        if metric == DistanceMetric.COSINE:
+            rinv2 = jax.lax.rsqrt(jnp.maximum(vsq, 1e-30))
+            es = 1.0 - cross2 * qinv * rinv2
+        elif metric == DistanceMetric.L2:
+            es = jnp.sqrt(jnp.maximum(qsq[:, None] + vsq - 2.0 * cross2,
+                                      0.0))
+        else:
+            es = -cross2
+        es = jnp.where(own & (grows >= 0), es, MASKED)
+        es = jax.lax.pmin(es, DATA_AXIS)                   # assemble exact
+        kk = min(k, cg)
+        neg, pos = jax.lax.top_k(-es, kk)
+        return -neg, jnp.take_along_axis(grows, pos, axis=1)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None), P(DATA_AXIS, None), P(None, None, None),
+                  P(DATA_AXIS, None, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None),
+                  P(None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedIVFPQ:
+    """An ann.ivfpq.IVFPQIndex re-laid-out across a device mesh: cells on
+    the cell axis, the exact-re-rank corpus on the row axis."""
+
+    def __init__(self, mesh: Mesh, centroids, codebooks, codes, norms,
+                 row_table, cent_valid, vectors, validmask, *,
+                 metric: DistanceMetric, nprobe: int, rerank: int,
+                 rerank_dtype: str = "bfloat16"):
+        self.mesh = mesh
+        self.metric = DistanceMetric.parse(metric)
+        self.nprobe = nprobe
+        self.rerank = rerank
+        self.rerank_dtype = rerank_dtype
+        ndev = mesh.shape[DATA_AXIS]
+        self.shard_rows = vectors.shape[0] // ndev
+        self.nprobe_local = max(1, min(-(-nprobe // ndev) * 2,
+                                       centroids.shape[0] // ndev))
+        shard = lambda a, nd: jax.device_put(
+            a, NamedSharding(mesh, P(DATA_AXIS, *([None] * (nd - 1)))))
+        rep = lambda a: jax.device_put(a, NamedSharding(mesh, P()))
+        self.centroids = shard(centroids, 2)
+        self.codebooks = rep(codebooks)
+        self.codes = shard(codes, 3)
+        self.norms = shard(norms, 2)
+        self.row_table = shard(row_table, 2)
+        self.cent_valid = shard(cent_valid, 1)
+        self.vectors = shard(vectors, 2)
+        self.validmask = rep(validmask)
+        self._fns = {}
+
+    @classmethod
+    def from_index(cls, mesh: Mesh, idx, validmask=None) -> "ShardedIVFPQ":
+        """Shard an ann.ivfpq.IVFPQIndex across ``mesh``.  Overflow rows
+        are folded into per-shard always-probed extra cells exactly like
+        ShardedIVF; their codes re-encode through the PQ codebooks so the
+        cell tensors stay uniform."""
+        ndev = mesh.shape[DATA_AXIS]
+        centroids = np.asarray(idx.centroids, dtype=np.float32)
+        codes = np.asarray(idx.codes)
+        norms = np.asarray(idx.norms)
+        table = np.asarray(idx.row_table)
+        nlist, cmax, m = codes.shape
+        orows_all = np.asarray(idx.overflow_rows)
+        keep = orows_all >= 0
+        orows = orows_all[keep]
+        if orows.size:
+            from ..quant.product import _encode as _pq_encode
+            extra = ndev
+            per = -(-orows.size // extra)
+            width = max(cmax, per)
+            mean_c = centroids.mean(axis=0, keepdims=True)
+            ovecs = np.asarray(idx.overflow_vecs, dtype=np.float32)[keep]
+            ocodes_rows = np.asarray(_pq_encode(
+                jnp.asarray(ovecs - mean_c), idx.codebooks))
+            onorms_rows = np.einsum("od,od->o", ovecs, ovecs)
+            ocells = np.zeros((extra, width, m), codes.dtype)
+            onorms = np.zeros((extra, width), np.float32)
+            otab = np.full((extra, width), -1, np.int32)
+            for i in range(extra):
+                sl = slice(i * per, (i + 1) * per)
+                part = orows[sl]
+                ocells[i, :part.size] = ocodes_rows[sl]
+                onorms[i, :part.size] = onorms_rows[sl]
+                otab[i, :part.size] = part
+            if width > cmax:
+                grow = width - cmax
+                codes = np.pad(codes, ((0, 0), (0, grow), (0, 0)))
+                norms = np.pad(norms, ((0, 0), (0, grow)))
+                table = np.pad(table, ((0, 0), (0, grow)),
+                               constant_values=-1)
+                cmax = width
+            centroids = np.concatenate(
+                [centroids, np.repeat(mean_c, extra, axis=0)])
+            codes = np.concatenate([codes, ocells[:, :cmax]])
+            norms = np.concatenate([norms, onorms[:, :cmax]])
+            table = np.concatenate([table, otab[:, :cmax]])
+            nlist += extra
+        pad = (-nlist) % ndev
+        if pad:
+            centroids = np.pad(centroids, ((0, pad), (0, 0)))
+            codes = np.pad(codes, ((0, pad), (0, 0), (0, 0)))
+            norms = np.pad(norms, ((0, pad), (0, 0)))
+            table = np.pad(table, ((0, pad), (0, 0)), constant_values=-1)
+        cent_valid = np.ones((centroids.shape[0],), dtype=bool)
+        if pad:
+            cent_valid[-pad:] = False
+        store = idx._collection._store
+        cfg = idx._collection.config
+        n = store.count
+        vecs = np.asarray(store.vectors[:n], dtype=np.float32)
+        vm = (np.asarray(store.valid[:n]) if validmask is None
+              else np.asarray(validmask)[:n])
+        rpad = (-n) % ndev
+        if rpad:
+            vecs = np.pad(vecs, ((0, rpad), (0, 0)))
+        vmask = np.zeros((store.capacity,), dtype=bool)
+        vmask[:n] = vm
+        dtype_name = ("bfloat16" if cfg.compute_dtype == "bfloat16"
+                      else "float32")
+        return cls(mesh, centroids, np.asarray(idx.codebooks), codes, norms,
+                   table, cent_valid, vecs.astype(jnp.dtype(dtype_name)),
+                   vmask, metric=cfg.metric, nprobe=idx.nprobe,
+                   rerank=idx.rerank, rerank_dtype=dtype_name)
+
+    def search(self, queries, k: int, rerank: Optional[int] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
+        rr = rerank if rerank is not None else self.rerank
+        c = max(k * max(rr, 1), k)
+        key = (k, c)
+        if key not in self._fns:
+            self._fns[key] = build_sharded_ivfpq_search(
+                self.mesh, metric=self.metric, k=k, c=c,
+                nprobe_local=self.nprobe_local, shard_rows=self.shard_rows,
+                rerank_dtype=self.rerank_dtype)
+        d, r = self._fns[key](q, self.centroids, self.codebooks, self.codes,
+                              self.norms, self.row_table, self.cent_valid,
+                              self.vectors, self.validmask)
+        return np.asarray(d), np.asarray(r)
+
+
+# ---------------------------------------------------------------------------
 # Sharded int8 two-stage scan
 # ---------------------------------------------------------------------------
 

@@ -112,3 +112,36 @@ def test_sharded_int8_respects_tombstones(built, mesh):
     sh = ShardedInt8.from_scan(mesh, col._quantized)
     _, rows = sh.search(q[:1], 10)
     assert dead not in rows[0].tolist()
+
+
+def test_sharded_ivfpq_recall(built, mesh):
+    from fastpyvectordb_tpu.dist.sharded_ann import ShardedIVFPQ
+    col, v, q, exact = built
+    col.build_ann(kind="ivfpq", nlist=64, nprobe=12, iters=5, m=8, pq_k=64,
+                  pq_iters=8, rerank=16)
+    sh = ShardedIVFPQ.from_index(mesh, col._ann)
+    d, rows = sh.search(q, 10)
+    assert rows.shape == (8, 10)
+    recall = np.mean([len(set(r.tolist()) & e) / 10
+                      for r, e in zip(rows, exact)])
+    assert recall >= 0.85, f"sharded IVF-PQ recall {recall:.3f}"
+    assert all(np.all(np.diff(row) >= -1e-5) for row in d)
+    # the sharded search must agree with the single-chip index on top-1
+    d1, r1 = col._ann.search(q, 10, rerank=16)
+    agree = np.mean(rows[:, 0] == r1[:, 0])
+    assert agree >= 0.75, f"top-1 agreement {agree}"
+
+
+def test_sharded_ivfpq_tombstones(built, mesh):
+    from fastpyvectordb_tpu.dist.sharded_ann import ShardedIVFPQ
+    col, v, q, exact = built
+    if col._ann is None or type(col._ann).__name__ != "IVFPQIndex":
+        col.build_ann(kind="ivfpq", nlist=64, nprobe=12, iters=5, m=8,
+                      pq_k=64, pq_iters=8, rerank=16)
+    _, r = col._store.search(q[:1], 1, col.config.metric)
+    dead = int(r[0, 0])
+    vm = np.asarray(col._store.valid[:col._store.count]).copy()
+    vm[dead] = False
+    sh = ShardedIVFPQ.from_index(mesh, col._ann, validmask=vm)
+    _, rows = sh.search(q[:1], 10)
+    assert dead not in rows[0].tolist()
