@@ -110,17 +110,36 @@ def config5(n=5_000_000, b=64, k=10, rerank=16):
     emit(exp="config5_setup", n=n, d=d, b=b, rerank=rerank)
     v, centers = clustered_corpus(n, d, seed=2)
 
-    # serving copy: bf16 on device (f32 would be 15.4 GB > HBM)
-    vdev = jnp.asarray(v[:1]).astype(jnp.bfloat16)  # placeholder warm
-    tile = 1_000_000
-    parts = [jnp.asarray(v[s:s + tile]).astype(jnp.bfloat16)
-             for s in range(0, n, tile)]
-    vbf16 = jnp.concatenate(parts)
-    del parts, vdev
+    # serving copy: bf16 on device (f32 would be 15.4 GB > HBM).
+    # Stage carefully — the first attempt held ~4 corpus copies at once
+    # (f32 staging temporaries + bf16 parts + the concatenated result =
+    # 28.6 GB of live arguments, r2_run.log OOM).  Host-cast to bf16
+    # before transfer and write tiles into one donated device buffer so
+    # the peak stays at corpus + one tile.
+    import functools
+    import ml_dtypes
+    tile = 500_000
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _write(buf, t, start):
+        return jax.lax.dynamic_update_slice(buf, t, (start, 0))
+
+    vbf16 = jnp.zeros((n, d), jnp.bfloat16)
+    for s in range(0, n, tile):
+        t = jnp.asarray(v[s:s + tile].astype(ml_dtypes.bfloat16))
+        vbf16 = _write(vbf16, t, jnp.int32(s))
+        jax.block_until_ready(vbf16)
+        del t
     qz = BinaryQuantizer().train(v[:200_000])
-    # encode in tiles (device)
-    codes = jnp.concatenate([qz.encode(v[s:s + tile])
-                             for s in range(0, n, tile)])
+    # encode in tiles (device); block per tile so f32 staging frees
+    cparts = []
+    for s in range(0, n, tile):
+        cp = qz.encode(v[s:s + tile])
+        jax.block_until_ready(cp)
+        cparts.append(cp)
+    codes = jnp.concatenate(cparts)
+    jax.block_until_ready(codes)
+    del cparts
     codes_t = codes.T
     pad = (-n) % _BQ_TILE_N
     codes_tp = jnp.pad(codes_t, ((0, 0), (0, pad))) if pad else codes_t
