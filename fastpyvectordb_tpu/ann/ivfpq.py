@@ -295,6 +295,16 @@ class IVFPQIndex:
         ncand = nprobe * self.row_table.shape[1] + \
             int(self.overflow_rows.shape[0])
         c = int(min(max(k, k * rr), ncand))
+        # bound per-dispatch memory: stage 3 materializes an int32 index
+        # tensor and an f32 ADC gather of shape (b, nprobe*cmax*M) — cap
+        # the sub-batch so those two stay under ~2 GB (same guard as
+        # ivf.py:288-296; a filtered overfetch multiplies nprobe and would
+        # otherwise OOM the 16 GB chip at large batch)
+        cmax = self.row_table.shape[1]
+        m = self.codes.shape[2]
+        per_q = max(nprobe * cmax * m * 8, 1)  # 4 B idx + 4 B gathered
+        safe_b = max(8, int((2 << 30) // per_q) // 8 * 8)
+        max_query_batch = int(min(max_query_batch, safe_b))
         outs_d, outs_r = [], []
         for s in range(0, q.shape[0], max_query_batch):
             sub = q[s: s + max_query_batch]
@@ -418,7 +428,7 @@ class IVFPQIndex:
             if npb < limit:
                 npb = min(limit, npb * 2)
             else:
-                rr *= 2
+                rr = min(max_rerank, rr * 2)
 
     def tune_nprobe(self, queries: np.ndarray, target_recall: float = 0.95,
                     k: int = 10, max_nprobe: Optional[int] = None) -> int:

@@ -56,14 +56,20 @@ class Collection:
         self._ann = None  # optional ANN index (ann/ivf.py), built on demand
         self._quantized = None  # optional quantized scan state (quant/)
         self._wal = None  # write-ahead log (persist/wal.py), durability="wal"
+        # durability is a runtime preference, not a data property: the
+        # constructor's requested value wins over whatever the snapshot
+        # recorded (else enabling WAL on an existing snapshot collection
+        # would be silently ignored — _load replaces self.config)
+        requested_durability = getattr(config, "durability", "snapshot")
+        requested_fsync = getattr(config, "wal_fsync", False)
         if self.base_path is not None and (self.base_path / STORE_FILE).exists():
             self._load()
-        if (self.base_path is not None
-                and getattr(self.config, "durability", "snapshot") == "wal"):
+            self.config.durability = requested_durability
+            self.config.wal_fsync = requested_fsync
+        if self.base_path is not None and requested_durability == "wal":
             from ..persist.wal import WriteAheadLog
-            self._wal = WriteAheadLog(
-                self.base_path / "wal.log",
-                fsync=getattr(self.config, "wal_fsync", False))
+            self._wal = WriteAheadLog(self.base_path / "wal.log",
+                                      fsync=requested_fsync)
             self._replay_wal()
 
     # ------------------------------------------------------------------
@@ -405,9 +411,15 @@ class Collection:
             if self._quantized is None:
                 self.enable_quantized_scan()
             elif self._index_rebuild_due(self._quantized.built_count):
+                # a threshold rebuild must not silently discard the tuned
+                # candidate depth (tune_rerank) — recall would collapse
+                # back to the untuned default on clustered corpora
+                tuned = getattr(self._quantized, "default_rerank", None)
                 self.enable_quantized_scan(
                     kind=self._quantized.kind,
                     **getattr(self, "_quant_kwargs", {}))
+                if tuned is not None:
+                    self._quantized.default_rerank = tuned
             mask = self._filter_mask(filter)
             if rerank is None:  # tuned default if set (tune_rerank), else 4
                 rerank = getattr(self._quantized, "default_rerank", 4)
@@ -520,6 +532,8 @@ class Collection:
         try:
             for op, obj, vecs in wal.replay():
                 if op == W.OP_INSERT:
+                    if not obj["ids"]:
+                        continue  # zero-row insert: nothing to re-apply
                     dup = [i for i in obj["ids"] if i in self._id_to_row]
                     if dup:
                         self.delete_batch(dup)

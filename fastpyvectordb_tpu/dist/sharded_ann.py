@@ -251,7 +251,7 @@ def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
     metric = DistanceMetric.parse(metric)
 
     def local(q, centroids, codebooks, codes, norms, row_table, cent_valid,
-              vectors, validmask):
+              cent_boost, vectors, validmask):
         b, d = q.shape
         nlist_l, cmax, m = codes.shape
         kk_cb = codebooks.shape[1]
@@ -268,6 +268,11 @@ def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
                              preferred_element_type=jnp.float32)
             route = -(csq[None, :] - 2.0 * qc)
         route = jnp.where(cent_valid[None, :], route, -MASKED)
+        # overflow cells are ALWAYS probed on the shard that owns them
+        # (the single-chip index scans overflow exactly on every query;
+        # without the boost, a query routed away from the data mean would
+        # silently never see overflow rows)
+        route = jnp.where(cent_boost[None, :], MASKED, route)
         npl = min(nprobe_local, nlist_l)
         _, probe = jax.lax.top_k(route, npl)
 
@@ -343,8 +348,8 @@ def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
         local, mesh=mesh,
         in_specs=(P(None, None), P(DATA_AXIS, None), P(None, None, None),
                   P(DATA_AXIS, None, None), P(DATA_AXIS, None),
-                  P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None),
-                  P(None)),
+                  P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS, None), P(None)),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
@@ -356,7 +361,8 @@ class ShardedIVFPQ:
     the cell axis, the exact-re-rank corpus on the row axis."""
 
     def __init__(self, mesh: Mesh, centroids, codebooks, codes, norms,
-                 row_table, cent_valid, vectors, validmask, *,
+                 row_table, cent_valid, vectors, validmask,
+                 cent_boost=None, *,
                  metric: DistanceMetric, nprobe: int, rerank: int,
                  rerank_dtype: str = "bfloat16"):
         self.mesh = mesh
@@ -377,6 +383,9 @@ class ShardedIVFPQ:
         self.norms = shard(norms, 2)
         self.row_table = shard(row_table, 2)
         self.cent_valid = shard(cent_valid, 1)
+        if cent_boost is None:
+            cent_boost = np.zeros(np.asarray(cent_valid).shape, dtype=bool)
+        self.cent_boost = shard(np.asarray(cent_boost), 1)
         self.vectors = shard(vectors, 2)
         self.validmask = rep(validmask)
         self._fns = {}
@@ -437,6 +446,10 @@ class ShardedIVFPQ:
         cent_valid = np.ones((centroids.shape[0],), dtype=bool)
         if pad:
             cent_valid[-pad:] = False
+        cent_boost = np.zeros((centroids.shape[0],), dtype=bool)
+        if orows.size:
+            # the `extra` overflow cells sit just before the padding
+            cent_boost[nlist - ndev: nlist] = True
         store = idx._collection._store
         cfg = idx._collection.config
         n = store.count
@@ -452,7 +465,7 @@ class ShardedIVFPQ:
                       else "float32")
         return cls(mesh, centroids, np.asarray(idx.codebooks), codes, norms,
                    table, cent_valid, vecs.astype(jnp.dtype(dtype_name)),
-                   vmask, metric=cfg.metric, nprobe=idx.nprobe,
+                   vmask, cent_boost, metric=cfg.metric, nprobe=idx.nprobe,
                    rerank=idx.rerank, rerank_dtype=dtype_name)
 
     def search(self, queries, k: int, rerank: Optional[int] = None
@@ -468,7 +481,7 @@ class ShardedIVFPQ:
                 rerank_dtype=self.rerank_dtype)
         d, r = self._fns[key](q, self.centroids, self.codebooks, self.codes,
                               self.norms, self.row_table, self.cent_valid,
-                              self.vectors, self.validmask)
+                              self.cent_boost, self.vectors, self.validmask)
         return np.asarray(d), np.asarray(r)
 
 

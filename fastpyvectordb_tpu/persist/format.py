@@ -136,18 +136,21 @@ class Container:
         pre-CRC containers (no crc32 field) are skipped.  Raises ValueError
         naming the first corrupted section."""
         names = [name] if name is not None else list(self.sections)
-        for n in names:
-            entry = self.sections[n]
-            crc = entry.get("crc32")
-            if crc is None:
-                continue
-            with open(self.path, "rb") as f:
+        unknown = [n for n in names if n not in self.sections]
+        if unknown:
+            raise ValueError(f"{self.path}: no such section {unknown[0]!r}")
+        with open(self.path, "rb") as f:
+            for n in names:
+                entry = self.sections[n]
+                crc = entry.get("crc32")
+                if crc is None:
+                    continue
                 f.seek(self._data_start + entry["offset"])
                 raw = f.read(entry["nbytes"])
-            if (zlib.crc32(raw) & 0xFFFFFFFF) != crc:
-                raise ValueError(
-                    f"{self.path}: section {n!r} failed its CRC32 check "
-                    "(file corrupted or truncated)")
+                if (zlib.crc32(raw) & 0xFFFFFFFF) != crc:
+                    raise ValueError(
+                        f"{self.path}: section {n!r} failed its CRC32 check "
+                        "(file corrupted or truncated)")
         return True
 
 

@@ -37,6 +37,19 @@ _FRAME = struct.Struct("<II")     # record_len (op+payload), crc32
 _JLEN = struct.Struct("<I")
 
 
+def _json_default(v):
+    """Lossless where possible: numpy scalars/arrays become native JSON
+    numbers/lists (a replayed Filter.gt still compares numerically);
+    everything else stringifies — callers should keep metadata
+    JSON-serializable (datetimes etc. round-trip as strings, same as the
+    snapshot path's metadata serialization)."""
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    return str(v)
+
+
 class WriteAheadLog:
     """Append-only checksummed mutation log for one collection."""
 
@@ -48,7 +61,7 @@ class WriteAheadLog:
 
     # -- writing -------------------------------------------------------
     def append(self, op: int, obj: dict, raw: bytes = b"") -> None:
-        j = json.dumps(obj, default=str).encode("utf-8")
+        j = json.dumps(obj, default=_json_default).encode("utf-8")
         body = bytes([op]) + _JLEN.pack(len(j)) + j + raw
         self._f.write(_FRAME.pack(len(body), zlib.crc32(body)) + body)
         self._f.flush()
@@ -57,6 +70,8 @@ class WriteAheadLog:
 
     def log_insert(self, ids, metadatas, vectors: np.ndarray) -> None:
         arr = np.ascontiguousarray(vectors, dtype=np.float32)
+        if arr.shape[0] == 0:
+            return  # nothing to recover; an empty record would replay oddly
         self.append(OP_INSERT,
                     {"ids": list(ids), "metadatas": list(metadatas),
                      "n": int(arr.shape[0]), "d": int(arr.shape[1])},

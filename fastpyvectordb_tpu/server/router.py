@@ -65,9 +65,15 @@ def create_router_app(shards: List[str],
         return web.json_response({"detail": detail}, status=status)
 
     async def _post(url: str, body: dict):
+        """POST to one shard; an unreachable shard is a 503 result, not a
+        raised exception — fan-out callers must see partial failures so
+        their degraded-coverage branches actually run."""
         s = await session()
-        async with s.post(url, json=body) as r:
-            return r.status, await r.json(content_type=None)
+        try:
+            async with s.post(url, json=body) as r:
+                return r.status, await r.json(content_type=None)
+        except Exception as e:
+            return 503, {"detail": f"shard unreachable: {e}"}
 
     async def _fanout_post(path: str, body: dict):
         return await asyncio.gather(
@@ -93,8 +99,15 @@ def create_router_app(shards: List[str],
     async def create_collection(request):
         body = await request.json()
         outs = await _fanout_post("/collections", body)
-        worst = max(o[0] for o in outs)
-        return web.json_response(outs[0][1], status=worst)
+        worst = max(outs, key=lambda o: o[0])
+        # report the worst shard's own body with its status (success body
+        # + error status would contradict); note partial DDL so the
+        # operator can retry the failed shards
+        payload = dict(worst[1]) if isinstance(worst[1], dict) else worst[1]
+        if worst[0] >= 400 and any(o[0] < 400 for o in outs) \
+                and isinstance(payload, dict):
+            payload["partial"] = {u: o[0] for u, o in zip(shards, outs)}
+        return web.json_response(payload, status=worst[0])
 
     async def delete_collection(request):
         name = request.match_info["name"]

@@ -249,3 +249,20 @@ def test_tune_rerank_binary_clustered():
     tuned = [[h.id for h in hits] for hits in col.search_quantized(q, k=10)]
     rec = np.mean([len(set(a) & set(e)) / 10 for a, e in zip(tuned, exact)])
     assert rec >= 0.85, rec
+
+
+def test_tuned_rerank_survives_threshold_rebuild():
+    import numpy as np
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    rng = np.random.default_rng(9)
+    col = Collection(CollectionConfig(name="tr", dimensions=16))
+    col.insert_batch(rng.standard_normal((256, 16)).astype(np.float32),
+                     [f"v{i}" for i in range(256)])
+    scan = col.enable_quantized_scan("int8")
+    scan.default_rerank = 32  # as tune_rerank would install
+    # grow far past the rebuild threshold, then search through the API
+    col.insert_batch(rng.standard_normal((8000, 16)).astype(np.float32),
+                     [f"w{i}" for i in range(8000)])
+    assert col._index_rebuild_due(scan.built_count)
+    col.search_quantized(rng.standard_normal(16).astype(np.float32), k=5)
+    assert getattr(col._quantized, "default_rerank", None) == 32

@@ -129,3 +129,31 @@ def test_search_propagates_missing_collection(cluster):
     r = httpx.post(router.url + "/collections/nope/search",
                    json={"vector": [0.0] * 16, "k": 3}, timeout=30)
     assert r.status_code == 404
+
+
+def test_shard_outage_degrades_not_500(tmp_path):
+    """One dead shard must degrade coverage, not fail the front."""
+    shard = AppThread(lambda: create_app(db_path=str(tmp_path / "solo"),
+                                         full=False))
+    dead_port = free_port()  # nothing listening
+    router = AppThread(lambda: create_router_app(
+        [shard.url, f"http://127.0.0.1:{dead_port}"]))
+    with httpx.Client(base_url=router.url, timeout=60) as c:
+        h = c.get("/health").json()
+        assert h["status"] == "degraded"
+        assert sum(1 for p in h["shards"] if p["ok"]) == 1
+        # collection DDL reports the failure honestly
+        r = c.post("/collections", json={"name": "d", "dimensions": 8,
+                                         "metric": "l2"})
+        assert r.status_code >= 400 and "partial" in r.json()
+        # search still serves from the live shard
+        import numpy as np
+        v = np.eye(8, dtype=np.float32)
+        httpx.post(shard.url + "/collections/d/vectors/batch",
+                   json={"vectors": v.tolist(),
+                         "ids": [f"v{i}" for i in range(8)]},
+                   timeout=30).raise_for_status()
+        out = c.post("/collections/d/search",
+                     json={"vector": v[2].tolist(), "k": 3}).json()
+        assert out["shards_ok"] == 1
+        assert out["results"][0]["id"] == "v2"

@@ -120,3 +120,41 @@ def test_snapshot_mode_unaffected(tmp_path):
     col.insert(np.ones(8, np.float32), id="x")
     assert col._wal is None
     assert not (tmp_path / "s" / "wal.log").exists()
+
+
+def test_enable_wal_on_existing_snapshot_collection(tmp_path):
+    # a collection saved with durability="snapshot" must honor a later
+    # constructor request for WAL (runtime preference beats the snapshot)
+    p = tmp_path / "c5"
+    col = Collection(CollectionConfig(name="w", dimensions=8), base_path=p)
+    col.insert(np.ones(8, np.float32), id="a")
+    col.save()
+    col2 = wal_col(p)
+    assert col2._wal is not None
+    col2.insert(np.zeros(8, np.float32), id="b")
+    col2._wal.close()  # crash without save
+    col3 = wal_col(p)
+    assert sorted(col3.all_ids()) == ["a", "b"]
+
+
+def test_zero_row_insert_does_not_poison_log(tmp_path):
+    p = tmp_path / "c6"
+    col = wal_col(p)
+    col.insert_batch(np.zeros((0, 8), np.float32))  # accepted, no-op
+    col.insert(np.ones(8, np.float32), id="x")
+    col._wal.close()
+    col2 = wal_col(p)  # must not raise on replay
+    assert col2.all_ids() == ["x"]
+
+
+def test_numpy_metadata_survives_replay_numerically(tmp_path):
+    from fastpyvectordb_tpu import Filter
+    p = tmp_path / "c7"
+    col = wal_col(p)
+    col.insert(np.ones(8, np.float32), id="n",
+               metadata={"score": np.float64(2.5), "count": np.int64(7)})
+    col._wal.close()
+    col2 = wal_col(p)
+    hits = col2.search(np.ones(8, np.float32), k=1,
+                       filter=Filter.gt("score", 2.0))
+    assert hits and hits[0].id == "n"  # numeric comparison still works
