@@ -110,6 +110,19 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         "full": full,
     }
 
+    from .metrics import Metrics, install as install_metrics
+    metrics = state["metrics"] = Metrics()
+
+    def _refresh_gauges(m: Metrics) -> None:
+        names = state["db"].list_collections()
+        m.set_gauge("collections", len(names))
+        m.set_gauge("rows_total",
+                    sum(state["db"][n].count() for n in names))
+        m.set_gauge("websocket_connections",
+                    state["ws"].connection_count)
+
+    install_metrics(app, metrics, gauge_hook=_refresh_gauges)
+
     def embedder():
         if state["embedder"] is None:
             state["embedder"] = get_embedder(state["embedding_provider"])

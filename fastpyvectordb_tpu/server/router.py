@@ -48,6 +48,9 @@ def create_router_app(shards: List[str],
     n = len(shards)
     app = web.Application(client_max_size=1024 * 2**20)
     state = app["state"] = {"shards": shards}
+    from .metrics import Metrics, install as install_metrics
+    state["metrics"] = Metrics(namespace="fpvt_router")
+    install_metrics(app, state["metrics"])
 
     async def session() -> aiohttp.ClientSession:
         if "session" not in state:

@@ -347,3 +347,16 @@ def test_websocket_bad_event_type_keeps_connection(client, server):
     asyncio.run(run())
     assert "error" in results["reply"]
     assert results.get("ack") is True
+
+
+def test_metrics_endpoint(server):
+    import httpx
+    base = f"http://127.0.0.1:{server.port}"
+    httpx.get(f"{base}/health", timeout=30)
+    r = httpx.get(f"{base}/metrics", timeout=30)
+    assert r.status_code == 200
+    body = r.text
+    assert "fpvt_requests_total" in body
+    assert 'route="/health"' in body
+    assert "fpvt_request_seconds_bucket" in body
+    assert "fpvt_collections" in body
