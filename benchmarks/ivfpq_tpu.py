@@ -66,8 +66,10 @@ def ivfpq(n=1_000_000, d=768, k=10):
                                    topk="approx")[1] for q in batches]
 
     t0 = time.perf_counter()
-    col.build_ann(kind="ivfpq", nlist=2048, nprobe=8, m=96, pq_k=256,
-                  iters=8, pq_iters=10)
+    # 4-bit default layout (pq_k=16, m=d/4): ADC runs as a one-hot MXU
+    # einsum; the first on-chip run measured the 8-bit gather form at
+    # 775 ms/B=64 with recall capped ~0.74 by shallow rerank
+    col.build_ann(kind="ivfpq", nlist=2048, nprobe=8, iters=8, pq_iters=10)
     build_s = time.perf_counter() - t0
     st = col._ann.stats()
     mu = col._ann.memory_usage()
@@ -76,8 +78,8 @@ def ivfpq(n=1_000_000, d=768, k=10):
         index_mb=round(mu["index_bytes"] / 2**20, 1),
         compression=round(mu["compression_ratio"], 1))
 
-    for nprobe in (8, 16, 32):
-        for rr in (8, 16):
+    for nprobe in (8, 16):
+        for rr in (16, 64, 256):
             for b in (1, 8, 64, 256):
                 batches = qsets[b]
                 try:

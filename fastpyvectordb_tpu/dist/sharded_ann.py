@@ -276,18 +276,14 @@ def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
         npl = min(nprobe_local, nlist_l)
         _, probe = jax.lax.top_k(route, npl)
 
+        from ..ann.ivfpq import _adc_sum
         qsub = qf.reshape(b, m, d // m)
         lut = jnp.einsum("bmd,mkd->bmk", qsub, codebooks,
                          preferred_element_type=jnp.float32)
-        lut_flat = lut.reshape(b, m * kk_cb)
         codes_g = jnp.take(codes, probe, axis=0)
         norms_g = jnp.take(norms, probe, axis=0).reshape(b, -1)
         cand = jnp.take(row_table, probe, axis=0).reshape(b, -1)
-        offs = jnp.arange(m, dtype=jnp.int32) * kk_cb
-        idx = codes_g.astype(jnp.int32) + offs[None, None, None, :]
-        adc = jnp.sum(jnp.take_along_axis(
-            lut_flat, idx.reshape(b, -1), axis=1
-        ).reshape(b, npl * cmax, m), axis=2)
+        adc = _adc_sum(lut, codes_g, m, kk_cb, b, npl, cmax)
         qc_g = jnp.take_along_axis(qc, probe, axis=1)[:, :, None]
         cross = (qc_g + adc.reshape(b, npl, cmax)).reshape(b, -1)
 

@@ -146,3 +146,33 @@ def test_joint_tune():
     exact = ids_of(col.search_batch(q, k=10, exact=True))
     _, rows = col._ann.search(q, 10)
     assert recall_of(col, rows, exact) >= 0.9
+
+
+def test_adc_onehot_matches_gather_reference():
+    """The 4-bit one-hot MXU formulation must agree with the direct LUT
+    gather on identical inputs."""
+    import jax.numpy as jnp
+    from fastpyvectordb_tpu.ann.ivfpq import _adc_sum
+    rng = np.random.default_rng(0)
+    b, p, cmax, m, kk = 3, 2, 5, 8, 16
+    lut = jnp.asarray(rng.standard_normal((b, m, kk)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, kk, (b, p, cmax, m)).astype(np.uint8))
+    onehot = np.asarray(_adc_sum(lut, codes, m, kk, b, p, cmax))
+    ref = np.zeros((b, p, cmax))
+    ln, cn = np.asarray(lut), np.asarray(codes)
+    for bi in range(b):
+        for pi in range(p):
+            for ci in range(cmax):
+                ref[bi, pi, ci] = sum(ln[bi, mi, cn[bi, pi, ci, mi]]
+                                      for mi in range(m))
+    np.testing.assert_allclose(onehot, ref, rtol=2e-2, atol=2e-2)  # bf16 LUT
+
+
+def test_default_4bit_build_recall():
+    col, v, q = make_col(n=3000, d=32, seed=21)
+    col.build_ann(kind="ivfpq", nlist=32, nprobe=8, iters=6, pq_iters=8)
+    st = col._ann.stats()
+    assert st["pq_k"] == 16 and st["m"] == 8  # 4-bit default: m = d/4
+    exact = ids_of(col.search_batch(q, k=10, exact=True))
+    _, rows = col._ann.search(q, 10, rerank=16)
+    assert recall_of(col, rows, exact) >= 0.9
