@@ -128,3 +128,33 @@ def test_batch_size_does_not_change_results(built):
     _, r_small = col._ann.search(qq, 5, max_query_batch=8)
     _, r_big = col._ann.search(qq, 5, max_query_batch=256)
     assert np.array_equal(r_small, r_big)
+
+
+def test_ivf_int8_cells_recall_and_persistence(tmp_path, rng):
+    from fastpyvectordb_tpu.core.collection import Collection
+    from fastpyvectordb_tpu.core.types import CollectionConfig
+    import numpy as np
+    n, d = 3000, 24
+    centers = rng.standard_normal((24, d)).astype(np.float32) * 2
+    v = centers[rng.integers(0, 24, n)] + 0.3 * rng.standard_normal(
+        (n, d)).astype(np.float32)
+    col = Collection(CollectionConfig(name="q8", dimensions=d, metric="l2"),
+                     base_path=tmp_path / "q8")
+    col.insert_batch(v, [f"v{i}" for i in range(n)])
+    col.build_ann(nlist=48, nprobe=12, iters=6, cell_dtype="int8")
+    assert col._ann.cells.dtype == np.int8
+    q = centers[rng.integers(0, 24, 12)] + 0.3 * rng.standard_normal(
+        (12, d)).astype(np.float32)
+    exact = [set(r.tolist()) for r in
+             col._store.search(q, 10, col.config.metric)[1]]
+    _, rows = col._ann.search(q, 10)
+    rec = np.mean([len(set(r.tolist()) & e) / 10
+                   for r, e in zip(rows, exact)])
+    assert rec >= 0.9, f"int8-cell IVF recall {rec:.3f}"
+    # persistence round-trips through re-encoding
+    col.save()
+    col2 = Collection(CollectionConfig(name="q8", dimensions=d),
+                      base_path=tmp_path / "q8")
+    assert col2._ann.cells.dtype == np.int8
+    _, rows2 = col2._ann.search(q, 10)
+    np.testing.assert_array_equal(rows, rows2)
