@@ -141,3 +141,39 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def ivf_int8(n=1_000_000, d=768, k=10):
+    """bf16-cell vs int8-cell IVF at 1M x 768: same routing, 2x less
+    probe bandwidth.  Also the B=1 latency story vs the exact scan."""
+    col, centers = build_collection(n, d)
+    emit(exp="ivf_int8_setup", n=n, d=d)
+    qsets = {b: [np.asarray(clustered_queries(centers, b, seed=4000 + 13 * b + i))
+                 for i in range(REPS)] for b in (1, 64, 256)}
+    gt = {b: [col._store.search(q, k, col.config.metric,
+                                compute_dtype="bfloat16", topk="approx")[1]
+              for q in batches] for b, batches in qsets.items()}
+    for dtype_arg, tag in ((None, "bf16cells"), ("int8", "int8cells")):
+        t0 = time.perf_counter()
+        col.build_ann(kind="ivf", nlist=2048, nprobe=8, iters=8,
+                      cell_dtype=dtype_arg)
+        emit(exp=f"ivf_{tag}_build", s=round(time.perf_counter() - t0, 1),
+             cells_mb=round(col._ann.stats()["cells_bytes"] / 2**20))
+        for nprobe in (8, 32):
+            for b in (1, 64, 256):
+                batches = qsets[b]
+                try:
+                    col._ann.search(batches[0], k, nprobe=nprobe)
+                    t0 = time.perf_counter()
+                    outs = [col._ann.search(q, k, nprobe=nprobe)
+                            for q in batches[1:]]
+                    dt = (time.perf_counter() - t0) / (len(batches) - 1)
+                    rec = np.mean([recall(o[1], g) for o, g in
+                                   zip(outs, gt[b][1:])])
+                    emit(exp=f"ivf_{tag}_np{nprobe}_b{b}",
+                         ms=round(dt * 1e3, 3), qps=round(b / dt, 1),
+                         recall=round(float(rec), 4))
+                except Exception as e:
+                    emit(exp=f"ivf_{tag}_np{nprobe}_b{b}",
+                         error=type(e).__name__, detail=str(e)[:160])
+        col._ann = None
