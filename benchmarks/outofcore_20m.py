@@ -31,7 +31,12 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--tile", type=int, default=1_048_576)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--big", action="store_true",
+                    help="run the BigCollection 10M part instead")
     args = ap.parse_args()
+    if args.big:
+        bigcollection(batch=args.batch, k=args.k)
+        return
     n, d, b = args.rows, args.dims, args.batch
 
     emit(exp="setup", rows=n, dims=d, batch=b, tile=args.tile,
@@ -77,3 +82,46 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bigcollection(rows=10_000_000, dims=768, batch=64, k=10):
+    """BigCollection at 10M x 768 (28.6 GB f32 host + 2.9 GB device codes):
+    device binary coarse scan over ALL rows -> host gather of candidates ->
+    exact re-rank.  Usage: python outofcore_20m.py --big"""
+    import numpy as np
+    from fastpyvectordb_tpu.core.bigcollection import BigCollection
+    emit(exp="bigcollection_setup", rows=rows, dims=dims,
+         host_gb=round(rows * dims * 4 / 2**30, 1))
+    rng = np.random.default_rng(1)
+    t0 = time.perf_counter()
+    big = BigCollection(dims=dims, metric="cosine", codec="binary",
+                        rerank=64)
+    tile = min(500_000, rows)
+    for s in range(0, rows, tile):
+        x = rng.standard_normal((tile, dims)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        big.insert_batch(x, [f"v{s + i}" for i in range(tile)])
+        if (s // tile) % 4 == 0:
+            print(f"\r  ingested {s + tile:,}/{rows:,}", end="", flush=True)
+    print()
+    emit(exp="bigcollection_ingest", s=round(time.perf_counter() - t0, 1),
+         rows_per_s=round(rows / (time.perf_counter() - t0), 1))
+
+    # planted correctness: exact rows must surface as top-1
+    idx = np.linspace(0, rows - 1, 16, dtype=np.int64)
+    planted = np.stack([np.asarray(big._vectors[i]) for i in idx])
+    res = big.search_batch(planted, k=3)
+    hit = float(np.mean([r[0].id == f"v{i}" for r, i in zip(res, idx)]))
+    emit(exp="bigcollection_planted_top1", hit_rate=hit)
+
+    reps = 5
+    batches = [rng.standard_normal((batch, dims)).astype(np.float32)
+               for _ in range(reps)]
+    big.search_batch(batches[0], k=k)
+    t0 = time.perf_counter()
+    for q in batches[1:]:
+        big.search_batch(q, k=k)
+    dt = (time.perf_counter() - t0) / (reps - 1)
+    emit(exp=f"bigcollection_search_{rows//10**6}Mx{dims}",
+         ms=round(dt * 1e3, 2), qps=round(batch / dt, 1))
+
