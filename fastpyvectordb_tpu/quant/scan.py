@@ -218,6 +218,12 @@ class QuantizedScan:
         self.codes = codes
         self._store = store
         self.metric = metric
+        # candidate-depth default per codec: int8 ordering is tight (c=4k
+        # suffices everywhere measured); 1-bit Hamming needs ~32x deeper
+        # pools on clustered corpora (r2 on-chip sweep: recall@10 0.50 at
+        # rr16 vs 0.97 at rr128 at 1M x 768, nearly flat latency — the
+        # coarse scan dominates).  tune_rerank overrides per corpus.
+        self.default_rerank = {"int8": 4, "binary": 64}.get(kind, 16)
         # rows covered by this snapshot; rows appended later are served by
         # the collection's exact tail merge (collection.search_quantized)
         self.built_count = int(codes.shape[0])
@@ -268,10 +274,13 @@ class QuantizedScan:
                                                     ).astype(jnp.float32)
         return self.quantizer.distances(q, self.codes)
 
-    def search(self, queries: np.ndarray, k: int, rerank: int = 4,
+    def search(self, queries: np.ndarray, k: int,
+               rerank: Optional[int] = None,
                mask: Optional[np.ndarray] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
         from ..kernels import pallas_quant
+        if rerank is None:
+            rerank = self.default_rerank
         q = np.ascontiguousarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
