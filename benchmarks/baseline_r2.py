@@ -100,7 +100,7 @@ def config2():
 from _data import clustered_corpus, clustered_queries  # noqa: E402
 
 
-def config5(n=5_000_000, b=64, k=10, rerank=16):
+def config5(n=5_000_000, b=64, k=10, rerank=128):
     """5M x 768 binary prefilter -> exact bf16 re-rank -> graph rescoring."""
     from fastpyvectordb_tpu.quant.binary import BinaryQuantizer, _BQ_TILE_N
     from fastpyvectordb_tpu.quant.scan import _binary_two_stage
