@@ -60,9 +60,14 @@ def main():
         outs = []
         for s in range(0, 256, mqb):
             sub = jnp.asarray(q[s: s + mqb])
+            import jax.numpy as jnp2
+            dd_ = ivf.centroids.shape[1]
             _, r = _ivf_search_kernel(
                 sub, ivf.centroids, ivf.cells, ivf.row_table,
                 ivf.overflow_vecs, ivf.overflow_rows, col._store.valid,
+                jnp2.zeros((dd_,), jnp2.float32),
+                jnp2.ones((dd_,), jnp2.float32),
+                jnp2.zeros((1, 1), jnp2.float32),
                 metric=DistanceMetric.COSINE,
                 k=min(K, ivf.row_table.shape[1] * NPROBE), nprobe=NPROBE,
                 compute_dtype="bfloat16", approx=approx)

@@ -139,8 +139,6 @@ def main():
         globals()[p]()
 
 
-if __name__ == "__main__":
-    main()
 
 
 def ivf_int8(n=1_000_000, d=768, k=10):
@@ -177,3 +175,7 @@ def ivf_int8(n=1_000_000, d=768, k=10):
                     emit(exp=f"ivf_{tag}_np{nprobe}_b{b}",
                          error=type(e).__name__, detail=str(e)[:160])
         col._ann = None
+
+
+if __name__ == "__main__":
+    main()

@@ -80,8 +80,6 @@ def main():
          rows_per_s=round(rows_per_s / 1e6, 1))
 
 
-if __name__ == "__main__":
-    main()
 
 
 def bigcollection(rows=10_000_000, dims=768, batch=64, k=10):
@@ -125,3 +123,6 @@ def bigcollection(rows=10_000_000, dims=768, batch=64, k=10):
     emit(exp=f"bigcollection_search_{rows//10**6}Mx{dims}",
          ms=round(dt * 1e3, 2), qps=round(batch / dt, 1))
 
+
+if __name__ == "__main__":
+    main()

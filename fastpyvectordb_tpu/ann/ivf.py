@@ -284,7 +284,10 @@ class IVFIndex:
             # round-trip the corpus through the host)
             from ..quant.scalar import ScalarQuantizer, _encode, _train
             quant = ScalarQuantizer(dims=int(vectors.shape[1]))
-            quant.vmin, quant.scale = _train(vectors[: min(n, 200_000)])
+            # strided sample (not the insertion-order prefix): a drifting
+            # corpus would otherwise clip rows outside the prefix's range
+            step = max(1, n // 200_000)
+            quant.vmin, quant.scale = _train(vectors[::step][:200_000])
             codes = _encode(vectors, quant.vmin, quant.scale)  # int8
             cells = jnp.take(codes, safe.reshape(-1), axis=0).reshape(
                 nlist, cap, vectors.shape[1])

@@ -5,9 +5,11 @@ vectordb_optimized.py:271-280, and ProductQuantizer, quantization.py:
 414-615) into the classic IVF-PQ layout, redesigned for the TPU:
 
   * the coarse router is the same balanced k-means + cell-major layout as
-    ann/ivf.py, but cells hold **uint8 PQ codes of residuals** (M bytes a
-    row instead of 2·D for bf16 cells) — a 1M x 768 corpus's cell table
-    drops from 1.5 GB to 96 MB, so 10M+ corpora serve entirely from HBM;
+    ann/ivf.py, but cells hold **PQ codes of residuals** (one uint8 per
+    subspace: M bytes a row instead of 2·D for bf16 cells) — a 1M x 768
+    corpus's cell table drops from 1.5 GB to 192 MB at the 4-bit default
+    (M=D/4; codes are stored unpacked) or 96 MB at 8-bit M=D/8, so 10M+
+    corpora serve entirely from HBM;
   * scoring avoids per-(query, cell) lookup tables: with residual
     decomposition  q·x̂ = q·centroid + Σ_m q_m·codebook[m, code_m],
     the ADC table is **cell-independent** — one (B, M, K) einsum per
@@ -19,8 +21,10 @@ vectordb_optimized.py:271-280, and ProductQuantizer, quantization.py:
   * an optional exact re-rank stage (same _rerank_body as quant/scan.py)
     restores recall lost to PQ approximation, fused into the one dispatch.
 
-Memory per row: M bytes (codes) + 4 (norm) + 4 (row id) ≈ 104 B at M=96,
-vs 3072 B f32 / 1536 B bf16 — ~15-30x compression on the scanned axis.
+Memory per row: M bytes (codes, unpacked) + 4 (norm) + 4 (row id) —
+200 B at the 4-bit default (M=192, d=768) vs 3072 B f32 / 1536 B bf16:
+~8-15x compression on the scanned axis (~15-30x with 8-bit M=D/8 codes,
+which score via the slower gather path).
 """
 
 from __future__ import annotations
@@ -221,10 +225,11 @@ class IVFPQIndex:
               max_cell_factor: float = 1.5, spill_choices: int = 8,
               train_sample: int = 200_000, rerank: int = 16) -> "IVFPQIndex":
         """Defaults are the TPU-fast 4-bit layout: K=16 centroids per
-        subspace with M = D/4 subspaces (same bytes/row as 8-bit M=D/8,
-        but the ADC contracts on the MXU via a one-hot einsum instead of
-        per-element gathers — see _adc_sum).  Pass pq_k=256, m=D/8 for
-        classic 8-bit PQ (gather-scored; fine on CPU)."""
+        subspace with M = D/4 subspaces (2x the code bytes of 8-bit
+        M=D/8 — codes stay unpacked uint8 — but the ADC contracts on the
+        MXU via a one-hot einsum instead of per-element gathers; see
+        _adc_sum).  Pass pq_k=256, m=D/8 for classic 8-bit PQ
+        (gather-scored; fine on CPU, slow on TPU)."""
         store = collection._store
         n = store.count
         if n == 0:

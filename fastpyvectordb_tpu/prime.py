@@ -42,6 +42,9 @@ def main(argv=None) -> None:
                     "grow in pow2 buckets, so prime the bucket ceiling")
     ap.add_argument("--metric", default="cosine")
     ap.add_argument("--max-batch", type=int, default=1024)
+    ap.add_argument("--k", type=int, action="append", default=None,
+                    help="top-k value(s) to prime (k is a static compile "
+                    "argument; repeatable, default 10)")
     ap.add_argument("--modes", default="exact,int8,binary",
                     help="comma list: exact | int8 | binary")
     ap.add_argument("--compute-dtype", default="bfloat16")
@@ -86,19 +89,20 @@ def main(argv=None) -> None:
             scans["int8"] = col.enable_quantized_scan("int8")
         if "binary" in modes:
             scans["binary"] = col.enable_quantized_scan("binary")
+        ks = args.k or [10]
         for b in batches:
             q = rng.standard_normal((b, args.dims)).astype(np.float32)
             t0 = time.perf_counter()
-            if "exact" in modes:
-                col._store.search(q, 10, col.config.metric,
-                                  compute_dtype=args.compute_dtype,
-                                  topk=col.config.topk)
-            for kind, scan in scans.items():
-                col._quantized = scan
-                scan.search(q, 10)
+            for k in ks:
+                if "exact" in modes:
+                    col._store.search(q, k, col.config.metric,
+                                      compute_dtype=args.compute_dtype,
+                                      topk=col.config.topk)
+                for scan in scans.values():
+                    scan.search(q, k)
             print(json.dumps({
                 "primed": {"rows_bucket": cap, "batch_bucket": b,
-                           "modes": modes},
+                           "k": ks, "modes": modes},
                 "s": round(time.perf_counter() - t0, 1)}), flush=True)
     print(json.dumps({"cache": args.cache, "done": True}))
 

@@ -220,10 +220,11 @@ class QuantizedScan:
         self.metric = metric
         # candidate-depth default per codec: int8 ordering is tight (c=4k
         # suffices everywhere measured); 1-bit Hamming needs ~32x deeper
-        # pools on clustered corpora (r2 on-chip sweep: recall@10 0.50 at
-        # rr16 vs 0.97 at rr128 at 1M x 768, nearly flat latency — the
-        # coarse scan dominates).  tune_rerank overrides per corpus.
-        self.default_rerank = {"int8": 4, "binary": 64}.get(kind, 16)
+        # pools on clustered corpora (r2 on-chip sweep at 1M x 768:
+        # recall@10 0.50 at rr16, 0.92 at rr64, 0.97 at rr128, with
+        # nearly flat latency — the coarse scan dominates).  tune_rerank
+        # overrides per corpus.
+        self.default_rerank = {"int8": 4, "binary": 128}.get(kind, 16)
         # rows covered by this snapshot; rows appended later are served by
         # the collection's exact tail merge (collection.search_quantized)
         self.built_count = int(codes.shape[0])

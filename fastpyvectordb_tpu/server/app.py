@@ -116,8 +116,13 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
     def _refresh_gauges(m: Metrics) -> None:
         names = state["db"].list_collections()
         m.set_gauge("collections", len(names))
-        m.set_gauge("rows_total",
-                    sum(state["db"][n].count() for n in names))
+        rows = 0
+        for n in names:  # a concurrent delete between list and read is ok
+            try:
+                rows += state["db"][n].count()
+            except KeyError:
+                pass
+        m.set_gauge("rows_total", rows)
         m.set_gauge("websocket_connections",
                     state["ws"].connection_count)
 

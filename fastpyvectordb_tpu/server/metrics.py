@@ -106,8 +106,12 @@ def install(app, metrics: Metrics, *, gauge_hook=None) -> None:
             status = e.status
             raise
         finally:
+            # unmatched paths collapse to one label: raw request.path
+            # would give scanners unbounded label cardinality (and
+            # unbounded registry memory)
             res = request.match_info.route.resource
-            route = res.canonical if res is not None else request.path
+            route = res.canonical if res is not None else "<unmatched>"
+
             metrics.observe(route, request.method, status,
                             time.perf_counter() - t0)
 
