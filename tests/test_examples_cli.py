@@ -79,3 +79,12 @@ def test_production_ops_example(capsys, monkeypatch):
     assert "recovered 99 rows" in out
     assert "corrupted file detected" in out
     assert "All production-ops demos passed." in out
+
+
+def test_prime_tool_small(tmp_path, capsys):
+    from fastpyvectordb_tpu.prime import main as prime_main
+    prime_main(["--dims", "16", "--rows", "512", "--max-batch", "16",
+                "--modes", "exact", "--k", "5",
+                "--cache", str(tmp_path / "cache")])
+    out = capsys.readouterr().out
+    assert '"done": true' in out and '"batch_bucket": 16' in out

@@ -360,3 +360,13 @@ def test_metrics_endpoint(server):
     assert 'route="/health"' in body
     assert "fpvt_request_seconds_bucket" in body
     assert "fpvt_collections" in body
+
+
+def test_metrics_unmatched_paths_collapse(server):
+    import httpx
+    base = f"http://127.0.0.1:{server.port}"
+    for i in range(5):
+        httpx.get(f"{base}/no/such/route/{i}", timeout=30)
+    body = httpx.get(f"{base}/metrics", timeout=30).text
+    assert 'route="<unmatched>"' in body
+    assert "/no/such/route" not in body  # raw paths never become labels
