@@ -68,7 +68,8 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
     cd = jnp.dtype(compute_dtype)
     prec = matmul_precision(compute_dtype)
 
-    def local(q, centroids, cells, row_table, cent_valid, validmask):
+    def local(q, centroids, cells, row_table, cent_valid, validmask,
+              vmin, scale, cell_norms):
         b, d = q.shape
         cmax = cells.shape[1]
         qf = q.astype(jnp.float32)
@@ -100,10 +101,23 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
         qsq = jnp.einsum("bd,bd->b", qf, qf,
                          preferred_element_type=jnp.float32)
         qinv = 1.0 / jnp.maximum(jnp.sqrt(qsq[:, None]), 1e-30)
-        vsq = jnp.einsum("bcd,bcd->bc", vecs, vecs,
-                         preferred_element_type=jnp.float32)
-        cross = jnp.einsum("bd,bcd->bc", qf.astype(cd), vecs,
-                           preferred_element_type=jnp.float32, precision=prec)
+        if cells.dtype == jnp.int8:
+            # quantized cells (ann/ivf.py cell_dtype="int8"): int8 block
+            # stream + dequantized norms, same math as the single chip
+            rs = scale / 255.0
+            qs = qf * rs
+            const = jnp.dot(qf, 128.0 * rs + vmin,
+                            preferred_element_type=jnp.float32)
+            cross = jnp.einsum("bd,bcd->bc", qs.astype(cd), vecs,
+                               preferred_element_type=jnp.float32,
+                               precision=prec) + const[:, None]
+            vsq = jnp.take(cell_norms, probe, axis=0).reshape(b, -1)
+        else:
+            vsq = jnp.einsum("bcd,bcd->bc", vecs, vecs,
+                             preferred_element_type=jnp.float32)
+            cross = jnp.einsum("bd,bcd->bc", qf.astype(cd), vecs,
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
         if metric == DistanceMetric.COSINE:
             rinv = jax.lax.rsqrt(jnp.maximum(vsq, 1e-30))
             s = 1.0 - cross * qinv * rinv
@@ -123,7 +137,8 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
         local, mesh=mesh,
         in_specs=(P(None, None), P(DATA_AXIS, None),
                   P(DATA_AXIS, None, None), P(DATA_AXIS, None),
-                  P(DATA_AXIS), P(None)),
+                  P(DATA_AXIS), P(None), P(None), P(None),
+                  P(DATA_AXIS, None)),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
@@ -134,7 +149,8 @@ class ShardedIVF:
     """A single-chip IVFIndex re-laid-out across a device mesh."""
 
     def __init__(self, mesh: Mesh, centroids, cells, row_table, cent_valid,
-                 validmask, *, metric: DistanceMetric, nprobe: int,
+                 validmask, vmin=None, scale=None, cell_norms=None, *,
+                 metric: DistanceMetric, nprobe: int,
                  compute_dtype: str = "bfloat16"):
         self.mesh = mesh
         self.metric = DistanceMetric.parse(metric)
@@ -151,6 +167,16 @@ class ShardedIVF:
         self.row_table = shard(row_table, 2)
         self.cent_valid = shard(cent_valid, 1)
         self.validmask = jax.device_put(validmask, NamedSharding(mesh, P()))
+        rep = lambda a: jax.device_put(np.asarray(a),
+                                       NamedSharding(mesh, P()))
+        d = centroids.shape[1]
+        self.vmin = rep(vmin if vmin is not None
+                        else np.zeros((d,), np.float32))
+        self.scale = rep(scale if scale is not None
+                         else np.ones((d,), np.float32))
+        self.cell_norms = shard(
+            np.asarray(cell_norms) if cell_norms is not None
+            else np.zeros(cells.shape[:2], np.float32), 2)
         self._fns = {}
 
     @classmethod
@@ -167,43 +193,63 @@ class ShardedIVF:
         centroids = np.asarray(ivf.centroids, dtype=np.float32)
         cells = np.asarray(ivf.cells)
         table = np.asarray(ivf.row_table)
+        quantized = ivf.quantizer is not None
+        norms = (np.asarray(ivf.cell_norms) if quantized
+                 else np.zeros(cells.shape[:2], np.float32))
         nlist, cmax, d = cells.shape
         pad = (-nlist) % ndev
         orows_all = np.asarray(ivf.overflow_rows)
         keep = orows_all >= 0
         orows = orows_all[keep]
-        ovecs_all = np.asarray(ivf.overflow_vecs)[keep]
+        ovecs_all = np.asarray(ivf.overflow_vecs, dtype=np.float32)[keep]
         if orows.size:
             # distribute overflow rows into extra always-probed cells: add
             # one extra cell per shard holding a slice of the overflow and
             # give it a centroid at the data centroid (probed ~uniformly).
             extra = ndev  # one overflow cell per shard
             per = -(-orows.size // extra)
-            ocells = np.zeros((extra, max(cmax, per), d), cells.dtype)
-            otab = np.full((extra, max(cmax, per)), -1, np.int32)
+            width = max(cmax, per)
+            ocells = np.zeros((extra, width, d), cells.dtype)
+            onorms = np.zeros((extra, width), np.float32)
+            otab = np.full((extra, width), -1, np.int32)
+            if quantized:
+                # int8 cells: ENCODE the f32 overflow rows (a raw-f32 write
+                # into an int8 array would silently truncate to garbage)
+                from ..quant.scalar import _dequant_row_stats, _encode
+                opart_codes = np.asarray(_encode(
+                    jnp.asarray(ovecs_all), ivf.quantizer.vmin,
+                    ivf.quantizer.scale))
+                onorm_rows, _ = _dequant_row_stats(
+                    jnp.asarray(opart_codes), ivf.quantizer.vmin,
+                    ivf.quantizer.scale)
+                onorm_rows = np.asarray(onorm_rows)
             for i in range(extra):
-                part = orows[i * per:(i + 1) * per]
-                opart = ovecs_all[i * per:(i + 1) * per]
-                ocells[i, :part.size] = opart
+                sl = slice(i * per, (i + 1) * per)
+                part = orows[sl]
+                ocells[i, :part.size] = (opart_codes[sl] if quantized
+                                         else ovecs_all[sl])
+                if quantized:
+                    onorms[i, :part.size] = onorm_rows[sl]
                 otab[i, :part.size] = part
-            if ocells.shape[1] > cmax:
-                grow = ocells.shape[1] - cmax
+            if width > cmax:
+                grow = width - cmax
                 cells = np.pad(cells, ((0, 0), (0, grow), (0, 0)))
+                norms = np.pad(norms, ((0, 0), (0, grow)))
                 table = np.pad(table, ((0, 0), (0, grow)),
                                constant_values=-1)
                 cmax = cells.shape[1]
-            ocells = ocells[:, :cmax]
-            otab = otab[:, :cmax]
             mean_c = centroids.mean(axis=0, keepdims=True)
             centroids = np.concatenate(
                 [centroids, np.repeat(mean_c, extra, axis=0)])
-            cells = np.concatenate([cells, ocells])
-            table = np.concatenate([table, otab])
+            cells = np.concatenate([cells, ocells[:, :cmax]])
+            norms = np.concatenate([norms, onorms[:, :cmax]])
+            table = np.concatenate([table, otab[:, :cmax]])
             nlist += extra
             pad = (-nlist) % ndev
         if pad:
             centroids = np.pad(centroids, ((0, pad), (0, 0)))
             cells = np.pad(cells, ((0, pad), (0, 0), (0, 0)))
+            norms = np.pad(norms, ((0, pad), (0, 0)))
             table = np.pad(table, ((0, pad), (0, 0)), constant_values=-1)
         cent_valid = np.ones((centroids.shape[0],), dtype=bool)
         if pad:
@@ -213,6 +259,11 @@ class ShardedIVF:
               else np.asarray(validmask))
         cfg = ivf._collection.config
         return cls(mesh, centroids, cells, table, cent_valid, vm,
+                   vmin=(np.asarray(ivf.quantizer.vmin) if quantized
+                         else None),
+                   scale=(np.asarray(ivf.quantizer.scale) if quantized
+                          else None),
+                   cell_norms=norms if quantized else None,
                    metric=cfg.metric, nprobe=ivf.nprobe,
                    compute_dtype=cfg.compute_dtype)
 
@@ -224,7 +275,8 @@ class ShardedIVF:
                 nprobe_local=self.nprobe_local,
                 compute_dtype=self.compute_dtype)
         d, r = self._fns[k](q, self.centroids, self.cells, self.row_table,
-                            self.cent_valid, self.validmask)
+                            self.cent_valid, self.validmask, self.vmin,
+                            self.scale, self.cell_norms)
         return np.asarray(d), np.asarray(r)
 
 

@@ -145,3 +145,17 @@ def test_sharded_ivfpq_tombstones(built, mesh):
     sh = ShardedIVFPQ.from_index(mesh, col._ann, validmask=vm)
     _, rows = sh.search(q[:1], 10)
     assert dead not in rows[0].tolist()
+
+
+def test_sharded_ivf_int8_cells(built, mesh):
+    col, v, q, exact = built
+    col.build_ann(kind="ivf", nlist=64, nprobe=12, iters=5,
+                  cell_dtype="int8")
+    assert col._ann.cells.dtype == np.int8
+    sh = ShardedIVF.from_index(mesh, col._ann)
+    d, rows = sh.search(q, 10)
+    assert rows.shape == (8, 10)
+    recall = np.mean([len(set(r.tolist()) & e) / 10
+                      for r, e in zip(rows, exact)])
+    assert recall >= 0.85, f"sharded int8-cell IVF recall {recall:.3f}"
+    assert all(np.all(np.diff(row) >= -1e-4) for row in d)
