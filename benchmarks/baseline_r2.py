@@ -176,7 +176,7 @@ def config5(n=5_000_000, b=64, k=10, rerank=128):
 
     dt = timed(pipeline, batches)
     _, rows = pipeline(batches[-1])
-    rec = recall(rows, [gt[-1]], k)
+    rec = recall(rows, gt[-1], k)
     emit(exp="config5_binary_prefilter_rerank_5Mx768",
          ms=round(dt * 1e3, 2), qps=round(b / dt, 1),
          recall_at_10_vs_bf16=round(rec, 4),

@@ -88,3 +88,27 @@ def test_prime_tool_small(tmp_path, capsys):
                 "--cache", str(tmp_path / "cache")])
     out = capsys.readouterr().out
     assert '"done": true' in out and '"batch_bucket": 16' in out
+
+def test_demo_tour_selected(capsys, monkeypatch):
+    """The guided tour's fast sections (catalog filters, graph traversal,
+    hybrid fusion, persistence) run end-to-end offline with their inline
+    sanity assertions."""
+    monkeypatch.setattr(sys, "argv", ["demo.py", "1", "2", "3", "6"])
+    import runpy
+    runpy.run_path(str(REPO / "examples" / "demo.py"), run_name="__main__")
+    out = capsys.readouterr().out
+    assert "Filtered search: footwear under $100" in out
+    assert "shortest path alice -> diana" in out
+    assert "ALL 4 DEMOS COMPLETE" in out
+
+
+def test_hybrid_demo_comparison(capsys, monkeypatch):
+    """The hybrid comparison demo proves each retrieval mode wins its
+    predicted query class (its sanity() asserts that mechanically)."""
+    monkeypatch.setattr(sys, "argv", ["hybrid_demo.py"])
+    import runpy
+    runpy.run_path(str(REPO / "examples" / "hybrid_demo.py"),
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "sanity checks passed" in out
+    assert "KEY INSIGHTS" in out
