@@ -5,6 +5,7 @@
 # BigCollection 10M).  Sequential: one real chip.
 set -u
 cd /root/repo
+export PYTHONPATH="/root/repo:${PYTHONPATH:-}"
 RAW=benchmarks/r2_raw.jsonl
 LOG=benchmarks/r2b_run.log
 mark() { echo "=== $1 $(date -u +%H:%M:%S)" | tee -a "$LOG"; }
@@ -15,10 +16,6 @@ run() { # run <name> <timeout_s> <cmd...>
   timeout "$tmo" "$@" >>"$RAW" 2>>"$LOG"
   mark "$name rc=$? end"
 }
-
-mark "prime start"
-timeout 3600 python -m fastpyvectordb_tpu.prime >>"$LOG" 2>&1
-mark "prime rc=$? end"
 
 run config5            7200 python benchmarks/baseline_r2.py config5
 run graph_smallbatch   7200 python benchmarks/graph_ann_smallbatch.py

@@ -112,3 +112,17 @@ def test_hybrid_demo_comparison(capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "sanity checks passed" in out
     assert "KEY INSIGHTS" in out
+
+
+def test_rag_app_demo(capsys, monkeypatch):
+    """The full RAG application (synthetic corpus, multi-method search,
+    graph expansion, in-app benchmark) runs end-to-end offline."""
+    monkeypatch.setattr(sys, "argv", ["rag_app.py", "--docs", "200"])
+    import runpy
+    runpy.run_path(str(REPO / "examples" / "rag_app.py"),
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "Graph-expanded retrieval" in out
+    assert "expanded" in out
+    assert "mean_ms" in out
+    assert "DEMO COMPLETE" in out
