@@ -281,7 +281,6 @@ class BigCollection:
                 self._codes, new, (0, self._count))
         else:
             new = self._qz.encode(v)                       # (n, D) int8
-            from ..kernels.distances import corpus_stats as _cs
             if needed > self._code_cap:
                 cap = _next_pow2(needed)
                 old, old_stats = self._codes, self._sq_stats
@@ -326,7 +325,6 @@ class BigCollection:
 
     def _coarse(self, q: np.ndarray, c: int, mask) -> np.ndarray:
         if self.codec == "binary":
-            qcodes = self._qz.encode(q)                    # (B, W)
             if pallas_quant.on_tpu():
                 from ..quant.scan import _masked_candidates
                 from ..kernels.pallas_quant import hamming_mxu_scores
@@ -348,6 +346,7 @@ class BigCollection:
                 _, rows = _masked_candidates(s, mk, c=c)
                 return np.asarray(rows)[:q.shape[0]]
             from ..quant.scan import _hamming_coarse_topk, _pow2ge
+            qcodes = self._qz.encode(q)                    # (B, W)
             _, rows = _hamming_coarse_topk(
                 qcodes.T, self._codes, mask, k=c,
                 chunk=int(min(262_144, _pow2ge(self._code_cap))))
@@ -383,8 +382,14 @@ class BigCollection:
             raise ValueError("BigCollection has no base_path; cannot save")
         with self._lock:
             self.base_path.mkdir(parents=True, exist_ok=True)
-            np.save(self.base_path / VECTORS_FILE,
-                    self._vectors[:self._count])
+            # After _load(), self._vectors may still be a read-only memmap
+            # of vectors.npy itself; np.save would truncate the backing
+            # file before reading the mapped pages (SIGBUS / corruption).
+            # Write to a temp file and atomically swap.
+            import os
+            tmp = self.base_path / "vectors.tmp.npy"  # .npy: np.save keeps it
+            np.save(tmp, self._vectors[:self._count])
+            os.replace(tmp, self.base_path / VECTORS_FILE)
             if self.codec == "binary":
                 qz_sections = {"thresholds": np.asarray(self._qz.thresholds)}
             else:
@@ -412,7 +417,9 @@ class BigCollection:
         # host copy stays a memmap until the first append forces growth
         self._vectors = vecs
         self._count = n
-        self._valid = np.asarray(c.read("valid"), dtype=bool)
+        # np.array (copy): the container reader hands back a read-only
+        # buffer view, and delete_batch writes into _valid in place
+        self._valid = np.array(c.read("valid"), dtype=bool)
         self._row_to_id = list(c.read("ids"))
         self._metadata = list(c.read("metadata"))
         self._id_to_row = {i: j for j, i in enumerate(self._row_to_id)

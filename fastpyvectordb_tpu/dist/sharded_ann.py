@@ -37,6 +37,38 @@ from ..kernels.distances import MASKED, matmul_precision
 from .mesh import DATA_AXIS
 
 
+def _interleave_overflow(ndev, mains, extras, pad_values):
+    """Lay out per-shard overflow cells so block sharding works.
+
+    ``NamedSharding(P(DATA_AXIS))`` splits the cell axis into ``ndev``
+    CONTIGUOUS blocks, so overflow cells appended at the end would all land
+    on the last shard.  This interleaves them: each array in ``mains``
+    (leading axis nlist0) is re-laid-out to leading axis ``ndev*(bs+1)``
+    with per-shard blocks of ``bs`` main cells followed by exactly one
+    overflow cell from ``extras`` (leading axis ndev).  Returns
+    ``(outs, cent_valid, cent_boost)`` where cent_boost marks the one
+    always-probed overflow cell per shard.
+    """
+    nlist0 = mains[0].shape[0]
+    bs = -(-nlist0 // ndev)
+    outs = []
+    for a, e, pv in zip(mains, extras, pad_values):
+        out = np.full((ndev * (bs + 1),) + a.shape[1:], pv, a.dtype)
+        for i in range(ndev):
+            blk = a[i * bs:(i + 1) * bs]
+            out[i * (bs + 1):i * (bs + 1) + blk.shape[0]] = blk
+            out[i * (bs + 1) + bs] = e[i]
+        outs.append(out)
+    cent_valid = np.zeros(ndev * (bs + 1), dtype=bool)
+    cent_boost = np.zeros(ndev * (bs + 1), dtype=bool)
+    for i in range(ndev):
+        n_real = max(0, min(bs, nlist0 - i * bs))
+        cent_valid[i * (bs + 1):i * (bs + 1) + n_real] = True
+        cent_valid[i * (bs + 1) + bs] = True
+        cent_boost[i * (bs + 1) + bs] = True
+    return outs, cent_valid, cent_boost
+
+
 def _merge_over_data_axis(vals, gidx, k, *, sqrt_l2=False):
     """all_gather per-shard (B, kk) partials and take the global top-k."""
     vals_g = jax.lax.all_gather(vals, DATA_AXIS)   # (ndev, B, kk)
@@ -68,8 +100,8 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
     cd = jnp.dtype(compute_dtype)
     prec = matmul_precision(compute_dtype)
 
-    def local(q, centroids, cells, row_table, cent_valid, validmask,
-              vmin, scale, cell_norms):
+    def local(q, centroids, cells, row_table, cent_valid, cent_boost,
+              validmask, vmin, scale, cell_norms):
         b, d = q.shape
         cmax = cells.shape[1]
         qf = q.astype(jnp.float32)
@@ -92,6 +124,9 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
                 qf, centroids.T, preferred_element_type=jnp.float32,
                 precision=prec)
         croute = jnp.where(cent_valid[None, :], croute, MASKED)
+        # overflow cells are ALWAYS probed on the shard that owns them
+        # (the single-chip index scans overflow exactly on every query)
+        croute = jnp.where(cent_boost[None, :], -MASKED, croute)
         npl = min(nprobe_local, centroids.shape[0])
         _, probe = jax.lax.top_k(-croute, npl)          # (B, npl) local cells
 
@@ -137,7 +172,7 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
         local, mesh=mesh,
         in_specs=(P(None, None), P(DATA_AXIS, None),
                   P(DATA_AXIS, None, None), P(DATA_AXIS, None),
-                  P(DATA_AXIS), P(None), P(None), P(None),
+                  P(DATA_AXIS), P(DATA_AXIS), P(None), P(None), P(None),
                   P(DATA_AXIS, None)),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
@@ -149,7 +184,8 @@ class ShardedIVF:
     """A single-chip IVFIndex re-laid-out across a device mesh."""
 
     def __init__(self, mesh: Mesh, centroids, cells, row_table, cent_valid,
-                 validmask, vmin=None, scale=None, cell_norms=None, *,
+                 validmask, vmin=None, scale=None, cell_norms=None,
+                 cent_boost=None, *,
                  metric: DistanceMetric, nprobe: int,
                  compute_dtype: str = "bfloat16"):
         self.mesh = mesh
@@ -157,15 +193,23 @@ class ShardedIVF:
         self.nprobe = nprobe
         self.compute_dtype = compute_dtype
         ndev = mesh.shape[DATA_AXIS]
+        local_cells = centroids.shape[0] // ndev
         # 2x headroom: the global best-nprobe cells may cluster on one shard
-        self.nprobe_local = max(1, min(-(-nprobe // ndev) * 2,
-                                       centroids.shape[0] // ndev))
+        self.nprobe_local = max(1, min(-(-nprobe // ndev) * 2, local_cells))
+        if cent_boost is None:
+            cent_boost = np.zeros(np.asarray(cent_valid).shape, dtype=bool)
+        if np.asarray(cent_boost).any():
+            # the always-probed overflow cell eats one probe slot per
+            # shard; keep at least one slot for normal routing
+            self.nprobe_local = min(local_cells,
+                                    max(2, self.nprobe_local))
         shard = lambda a, nd: jax.device_put(
             a, NamedSharding(mesh, P(DATA_AXIS, *([None] * (nd - 1)))))
         self.centroids = shard(centroids, 2)
         self.cells = shard(cells, 3)
         self.row_table = shard(row_table, 2)
         self.cent_valid = shard(cent_valid, 1)
+        self.cent_boost = shard(np.asarray(cent_boost), 1)
         self.validmask = jax.device_put(validmask, NamedSharding(mesh, P()))
         rep = lambda a: jax.device_put(np.asarray(a),
                                        NamedSharding(mesh, P()))
@@ -185,9 +229,9 @@ class ShardedIVF:
 
         The cell axis is padded to a multiple of the data-axis size; padded
         centroids are masked out of routing via ``cent_valid``.  Overflow
-        rows (rows that fit none of their candidate cells) are folded into
-        the padded cells of the first shard when padding exists, else
-        appended as one extra cell row per shard.
+        rows (rows that fit none of their candidate cells) are interleaved
+        as one always-probed extra cell per shard block (``cent_boost``),
+        matching the single-chip index's exact-scan-of-overflow contract.
         """
         ndev = mesh.shape[DATA_AXIS]
         centroids = np.asarray(ivf.centroids, dtype=np.float32)
@@ -202,11 +246,12 @@ class ShardedIVF:
         keep = orows_all >= 0
         orows = orows_all[keep]
         ovecs_all = np.asarray(ivf.overflow_vecs, dtype=np.float32)[keep]
+        cent_boost = None
         if orows.size:
-            # distribute overflow rows into extra always-probed cells: add
-            # one extra cell per shard holding a slice of the overflow and
-            # give it a centroid at the data centroid (probed ~uniformly).
-            extra = ndev  # one overflow cell per shard
+            # one always-probed overflow cell per shard, interleaved into
+            # each shard's contiguous block (block sharding would strand
+            # appended cells on the last shard)
+            extra = ndev
             per = -(-orows.size // extra)
             width = max(cmax, per)
             ocells = np.zeros((extra, width, d), cells.dtype)
@@ -239,21 +284,23 @@ class ShardedIVF:
                                constant_values=-1)
                 cmax = cells.shape[1]
             mean_c = centroids.mean(axis=0, keepdims=True)
-            centroids = np.concatenate(
-                [centroids, np.repeat(mean_c, extra, axis=0)])
-            cells = np.concatenate([cells, ocells[:, :cmax]])
-            norms = np.concatenate([norms, onorms[:, :cmax]])
-            table = np.concatenate([table, otab[:, :cmax]])
-            nlist += extra
-            pad = (-nlist) % ndev
-        if pad:
-            centroids = np.pad(centroids, ((0, pad), (0, 0)))
-            cells = np.pad(cells, ((0, pad), (0, 0), (0, 0)))
-            norms = np.pad(norms, ((0, pad), (0, 0)))
-            table = np.pad(table, ((0, pad), (0, 0)), constant_values=-1)
-        cent_valid = np.ones((centroids.shape[0],), dtype=bool)
-        if pad:
-            cent_valid[-pad:] = False
+            ocent = np.repeat(mean_c, extra, axis=0)
+            (centroids, cells, norms, table), cent_valid, cent_boost = \
+                _interleave_overflow(
+                    ndev, [centroids, cells, norms, table],
+                    [ocent, ocells[:, :cmax], onorms[:, :cmax],
+                     otab[:, :cmax]],
+                    [0, 0, 0, -1])
+        else:
+            if pad:
+                centroids = np.pad(centroids, ((0, pad), (0, 0)))
+                cells = np.pad(cells, ((0, pad), (0, 0), (0, 0)))
+                norms = np.pad(norms, ((0, pad), (0, 0)))
+                table = np.pad(table, ((0, pad), (0, 0)),
+                               constant_values=-1)
+            cent_valid = np.ones((centroids.shape[0],), dtype=bool)
+            if pad:
+                cent_valid[-pad:] = False
         store = ivf._collection._store
         vm = (np.asarray(store.valid) if validmask is None
               else np.asarray(validmask))
@@ -264,6 +311,7 @@ class ShardedIVF:
                    scale=(np.asarray(ivf.quantizer.scale) if quantized
                           else None),
                    cell_norms=norms if quantized else None,
+                   cent_boost=cent_boost,
                    metric=cfg.metric, nprobe=ivf.nprobe,
                    compute_dtype=cfg.compute_dtype)
 
@@ -275,7 +323,8 @@ class ShardedIVF:
                 nprobe_local=self.nprobe_local,
                 compute_dtype=self.compute_dtype)
         d, r = self._fns[k](q, self.centroids, self.cells, self.row_table,
-                            self.cent_valid, self.validmask, self.vmin,
+                            self.cent_valid, self.cent_boost,
+                            self.validmask, self.vmin,
                             self.scale, self.cell_norms)
         return np.asarray(d), np.asarray(r)
 
@@ -303,7 +352,7 @@ def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
     metric = DistanceMetric.parse(metric)
 
     def local(q, centroids, codebooks, codes, norms, row_table, cent_valid,
-              cent_boost, vectors, validmask):
+              orow_ids, vectors, validmask):
         b, d = q.shape
         nlist_l, cmax, m = codes.shape
         kk_cb = codebooks.shape[1]
@@ -320,11 +369,6 @@ def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
                              preferred_element_type=jnp.float32)
             route = -(csq[None, :] - 2.0 * qc)
         route = jnp.where(cent_valid[None, :], route, -MASKED)
-        # overflow cells are ALWAYS probed on the shard that owns them
-        # (the single-chip index scans overflow exactly on every query;
-        # without the boost, a query routed away from the data mean would
-        # silently never see overflow rows)
-        route = jnp.where(cent_boost[None, :], MASKED, route)
         npl = min(nprobe_local, nlist_l)
         _, probe = jax.lax.top_k(route, npl)
 
@@ -367,6 +411,16 @@ def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
         _, sel = jax.lax.top_k(-vals_f, cg)
         grows = jnp.take_along_axis(rows_f, sel, axis=1)   # (B, cg) global
 
+        # overflow rows bypass ADC entirely: the single-chip index scores
+        # them EXACTLY on every query (ann/ivfpq.py overflow scan), and PQ
+        # codebooks trained on in-cell residuals can encode far-out rows
+        # to garbage — so their global ids ride a side-channel straight
+        # into the exact re-rank below (-1 padded, masked there).
+        of_g = jax.lax.all_gather(orow_ids, DATA_AXIS).reshape(-1)
+        grows = jnp.concatenate(
+            [grows, jnp.broadcast_to(of_g[None, :], (b, of_g.shape[0]))],
+            axis=1)
+
         # ---- phase 2: row-sharded exact re-rank --------------------------
         lo = jax.lax.axis_index(DATA_AXIS) * shard_rows
         own = (grows >= lo) & (grows < lo + shard_rows)
@@ -386,9 +440,12 @@ def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
                                       0.0))
         else:
             es = -cross2
-        es = jnp.where(own & (grows >= 0), es, MASKED)
+        # validmask re-checked here: ADC candidates were filtered in phase
+        # 1, but side-channel overflow rows were not
+        vok = jnp.take(validmask, jnp.maximum(grows, 0), axis=0)
+        es = jnp.where(own & (grows >= 0) & vok, es, MASKED)
         es = jax.lax.pmin(es, DATA_AXIS)                   # assemble exact
-        kk = min(k, cg)
+        kk = min(k, grows.shape[1])
         neg, pos = jax.lax.top_k(-es, kk)
         return -neg, jnp.take_along_axis(grows, pos, axis=1)
 
@@ -410,7 +467,7 @@ class ShardedIVFPQ:
 
     def __init__(self, mesh: Mesh, centroids, codebooks, codes, norms,
                  row_table, cent_valid, vectors, validmask,
-                 cent_boost=None, *,
+                 orow_ids=None, *,
                  metric: DistanceMetric, nprobe: int, rerank: int,
                  rerank_dtype: str = "bfloat16"):
         self.mesh = mesh
@@ -420,8 +477,8 @@ class ShardedIVFPQ:
         self.rerank_dtype = rerank_dtype
         ndev = mesh.shape[DATA_AXIS]
         self.shard_rows = vectors.shape[0] // ndev
-        self.nprobe_local = max(1, min(-(-nprobe // ndev) * 2,
-                                       centroids.shape[0] // ndev))
+        local_cells = centroids.shape[0] // ndev
+        self.nprobe_local = max(1, min(-(-nprobe // ndev) * 2, local_cells))
         shard = lambda a, nd: jax.device_put(
             a, NamedSharding(mesh, P(DATA_AXIS, *([None] * (nd - 1)))))
         rep = lambda a: jax.device_put(a, NamedSharding(mesh, P()))
@@ -431,9 +488,9 @@ class ShardedIVFPQ:
         self.norms = shard(norms, 2)
         self.row_table = shard(row_table, 2)
         self.cent_valid = shard(cent_valid, 1)
-        if cent_boost is None:
-            cent_boost = np.zeros(np.asarray(cent_valid).shape, dtype=bool)
-        self.cent_boost = shard(np.asarray(cent_boost), 1)
+        if orow_ids is None:
+            orow_ids = np.full((ndev,), -1, np.int32)
+        self.orow_ids = shard(np.asarray(orow_ids, np.int32), 1)
         self.vectors = shard(vectors, 2)
         self.validmask = rep(validmask)
         self._fns = {}
@@ -441,9 +498,10 @@ class ShardedIVFPQ:
     @classmethod
     def from_index(cls, mesh: Mesh, idx, validmask=None) -> "ShardedIVFPQ":
         """Shard an ann.ivfpq.IVFPQIndex across ``mesh``.  Overflow rows
-        are folded into per-shard always-probed extra cells exactly like
-        ShardedIVF; their codes re-encode through the PQ codebooks so the
-        cell tensors stay uniform."""
+        (which the single-chip index scores exactly on every query) ride a
+        row-id side-channel into the exact re-rank phase — re-encoding
+        them through PQ codebooks trained on in-cell residuals can place
+        far-out rows arbitrarily badly in ADC space."""
         ndev = mesh.shape[DATA_AXIS]
         centroids = np.asarray(idx.centroids, dtype=np.float32)
         codes = np.asarray(idx.codes)
@@ -451,40 +509,10 @@ class ShardedIVFPQ:
         table = np.asarray(idx.row_table)
         nlist, cmax, m = codes.shape
         orows_all = np.asarray(idx.overflow_rows)
-        keep = orows_all >= 0
-        orows = orows_all[keep]
-        if orows.size:
-            from ..quant.product import _encode as _pq_encode
-            extra = ndev
-            per = -(-orows.size // extra)
-            width = max(cmax, per)
-            mean_c = centroids.mean(axis=0, keepdims=True)
-            ovecs = np.asarray(idx.overflow_vecs, dtype=np.float32)[keep]
-            ocodes_rows = np.asarray(_pq_encode(
-                jnp.asarray(ovecs - mean_c), idx.codebooks))
-            onorms_rows = np.einsum("od,od->o", ovecs, ovecs)
-            ocells = np.zeros((extra, width, m), codes.dtype)
-            onorms = np.zeros((extra, width), np.float32)
-            otab = np.full((extra, width), -1, np.int32)
-            for i in range(extra):
-                sl = slice(i * per, (i + 1) * per)
-                part = orows[sl]
-                ocells[i, :part.size] = ocodes_rows[sl]
-                onorms[i, :part.size] = onorms_rows[sl]
-                otab[i, :part.size] = part
-            if width > cmax:
-                grow = width - cmax
-                codes = np.pad(codes, ((0, 0), (0, grow), (0, 0)))
-                norms = np.pad(norms, ((0, 0), (0, grow)))
-                table = np.pad(table, ((0, 0), (0, grow)),
-                               constant_values=-1)
-                cmax = width
-            centroids = np.concatenate(
-                [centroids, np.repeat(mean_c, extra, axis=0)])
-            codes = np.concatenate([codes, ocells[:, :cmax]])
-            norms = np.concatenate([norms, onorms[:, :cmax]])
-            table = np.concatenate([table, otab[:, :cmax]])
-            nlist += extra
+        orows = orows_all[orows_all >= 0]
+        per = max(1, -(-int(orows.size) // ndev))
+        orow_ids = np.full((ndev * per,), -1, np.int32)
+        orow_ids[:orows.size] = orows
         pad = (-nlist) % ndev
         if pad:
             centroids = np.pad(centroids, ((0, pad), (0, 0)))
@@ -494,10 +522,6 @@ class ShardedIVFPQ:
         cent_valid = np.ones((centroids.shape[0],), dtype=bool)
         if pad:
             cent_valid[-pad:] = False
-        cent_boost = np.zeros((centroids.shape[0],), dtype=bool)
-        if orows.size:
-            # the `extra` overflow cells sit just before the padding
-            cent_boost[nlist - ndev: nlist] = True
         store = idx._collection._store
         cfg = idx._collection.config
         n = store.count
@@ -513,7 +537,7 @@ class ShardedIVFPQ:
                       else "float32")
         return cls(mesh, centroids, np.asarray(idx.codebooks), codes, norms,
                    table, cent_valid, vecs.astype(jnp.dtype(dtype_name)),
-                   vmask, cent_boost, metric=cfg.metric, nprobe=idx.nprobe,
+                   vmask, orow_ids, metric=cfg.metric, nprobe=idx.nprobe,
                    rerank=idx.rerank, rerank_dtype=dtype_name)
 
     def search(self, queries, k: int, rerank: Optional[int] = None
@@ -529,7 +553,7 @@ class ShardedIVFPQ:
                 rerank_dtype=self.rerank_dtype)
         d, r = self._fns[key](q, self.centroids, self.codebooks, self.codes,
                               self.norms, self.row_table, self.cent_valid,
-                              self.cent_boost, self.vectors, self.validmask)
+                              self.orow_ids, self.vectors, self.validmask)
         return np.asarray(d), np.asarray(r)
 
 

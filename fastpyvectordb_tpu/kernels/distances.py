@@ -45,6 +45,16 @@ def _norms_sq(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("nd,nd->n", v, v, preferred_element_type=jnp.float32)
 
 
+@jax.jit
+def _corpus_stats_jit(v):
+    # f32 ACCUMULATION via preferred_element_type, never an astype: an
+    # eager astype of a bf16 serving corpus materializes a full-size f32
+    # copy on device (at 5Mx768 that is +14.3 GB and an HBM OOM)
+    sq = jnp.einsum("nd,nd->n", v, v, preferred_element_type=jnp.float32)
+    rinv = jnp.where(sq > 0, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0)
+    return sq, rinv
+
+
 def corpus_stats(vectors: jnp.ndarray) -> dict:
     """Per-row cached statistics for the corpus buffer.
 
@@ -52,8 +62,7 @@ def corpus_stats(vectors: jnp.ndarray) -> dict:
       ``sq``: (N,) float32 squared L2 norms (for the L2 expansion)
       ``rinv``: (N,) float32 reciprocal norms (for cosine; 0-norm rows -> 0)
     """
-    sq = _norms_sq(vectors.astype(jnp.float32))
-    rinv = jnp.where(sq > 0, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0)
+    sq, rinv = _corpus_stats_jit(vectors)
     return {"sq": sq, "rinv": rinv}
 
 

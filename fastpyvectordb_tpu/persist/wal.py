@@ -97,18 +97,29 @@ class WriteAheadLog:
                 if len(head) < _FRAME.size:
                     break
                 rlen, crc = _FRAME.unpack(head)
+                # a zero-filled torn tail (delayed allocation) yields
+                # rlen=0, crc=0 — and crc32(b'') == 0, so the CRC alone
+                # does not catch it; any record too short to hold the op
+                # byte + JSON length prefix is torn, not valid
+                if rlen < 1 + _JLEN.size:
+                    break
                 body = f.read(rlen)
                 if len(body) < rlen or zlib.crc32(body) != crc:
                     break
-                op = body[0]
-                (jlen,) = _JLEN.unpack(body[1:1 + _JLEN.size])
-                obj = json.loads(body[1 + _JLEN.size: 1 + _JLEN.size + jlen]
-                                 .decode("utf-8"))
-                raw = body[1 + _JLEN.size + jlen:]
-                vecs = None
-                if op == OP_INSERT and raw:
-                    vecs = np.frombuffer(raw, dtype=np.float32).reshape(
-                        obj["n"], obj["d"]).copy()
+                try:
+                    op = body[0]
+                    (jlen,) = _JLEN.unpack(body[1:1 + _JLEN.size])
+                    obj = json.loads(
+                        body[1 + _JLEN.size: 1 + _JLEN.size + jlen]
+                        .decode("utf-8"))
+                    raw = body[1 + _JLEN.size + jlen:]
+                    vecs = None
+                    if op == OP_INSERT and raw:
+                        vecs = np.frombuffer(raw, dtype=np.float32).reshape(
+                            obj["n"], obj["d"]).copy()
+                except (ValueError, KeyError, UnicodeDecodeError,
+                        struct.error):
+                    break  # structurally invalid despite CRC: treat as torn
                 good = f.tell()
                 yield op, obj, vecs
         if self.path.stat().st_size > good:

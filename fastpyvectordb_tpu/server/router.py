@@ -67,16 +67,21 @@ def create_router_app(shards: List[str],
     def _err(status: int, detail: str):
         return web.json_response({"detail": detail}, status=status)
 
-    async def _post(url: str, body: dict):
-        """POST to one shard; an unreachable shard is a 503 result, not a
+    async def _call(method: str, url: str, *, body=None, params=None):
+        """One shard call; an unreachable shard is a 503 result, not a
         raised exception — fan-out callers must see partial failures so
-        their degraded-coverage branches actually run."""
+        their degraded-coverage branches actually run, and single-shard
+        handlers return a clean 503 instead of an opaque 500."""
         s = await session()
         try:
-            async with s.post(url, json=body) as r:
+            async with s.request(method, url, json=body,
+                                 params=params) as r:
                 return r.status, await r.json(content_type=None)
         except Exception as e:
             return 503, {"detail": f"shard unreachable: {e}"}
+
+    async def _post(url: str, body: dict):
+        return await _call("POST", url, body=body)
 
     async def _fanout_post(path: str, body: dict):
         return await asyncio.gather(
@@ -113,36 +118,40 @@ def create_router_app(shards: List[str],
         return web.json_response(payload, status=worst[0])
 
     async def delete_collection(request):
+        # all shards in parallel; a down shard must not abort the loop
+        # mid-way (silent partial DDL) — report it instead
         name = request.match_info["name"]
-        s = await session()
-        codes = []
-        for u in shards:
-            async with s.delete(f"{u}/collections/{name}") as r:
-                codes.append(r.status)
-        return web.json_response({"deleted": name}, status=max(codes))
+        outs = await asyncio.gather(
+            *[_call("DELETE", f"{u}/collections/{name}") for u in shards])
+        worst = max(o[0] for o in outs)
+        payload = {"deleted": name}
+        if worst >= 400 and any(o[0] < 400 for o in outs):
+            payload["partial"] = {u: o[0] for u, o in zip(shards, outs)}
+        return web.json_response(payload, status=worst)
 
     async def list_collections(request):
-        s = await session()
-        async with s.get(shards[0] + "/collections") as r:
-            base = await r.json(content_type=None)
-        return web.json_response(base)
+        # any reachable shard can answer (DDL fans out to all of them)
+        for u in shards:
+            st, out = await _call("GET", u + "/collections")
+            if st == 200:
+                return web.json_response(out)
+        return _err(503, "no shard reachable")
 
     async def get_collection(request):
         """Aggregate per-shard counts into one logical collection view."""
         name = request.match_info["name"]
-        s = await session()
-        infos, status = [], 200
-        for u in shards:
-            async with s.get(f"{u}/collections/{name}") as r:
-                status = max(status, r.status)
-                if r.status == 200:
-                    infos.append(await r.json(content_type=None))
+        outs = await asyncio.gather(
+            *[_call("GET", f"{u}/collections/{name}") for u in shards])
+        infos = [o[1] for o in outs if o[0] == 200]
         if not infos:
+            if any(o[0] == 503 for o in outs):
+                return _err(503, "no shard reachable")
             return _err(404, f"collection {name!r} not found")
         agg = dict(infos[0])
         if "count" in agg:
             agg["count"] = sum(i.get("count", 0) for i in infos)
         agg["n_shards"] = n
+        agg["shards_ok"] = len(infos)
         return web.json_response(agg, status=200)
 
     # -- writes: hash-route by id --------------------------------------
@@ -163,10 +172,9 @@ def create_router_app(shards: List[str],
         if not body.get("id"):
             return _err(400, "upsert requires an id")
         u = shards[_shard_of(body["id"], n)]
-        s = await session()
-        async with s.put(f"{u}/collections/{name}/vectors", json=body) as r:
-            return web.json_response(await r.json(content_type=None),
-                                     status=r.status)
+        st, out = await _call("PUT", f"{u}/collections/{name}/vectors",
+                              body=body)
+        return web.json_response(out, status=st)
 
     async def insert_batch(request):
         name = request.match_info["name"]
@@ -176,6 +184,8 @@ def create_router_app(shards: List[str],
         metas = body.get("metadatas")
         if len(ids) != len(vectors):
             return _err(400, "ids/vectors length mismatch")
+        if metas is not None and len(metas) != len(vectors):
+            return _err(400, "metadatas/vectors length mismatch")
         parts = {i: ([], [], []) for i in range(n)}
         for j, (v, rid) in enumerate(zip(vectors, ids)):
             sv, si, sm = parts[_shard_of(rid, n)]
@@ -199,34 +209,47 @@ def create_router_app(shards: List[str],
     async def get_vector(request):
         name, rid = request.match_info["name"], request.match_info["id"]
         u = shards[_shard_of(rid, n)]
-        s = await session()
-        async with s.get(f"{u}/collections/{name}/vectors/{rid}",
-                         params=request.rel_url.query) as r:
-            return web.json_response(await r.json(content_type=None),
-                                     status=r.status)
+        st, out = await _call("GET", f"{u}/collections/{name}/vectors/{rid}",
+                              params=dict(request.rel_url.query))
+        return web.json_response(out, status=st)
 
     async def delete_vector(request):
         name, rid = request.match_info["name"], request.match_info["id"]
         u = shards[_shard_of(rid, n)]
-        s = await session()
-        async with s.delete(f"{u}/collections/{name}/vectors/{rid}") as r:
-            return web.json_response(await r.json(content_type=None),
-                                     status=r.status)
+        st, out = await _call(
+            "DELETE", f"{u}/collections/{name}/vectors/{rid}")
+        return web.json_response(out, status=st)
 
     async def list_ids(request):
+        """Stable global pagination: shard order x per-shard insertion
+        order.  A page at (offset, limit) needs at most offset+limit ids
+        from each shard (not every id from every shard), and the shard's
+        own count field supplies the exact global total."""
         name = request.match_info["name"]
-        s = await session()
-        ids: List[str] = []
-        for u in shards:
-            async with s.get(f"{u}/collections/{name}/ids",
-                             params={"limit": "1000000"}) as r:
-                if r.status == 200:
-                    ids.extend((await r.json(content_type=None))["ids"])
         q = request.rel_url.query
         off = int(q.get("offset", 0))
         lim = int(q.get("limit", 100))
-        return web.json_response({"ids": ids[off: off + lim],
-                                  "total": len(ids)})
+        window = off + lim
+        outs = await asyncio.gather(
+            *[_call("GET", f"{u}/collections/{name}/ids",
+                    params={"limit": str(window), "offset": "0"})
+              for u in shards])
+        ids: List[str] = []
+        total = 0
+        ok = 0
+        for st, out in outs:
+            if st == 200:
+                ok += 1
+                ids.extend(out["ids"])
+                total += int(out.get("count", len(out["ids"])))
+        if ok == 0:
+            if any(st == 503 for st, _ in outs):
+                return _err(503, "no shard reachable")
+            return _err(404, f"collection {name!r} not found")
+        resp = {"ids": ids[off: off + lim], "total": total}
+        if ok < n:
+            resp["shards_ok"] = ok
+        return web.json_response(resp)
 
     # -- search: fan out + merge ---------------------------------------
     def _merge_hits(per_shard: List[List[dict]], k: int) -> List[dict]:

@@ -116,3 +116,23 @@ def test_empty_and_k_gt_count():
     col.insert_batch(np.eye(16, dtype=np.float32)[:3], ["a", "b", "c"])
     hits = col.search(np.eye(16, dtype=np.float32)[0], k=50)
     assert len(hits) == 3 and hits[0].id == "a"
+
+
+def test_save_after_load_without_insert(tmp_path):
+    """save() right after _load() must not truncate the vectors file that
+    self._vectors still memory-maps (load -> delete -> save -> reload)."""
+    import numpy as np
+    from fastpyvectordb_tpu.core.bigcollection import BigCollection
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((64, 16)).astype(np.float32)
+    col = BigCollection(16, codec="binary", base_path=tmp_path / "bc")
+    col.insert_batch(v, [f"r{i}" for i in range(64)])
+    col.save()
+    col2 = BigCollection(16, base_path=tmp_path / "bc")  # memmap-backed
+    assert col2.count() == 64
+    col2.delete("r3")
+    col2.save()  # would SIGBUS / corrupt with in-place np.save
+    col3 = BigCollection(16, base_path=tmp_path / "bc")
+    assert col3.count() == 63
+    got = col3.get("r7", include_vector=True)["vector"]
+    np.testing.assert_allclose(got, v[7], rtol=1e-6)

@@ -157,3 +157,52 @@ def test_shard_outage_degrades_not_500(tmp_path):
                      json={"vector": v[2].tolist(), "k": 3}).json()
         assert out["shards_ok"] == 1
         assert out["results"][0]["id"] == "v2"
+
+
+def test_shard_outage_single_target_ops_503(tmp_path):
+    """Handlers without fan-out (get/list/ids/delete-collection) must map
+    a dead shard to 503/degraded JSON, never a raw 500."""
+    shard = AppThread(lambda: create_app(db_path=str(tmp_path / "solo2"),
+                                         full=False))
+    dead_port = free_port()
+    router = AppThread(lambda: create_router_app(
+        [shard.url, f"http://127.0.0.1:{dead_port}"]))
+    with httpx.Client(base_url=router.url, timeout=60) as c:
+        c.post("/collections", json={"name": "o", "dimensions": 4,
+                                     "metric": "l2"})
+        import numpy as np
+        httpx.post(shard.url + "/collections/o/vectors/batch",
+                   json={"vectors": np.eye(4, dtype=np.float32).tolist(),
+                         "ids": [f"v{i}" for i in range(4)]},
+                   timeout=30).raise_for_status()
+        # aggregate view serves from the live shard, flags coverage
+        info = c.get("/collections/o")
+        assert info.status_code == 200 and info.json()["shards_ok"] == 1
+        # listing collections falls through to a reachable shard
+        assert c.get("/collections").status_code == 200
+        # ids pagination works with one shard down
+        ids = c.get("/collections/o/ids", params={"limit": 2})
+        assert ids.status_code == 200 and ids.json()["shards_ok"] == 1
+        # single-vector ops on ids homed on the DEAD shard return 503
+        homed_dead = next(f"k{i}" for i in range(100)
+                          if _shard_of(f"k{i}", 2) == 1)
+        r = c.get(f"/collections/o/vectors/{homed_dead}")
+        assert r.status_code == 503
+        r = c.delete(f"/collections/o/vectors/{homed_dead}")
+        assert r.status_code == 503
+        # delete_collection reports the partial outcome, does not raise
+        r = c.delete("/collections/o")
+        assert r.status_code >= 400 and "partial" in r.json()
+
+
+def test_insert_batch_metadata_length_check(tmp_path):
+    shard = AppThread(lambda: create_app(db_path=str(tmp_path / "m"),
+                                         full=False))
+    router = AppThread(lambda: create_router_app([shard.url]))
+    with httpx.Client(base_url=router.url, timeout=60) as c:
+        c.post("/collections", json={"name": "mm", "dimensions": 4,
+                                     "metric": "l2"})
+        r = c.post("/collections/mm/vectors/batch",
+                   json={"vectors": [[1, 0, 0, 0], [0, 1, 0, 0]],
+                         "ids": ["a", "b"], "metadatas": [{"x": 1}]})
+        assert r.status_code == 400

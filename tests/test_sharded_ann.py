@@ -159,3 +159,54 @@ def test_sharded_ivf_int8_cells(built, mesh):
                       for r, e in zip(rows, exact)])
     assert recall >= 0.85, f"sharded int8-cell IVF recall {recall:.3f}"
     assert all(np.all(np.diff(row) >= -1e-4) for row in d)
+
+
+def _overflow_collection(seed=11, n=1024, shift=6.0):
+    """Corpus offset far from the origin, so a query near an overflow row
+    is far from the data mean — the regime where mean-centroid routing
+    (without the always-probe boost) would never reach overflow cells."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, D)).astype(np.float32)
+    v[: n // 2] += shift  # bimodal: the mean sits between the modes
+    v[n // 2:] -= shift
+    col = Collection(CollectionConfig(name="ovf", dimensions=D, metric="l2"))
+    col.insert_batch(v, [f"v{i}" for i in range(n)])
+    return col, v
+
+
+def test_sharded_ivf_overflow_far_from_mean(mesh):
+    """Overflow rows must be found even when the query routes far away
+    from the data-mean centroid (cent_boost always-probe)."""
+    col, v = _overflow_collection()
+    col.build_ann(kind="ivf", nlist=32, nprobe=4, iters=4,
+                  max_cell_factor=0.6, spill_choices=2)
+    overflow = np.asarray(col._ann.overflow_rows)
+    overflow = overflow[overflow >= 0]
+    if overflow.size == 0:
+        pytest.skip("no overflow produced")
+    sh = ShardedIVF.from_index(mesh, col._ann)
+    probe = v[overflow[:8]]
+    _, rows = sh.search(probe, 5)
+    for qi, want in enumerate(overflow[:8]):
+        assert want in rows[qi].tolist(), (qi, want, rows[qi])
+    # normal routing still works with the boost installed
+    regular = np.setdiff1d(np.arange(v.shape[0]), overflow)[:8]
+    _, rows = sh.search(v[regular], 5)
+    hit = sum(int(w in r.tolist()) for w, r in zip(regular, rows))
+    assert hit >= 6, hit
+
+
+def test_sharded_ivfpq_overflow_far_from_mean(mesh):
+    from fastpyvectordb_tpu.dist.sharded_ann import ShardedIVFPQ
+    col, v = _overflow_collection(seed=13)
+    col.build_ann(kind="ivfpq", nlist=32, nprobe=4, iters=4, m=8, pq_k=16,
+                  pq_iters=3, max_cell_factor=0.6, spill_choices=2)
+    overflow = np.asarray(col._ann.overflow_rows)
+    overflow = overflow[overflow >= 0]
+    if overflow.size == 0:
+        pytest.skip("no overflow produced")
+    sh = ShardedIVFPQ.from_index(mesh, col._ann)
+    probe = v[overflow[:8]]
+    _, rows = sh.search(probe, 5, rerank=8)
+    for qi, want in enumerate(overflow[:8]):
+        assert want in rows[qi].tolist(), (qi, want, rows[qi])

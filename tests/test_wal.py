@@ -158,3 +158,23 @@ def test_numpy_metadata_survives_replay_numerically(tmp_path):
     hits = col2.search(np.ones(8, np.float32), k=1,
                        filter=Filter.gt("score", 2.0))
     assert hits and hits[0].id == "n"  # numeric comparison still works
+
+
+def test_wal_zero_filled_torn_tail(tmp_path):
+    """A crash that extends the log with zeros (delayed allocation) must
+    clip the tail, not crash replay: rlen=0/crc=0 passes the CRC check
+    because crc32(b'') == 0."""
+    import numpy as np
+    from fastpyvectordb_tpu.persist.wal import OP_INSERT, WriteAheadLog
+    p = tmp_path / "t.wal"
+    wal = WriteAheadLog(p)
+    wal.log_insert(["a"], [{}], np.ones((1, 4), np.float32))
+    wal.close()
+    size = p.stat().st_size
+    with open(p, "ab") as f:
+        f.write(b"\x00" * 64)  # zero-filled torn tail
+    wal2 = WriteAheadLog(p)
+    recs = list(wal2.replay())
+    assert len(recs) == 1 and recs[0][0] == OP_INSERT
+    assert p.stat().st_size == size  # tail clipped back to the intact record
+    wal2.close()
