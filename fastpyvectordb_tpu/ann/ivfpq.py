@@ -263,11 +263,15 @@ class IVFPQIndex:
         live = flat >= 0
         cell_of[flat[live]] = owner[live]
         assigned = np.nonzero(cell_of >= 0)[0]
-        base = jnp.take(centroids, jnp.asarray(cell_of[assigned]), axis=0)
-        resid = jnp.take(vectors, jnp.asarray(assigned), axis=0) - base
 
         # shared residual codebooks (M x K x ds) — a single vmapped k-means
-        rs = np.asarray(resid[:min(train_sample, assigned.size)])
+        # over a training-sample residual block only
+        t = min(train_sample, assigned.size)
+        base_t = jnp.take(centroids, jnp.asarray(cell_of[assigned[:t]]),
+                          axis=0)
+        rs = np.asarray(jnp.take(vectors, jnp.asarray(assigned[:t]),
+                                 axis=0) - base_t)
+        del base_t
         sub = jnp.moveaxis(jnp.asarray(rs).reshape(-1, m, d // m), 1, 0)
         keys = jax.random.split(jax.random.PRNGKey(seed + 1), m)
         codebooks = jax.vmap(
@@ -275,9 +279,24 @@ class IVFPQIndex:
                                       chunk=min(16384, max(256,
                                                            sub.shape[1]))))(
             sub, keys)
+        del sub
 
-        rcodes = _pq_encode(resid, codebooks)          # (n_assigned, M)
-        rnorms = _recon_norms(rcodes, codebooks, base)
+        # encode + reconstruction norms in HOST-chunked passes: a single
+        # full-corpus pass would hold base+resid+pad copies (3 x N x D f32
+        # = ~9 GB at 1Mx768) on top of the corpus — an HBM OOM on a 16 GB
+        # chip.  Chunking at the host level bounds the peak to one block.
+        enc_chunk = 131_072
+        rcodes = np.empty((assigned.size, m), np.uint8)
+        rnorms = np.empty((assigned.size,), np.float32)
+        for s in range(0, assigned.size, enc_chunk):
+            sl = assigned[s:s + enc_chunk]
+            b = jnp.take(centroids, jnp.asarray(cell_of[sl]), axis=0)
+            r = jnp.take(vectors, jnp.asarray(sl), axis=0) - b
+            cc = _pq_encode(r, codebooks)
+            rcodes[s:s + enc_chunk] = np.asarray(cc)
+            rnorms[s:s + enc_chunk] = np.asarray(
+                _recon_norms(cc, codebooks, b))
+            del b, r, cc
 
         # scatter row-major codes/norms into the cell-major layout
         codes_t = np.zeros((nlist * cap, m), np.uint8)
