@@ -26,5 +26,6 @@ run() {
 
 run config5_rerun  7200 python benchmarks/baseline_r2.py config5
 run ivfpq_rerun    7200 python benchmarks/ivfpq_tpu.py ivfpq
+run server_load    3600 python benchmarks/server_load.py
 python benchmarks/consolidate_r2.py >>"$LOG" 2>&1
 echo CAMPAIGN3_DONE | tee -a "$LOG"

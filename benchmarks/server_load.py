@@ -129,11 +129,15 @@ def main():
     api_rows = min(20_000, args.rows)
     vecs = rng.standard_normal((api_rows, args.dims)).astype(np.float32)
     t0 = time.perf_counter()
+    # chunked: 20k x 768-d rows are ~300 MB of JSON, over the server's
+    # 256 MB request cap (app.py client_max_size)
     with httpx.Client(base_url=base, timeout=600) as c:
-        r = c.post("/collections/load/vectors/batch",
-                   json={"vectors": vecs.tolist(),
-                         "ids": [f"v{i}" for i in range(api_rows)]})
-        r.raise_for_status()
+        for s in range(0, api_rows, 5000):
+            e = min(s + 5000, api_rows)
+            r = c.post("/collections/load/vectors/batch",
+                       json={"vectors": vecs[s:e].tolist(),
+                             "ids": [f"v{i}" for i in range(s, e)]})
+            r.raise_for_status()
     print(json.dumps({"exp": "api_ingest",
                       "rows": api_rows,
                       "rows_per_s": round(api_rows
