@@ -319,11 +319,12 @@ class GraphANN:
                beam: Optional[int] = None, iters: Optional[int] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
         if self.stale:
-            rebuilt = GraphANN.build(self._collection,
-                                     r=self.neighbors.shape[1],
-                                     n_entries=self.medoids.shape[0],
-                                     beam=self.beam, expand=self.expand,
-                                     iters=self.iters, n_init=self.n_init)
+            kw = dict(getattr(self, "_build_kwargs", {}))
+            kw.setdefault("r", self.neighbors.shape[1])
+            kw.setdefault("n_entries", self.medoids.shape[0])
+            kw.update(beam=self.beam, expand=self.expand,
+                      iters=self.iters, n_init=self.n_init)
+            rebuilt = GraphANN.build(self._collection, **kw)
             self.__dict__.update(rebuilt.__dict__)
         store = self._collection._store
         cfg = self._collection.config

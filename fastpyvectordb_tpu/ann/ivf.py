@@ -318,10 +318,14 @@ class IVFIndex:
                nprobe: Optional[int] = None,
                max_query_batch: int = 64) -> Tuple[np.ndarray, np.ndarray]:
         if self.stale:
-            rebuilt = IVFIndex.build(
-                self._collection, nlist=self.centroids.shape[0],
-                nprobe=self.nprobe,
-                cell_dtype="int8" if self.quantizer is not None else None)
+            # reuse the original build parameters; runtime-tuned knobs
+            # (set_search_params) override their build-time values
+            kw = dict(getattr(self, "_build_kwargs", {}))
+            kw.setdefault("nlist", self.centroids.shape[0])
+            kw["nprobe"] = self.nprobe
+            if self.quantizer is not None:
+                kw.setdefault("cell_dtype", "int8")
+            rebuilt = IVFIndex.build(self._collection, **kw)
             self.__dict__.update(rebuilt.__dict__)
         store = self._collection._store
         q = np.ascontiguousarray(queries, dtype=np.float32)
@@ -488,8 +492,4 @@ class IVFIndex:
         return limit
 
 
-def _pow2_at_least(n: int) -> int:
-    p = 1
-    while p < n:
-        p <<= 1
-    return p
+from ..utils import next_pow2 as _pow2_at_least  # shared helper

@@ -329,10 +329,13 @@ class IVFPQIndex:
                max_query_batch: int = 256
                ) -> Tuple[np.ndarray, np.ndarray]:
         if self.stale:
-            rebuilt = IVFPQIndex.build(
-                self._collection, nlist=self.centroids.shape[0],
-                nprobe=self.nprobe, m=self.codes.shape[2],
-                pq_k=self.codebooks.shape[1], rerank=self.rerank)
+            kw = dict(getattr(self, "_build_kwargs", {}))
+            kw.setdefault("nlist", self.centroids.shape[0])
+            kw.setdefault("m", self.codes.shape[2])
+            kw.setdefault("pq_k", self.codebooks.shape[1])
+            kw["nprobe"] = self.nprobe
+            kw["rerank"] = self.rerank
+            rebuilt = IVFPQIndex.build(self._collection, **kw)
             self.__dict__.update(rebuilt.__dict__)
         store = self._collection._store
         q = np.ascontiguousarray(queries, dtype=np.float32)

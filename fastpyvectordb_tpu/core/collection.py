@@ -376,6 +376,10 @@ class Collection:
                 self._ann = GraphANN.build(self, **kwargs)
             else:
                 raise ValueError(f"unknown ANN kind {kind!r}")
+            # drift-triggered rebuilds must reuse the caller's build
+            # parameters (spill_choices, max_cell_factor, iters, ...) —
+            # rebuilding with defaults silently regresses recall
+            self._ann._build_kwargs = dict(kwargs)
             self.config.index = kind
 
     def enable_quantized_scan(self, kind: str = "int8", **kwargs):
@@ -408,6 +412,10 @@ class Collection:
         321-362) as two fused device stages."""
         q = as_f32_matrix(queries, self.config.dimensions)
         with self._lock:
+            if self._store.n_valid == 0 and self._store.count == 0:
+                # mirror search_batch's empty guard: training a quantizer
+                # over zero rows raises from a zero-size reduction
+                return [[] for _ in range(q.shape[0])]
             if self._quantized is None:
                 self.enable_quantized_scan()
             elif self._index_rebuild_due(self._quantized.built_count):
@@ -426,9 +434,41 @@ class Collection:
             dists, rows = self._quantized.search(q, k, rerank=rerank, mask=mask)
             built = self._quantized.built_count
             if self._store.count > built:
+                if rerank <= 1:
+                    # with no re-rank stage the scan returned COARSE-unit
+                    # scores (squared L2 for int8, Hamming counts for
+                    # binary) — rescore exactly before merging against the
+                    # exact-unit tail distances, or the argsort compares
+                    # incompatible units and misorders results
+                    dists = self._exact_rescore(q, dists, rows)
                 td, tr = self._tail_exact(q, k, mask, built)
                 dists, rows = topk_mod.merge_topk_host(dists, rows, td, tr, k)
             return self._assemble(q, dists, rows, k, False)
+
+    def _exact_rescore(self, q: np.ndarray, dists: np.ndarray,
+                       rows: np.ndarray) -> np.ndarray:
+        """Exact metric distances for (B, k) candidate rows (host BLAS on a
+        tiny gather); masked entries stay masked."""
+        import jax.numpy as jnp
+        from ..kernels.distances import MASKED
+        rows = np.asarray(rows)
+        safe = np.maximum(rows, 0)
+        cand = np.asarray(jnp.take(self._store.vectors, jnp.asarray(safe),
+                                   axis=0), dtype=np.float32)  # (B, k, D)
+        cross = np.einsum("bd,bkd->bk", q, cand, optimize=True)
+        metric = self.config.metric
+        if metric == DistanceMetric.COSINE:
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            cn = np.linalg.norm(cand, axis=2)
+            out = 1.0 - cross / np.maximum(qn * cn, 1e-30)
+        elif metric == DistanceMetric.L2:
+            qsq = np.einsum("bd,bd->b", q, q)
+            csq = np.einsum("bkd,bkd->bk", cand, cand, optimize=True)
+            out = np.sqrt(np.maximum(qsq[:, None] + csq - 2.0 * cross, 0.0))
+        else:
+            out = -cross
+        bad = (rows < 0) | (np.asarray(dists) >= float(MASKED) * 0.5)
+        return np.where(bad, np.inf, out).astype(np.float32)
 
     # ------------------------------------------------------------------
     # Multi-chip

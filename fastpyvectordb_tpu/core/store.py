@@ -35,11 +35,7 @@ from ..kernels import distances as K
 MIN_CAPACITY = 1024
 
 
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < n:
-        p <<= 1
-    return p
+from ..utils import next_pow2 as _next_pow2  # shared helper
 
 
 def pad_rows(arr: np.ndarray, to: int) -> np.ndarray:

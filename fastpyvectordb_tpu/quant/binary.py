@@ -98,12 +98,16 @@ class BinaryQuantizer:
         self.thresholds = jnp.asarray(thr.astype(np.float32))
         return self
 
-    def encode(self, vectors: np.ndarray) -> jnp.ndarray:
+    def encode(self, vectors) -> jnp.ndarray:
         self._check()
-        v = np.ascontiguousarray(vectors, dtype=np.float32)
-        if v.ndim == 1:
-            v = v[None, :]
-        return _encode(jnp.asarray(v), self.thresholds, dims=self.dims)
+        if isinstance(vectors, jnp.ndarray):  # device corpus: no host bounce
+            v = vectors if vectors.ndim > 1 else vectors[None, :]
+        else:
+            v = np.ascontiguousarray(vectors, dtype=np.float32)
+            if v.ndim == 1:
+                v = v[None, :]
+            v = jnp.asarray(v)
+        return _encode(v, self.thresholds, dims=self.dims)
 
     def hamming_distances(self, queries: np.ndarray, codes,
                           use_pallas: Optional[bool] = None) -> jnp.ndarray:

@@ -34,7 +34,8 @@ _SQ_TILE = 1024
 
 @jax.jit
 def _train(data: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    vmin = jnp.min(data, axis=0)
+    data = data.astype(jnp.float32)  # fused under jit: bf16 stores train
+    vmin = jnp.min(data, axis=0)     # without materializing an f32 copy
     vmax = jnp.max(data, axis=0)
     scale = jnp.maximum(vmax - vmin, 1e-8)
     return vmin, scale
@@ -43,6 +44,7 @@ def _train(data: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 @jax.jit
 def _encode(data: jnp.ndarray, vmin: jnp.ndarray, scale: jnp.ndarray
             ) -> jnp.ndarray:
+    data = data.astype(jnp.float32)  # fused under jit (see _train)
     q = jnp.clip(jnp.round((data - vmin[None, :]) / scale[None, :] * 255.0),
                  0.0, 255.0)
     return (q - 128.0).astype(jnp.int8)
@@ -162,17 +164,20 @@ class ScalarQuantizer:
     def is_trained(self) -> bool:
         return self.vmin is not None
 
-    def train(self, vectors: np.ndarray) -> "ScalarQuantizer":
-        data = jnp.asarray(np.ascontiguousarray(vectors, dtype=np.float32))
+    def train(self, vectors) -> "ScalarQuantizer":
+        # device arrays pass straight through — a host round-trip of a
+        # resident corpus costs seconds at 1Mx768 on a remote chip
+        data = vectors if isinstance(vectors, jnp.ndarray) else \
+            jnp.asarray(np.ascontiguousarray(vectors, dtype=np.float32))
         self.dims = int(data.shape[1])
         self.vmin, self.scale = _train(data)
         return self
 
-    def encode(self, vectors: np.ndarray) -> jnp.ndarray:
+    def encode(self, vectors) -> jnp.ndarray:
         self._check()
-        return _encode(jnp.asarray(np.ascontiguousarray(vectors,
-                                                        dtype=np.float32)),
-                       self.vmin, self.scale)
+        data = vectors if isinstance(vectors, jnp.ndarray) else \
+            jnp.asarray(np.ascontiguousarray(vectors, dtype=np.float32))
+        return _encode(data, self.vmin, self.scale)
 
     def decode(self, codes) -> np.ndarray:
         self._check()

@@ -27,11 +27,7 @@ from .product import ProductQuantizer
 from .scalar import ScalarQuantizer
 
 
-def _pow2ge(n: int) -> int:
-    p = 1
-    while p < n:
-        p <<= 1
-    return p
+from ..utils import next_pow2 as _pow2ge  # shared helper
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "k", "approx"))
@@ -233,16 +229,25 @@ class QuantizedScan:
     def build(cls, collection, kind: str = "int8", **kwargs) -> "QuantizedScan":
         store = collection._store
         n = store.count
-        vecs = np.asarray(store.vectors[:max(n, 1)], dtype=np.float32)[:n]
+        # train/encode on the DEVICE corpus slice: round-tripping 1Mx768
+        # through host memory costs seconds, and threshold rebuilds run on
+        # the serving path (search_quantized -> _index_rebuild_due)
+        dev = store.vectors[:max(n, 1)][:n]
         if kind in ("int8", "sq", "scalar"):
-            qz = ScalarQuantizer().train(vecs)
-            codes = qz.encode(vecs)
+            qz = ScalarQuantizer().train(dev)
+            codes = qz.encode(dev)
             kind = "int8"
         elif kind in ("binary", "bq", "hamming"):
-            qz = BinaryQuantizer().train(vecs, **kwargs)
-            codes = qz.encode(vecs)
+            # thresholds are per-dim medians (host numpy); a bounded
+            # sample is statistically equivalent and avoids pulling the
+            # whole corpus back — encode stays fully on device
+            sample = np.asarray(dev[:min(max(n, 1), 262_144)],
+                                dtype=np.float32)
+            qz = BinaryQuantizer().train(sample, **kwargs)
+            codes = qz.encode(dev)
             kind = "binary"
         elif kind in ("pq", "product"):
+            vecs = np.asarray(dev, dtype=np.float32)
             qz = ProductQuantizer(m=kwargs.pop("m", 8),
                                   k=kwargs.pop("k", 256))
             qz.train(vecs, **kwargs)

@@ -101,6 +101,7 @@ class AsyncConnectionManager:
     async def connect(self, socket: Any,
                       subscription: Optional[Subscription] = None) -> None:
         sub = subscription or Subscription()
+        self._loop = asyncio.get_running_loop()  # emit() routes here
         async with self._lock:
             self._subs[socket] = sub
             matching = [e for e in self._history if sub.matches(e)]
@@ -148,8 +149,14 @@ class AsyncConnectionManager:
         except RuntimeError:
             running = None
         if running is not None:
+            self._loop = running
             running.create_task(self.broadcast(event))
-        elif loop is not None and loop.is_running():
+            return
+        loop = loop or getattr(self, "_loop", None)
+        if loop is not None and loop.is_running():
+            # route to the loop the manager's lock/sockets live on — a
+            # fresh asyncio.run loop would trip "lock bound to a
+            # different event loop" once connect()/broadcast() ever ran
             asyncio.run_coroutine_threadsafe(self.broadcast(event), loop)
         else:
             asyncio.run(self.broadcast(event))
@@ -207,6 +214,12 @@ class EventBus:
         while self._running:
             event = self._q.get()
             if event is None:
+                # a sentinel from a PREVIOUS stop() may still sit in the
+                # queue after a restart (stop's loop can exit on the
+                # running flag without consuming it); only honor the
+                # sentinel when we are actually shutting down
+                if self._running:
+                    continue
                 break
             with self._lock:
                 handlers = list(self._subscribers)
@@ -269,6 +282,18 @@ class ObservableCollection:
         n = self._c.delete_batch(ids)
         if n:
             self._emit(EventType.DELETE, {"ids": list(ids), "count": n})
+        return n
+
+    def update_metadata(self, id, metadata, merge: bool = True):
+        out = self._c.update_metadata(id, metadata, merge)
+        self._emit(EventType.UPDATE, {"id": id, "metadata": metadata or {},
+                                      "merge": merge})
+        return out
+
+    def compact(self) -> int:
+        n = self._c.compact()
+        if n:
+            self._emit(EventType.UPDATE, {"compacted": n})
         return n
 
 

@@ -273,7 +273,17 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
     # ------------------------------------------------------------------
     def _query_vector(req, c):
         if req.vector is not None:
-            return np.asarray(req.vector, dtype=np.float32)
+            v = np.asarray(req.vector, dtype=np.float32)
+            if v.shape != (c.config.dimensions,):
+                # reject before the batcher coalesces it: a wrong-dims
+                # query np.stack'ed with good ones would fail the whole
+                # bucket instead of 400-ing this request
+                raise web.HTTPBadRequest(
+                    text=json.dumps({"detail":
+                                     f"expected {c.config.dimensions} "
+                                     f"dims, got {v.shape}"}),
+                    content_type=JSON)
+            return v
         if req.text is not None:
             if not state["full"]:
                 raise web.HTTPBadRequest(

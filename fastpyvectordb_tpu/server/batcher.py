@@ -26,6 +26,10 @@ class QueryBatcher:
         self._buckets: Dict[Tuple, List] = {}
         self._lock = asyncio.Lock()
         self._flusher: Dict[Tuple, asyncio.Task] = {}
+        # strong refs: the event loop only weak-refs scheduled tasks, so a
+        # full-bucket flush task could be garbage-collected mid-flight and
+        # every caller in the bucket would hang on its future
+        self._inflight: set = set()
 
     async def search(self, collection, vector: np.ndarray, k: int,
                      filter=None, exact: Optional[bool] = None):
@@ -41,8 +45,10 @@ class QueryBatcher:
                 t = self._flusher.pop(key, None)
                 if t:
                     t.cancel()
-                asyncio.get_running_loop().create_task(
+                t = asyncio.get_running_loop().create_task(
                     self._flush(bucket, k, exact))
+                self._inflight.add(t)
+                t.add_done_callback(self._inflight.discard)
             elif key not in self._flusher:
                 self._flusher[key] = asyncio.get_running_loop().create_task(
                     self._delayed_flush(key, k, exact))
@@ -57,10 +63,14 @@ class QueryBatcher:
             await self._flush(bucket, k, exact)
 
     async def _flush(self, bucket, k, exact):
-        vectors = np.stack([b[0] for b in bucket])
-        collection = bucket[0][2]
-        filt = bucket[0][3]
+        # EVERYTHING inside the try: np.stack raises on inconsistent query
+        # shapes (e.g. one wrong-dims query coalesced with good ones), and
+        # an exception before set_exception would strand every future in
+        # the bucket forever
         try:
+            vectors = np.stack([b[0] for b in bucket])
+            collection = bucket[0][2]
+            filt = bucket[0][3]
             results = await asyncio.get_running_loop().run_in_executor(
                 None, lambda: collection.search_batch(
                     vectors, k, filt, False, exact))

@@ -13,3 +13,13 @@ from .persist.format import (  # noqa: F401
     save_container,
 )
 from .profiling import QueryTimer, annotate, trace  # noqa: F401
+
+
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= n (n <= 1 -> 1).  The single shared
+    implementation behind store capacity buckets, IVF chunk sizing, and
+    quantized-scan chunking."""
+    p = 1
+    while p < n:
+        p <<= 1
+    return p

@@ -216,3 +216,50 @@ def test_topk_approx_config(rng):
     col.insert_batch(v, [f"v{i}" for i in range(200)])
     hits = col.search(v[17], k=5)
     assert hits[0].id == "v17"
+
+
+def test_search_quantized_empty_collection():
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    col = Collection(CollectionConfig(name="eq", dimensions=8, metric="l2"))
+    out = col.search_quantized(np.zeros((2, 8), np.float32), k=3)
+    assert out == [[], []]
+
+
+def test_search_quantized_no_rerank_tail_merge_units():
+    """With rerank<=1 the coarse scan returns squared-L2 (int8) scores;
+    merging them against the exact sqrt'd tail must not misorder."""
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    rng = np.random.default_rng(3)
+    col = Collection(CollectionConfig(name="um", dimensions=16,
+                                      metric="l2"))
+    base = rng.standard_normal((256, 16)).astype(np.float32) + 4.0
+    col.insert_batch(base, [f"v{i}" for i in range(256)])
+    col.enable_quantized_scan("int8")
+    # tail rows appended AFTER the snapshot: one is the exact query
+    q = rng.standard_normal(16).astype(np.float32)
+    col.insert_batch(np.stack([q, q + 0.01]), ["exact", "near"])
+    hits = col.search_quantized(q[None, :], k=3)[0]
+    assert hits[0].id == "exact", [h.id for h in hits]
+    assert hits[1].id == "near"
+    # scores are in exact units (monotone nondecreasing, finite)
+    scores = [h.score for h in hits]
+    assert scores == sorted(scores) and all(np.isfinite(scores))
+
+
+def test_ann_drift_rebuild_keeps_build_params():
+    """The drift-triggered rebuild must reuse the caller's build kwargs
+    (spill_choices etc.), not silently fall back to defaults."""
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    rng = np.random.default_rng(5)
+    col = Collection(CollectionConfig(name="bp", dimensions=8, metric="l2"))
+    col.insert_batch(rng.standard_normal((600, 8)).astype(np.float32),
+                     [f"v{i}" for i in range(600)])
+    col.build_ann(kind="ivf", nlist=8, nprobe=2, iters=2, spill_choices=4,
+                  max_cell_factor=2.0)
+    assert col._ann._build_kwargs["spill_choices"] == 4
+    # grow past the rebuild threshold and search -> in-place rebuild
+    col.insert_batch(rng.standard_normal((400, 8)).astype(np.float32),
+                     [f"w{i}" for i in range(400)])
+    col._ann.stale = True
+    col.search(rng.standard_normal(8).astype(np.float32), k=3, exact=False)
+    assert col._ann._build_kwargs["spill_choices"] == 4

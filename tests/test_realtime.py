@@ -107,3 +107,36 @@ def test_observable_collection_emits():
     # pass-through of non-mutating methods
     assert col.count() == 4
     assert col.search(rng.standard_normal(4), k=1)
+
+
+def test_eventbus_stop_start_cycle_delivers():
+    """A restarted bus must keep delivering (stale stop-sentinels in the
+    queue must not kill the new dispatcher thread)."""
+    import time
+    from fastpyvectordb_tpu.realtime import Event, EventBus, EventType
+    bus = EventBus()
+    seen = []
+    bus.subscribe(lambda e: seen.append(e.data["i"]))
+    bus.start()
+    bus.publish(Event(EventType.INSERT, "c", {"i": 1}))
+    time.sleep(0.2)
+    bus.stop()
+    bus.start()  # may race a stale None sentinel
+    bus.publish(Event(EventType.INSERT, "c", {"i": 2}))
+    time.sleep(0.3)
+    bus.stop()
+    assert 1 in seen and 2 in seen, seen
+
+
+def test_observable_update_metadata_emits():
+    import numpy as np
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    from fastpyvectordb_tpu.realtime import EventType, ObservableCollection
+    events = []
+    col = ObservableCollection(
+        Collection(CollectionConfig(name="om", dimensions=4)),
+        events.append)
+    col.insert(np.ones(4, np.float32), "a", {"x": 1})
+    col.update_metadata("a", {"x": 2})
+    kinds = [e.type for e in events]
+    assert EventType.UPDATE in kinds, kinds

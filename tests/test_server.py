@@ -249,6 +249,44 @@ def test_batcher_coalesces_concurrent_queries():
     assert calls == [8], f"expected one coalesced batch, got {calls}"
 
 
+def test_batcher_bad_query_fails_bucket_not_hangs():
+    """A malformed query coalesced into a bucket must reject the whole
+    flush with an exception on every future — never leave them pending
+    (the np.stack used to run outside the try block)."""
+    import asyncio
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    from fastpyvectordb_tpu.server.batcher import QueryBatcher
+
+    col = Collection(CollectionConfig(name="bb", dimensions=8, metric="l2"))
+    rng = np.random.default_rng(1)
+    col.insert_batch(rng.standard_normal((10, 8)).astype(np.float32),
+                     [f"v{i}" for i in range(10)])
+
+    async def run():
+        b = QueryBatcher(window_ms=10, max_batch=64)
+        good = rng.standard_normal(8).astype(np.float32)
+        bad = rng.standard_normal(5).astype(np.float32)  # wrong dims
+        outs = await asyncio.wait_for(asyncio.gather(
+            b.search(col, good, k=1), b.search(col, bad, k=1),
+            return_exceptions=True), timeout=10)
+        return outs
+
+    outs = asyncio.run(run())
+    # no hang (wait_for passed) and at least the bad request errored
+    assert any(isinstance(o, Exception) for o in outs), outs
+
+
+def test_server_search_wrong_dims_400(server):
+    import httpx
+    base = f"http://127.0.0.1:{server.port}"
+    httpx.post(f"{base}/collections",
+               json={"name": "wd", "dimensions": 8, "metric": "l2"},
+               timeout=30)
+    r = httpx.post(f"{base}/collections/wd/search",
+                   json={"vector": [1.0, 2.0], "k": 3}, timeout=30)
+    assert r.status_code == 400
+
+
 def test_index_build_endpoints(client):
     import httpx
     rng = np.random.default_rng(1)
