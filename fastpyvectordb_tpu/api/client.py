@@ -146,19 +146,18 @@ class Collection:
             include: Sequence[str] = ("documents", "metadatas"),
             ) -> GetResult:
         want_emb = "embeddings" in include
+        filt = Filter.from_dict(where) if where else None
         if ids is not None:
             if isinstance(ids, str):
                 ids = [ids]
             rows = self._collection.get_batch(list(ids),
                                               include_vectors=want_emb)
             rows = [r for r in rows if r is not None]
+            if filt is not None:  # ids AND where compose (Chroma semantics)
+                rows = [r for r in rows if filt.evaluate(r["metadata"])]
         else:
-            all_ids = self._collection.all_ids()
-            if where:
-                filt = Filter.from_dict(where)
-                all_ids = [
-                    i for i in all_ids
-                    if filt.evaluate(self._collection.get(i)["metadata"])]
+            all_ids = (self._collection.ids_matching(filt)
+                       if filt is not None else self._collection.all_ids())
             all_ids = all_ids[offset: offset + limit if limit else None]
             rows = self._collection.get_batch(all_ids,
                                               include_vectors=want_emb)
@@ -182,6 +181,16 @@ class Collection:
         if isinstance(ids, str):
             ids = [ids]
         n = len(ids)
+        dims = self._collection.config.dimensions
+        for name, seq in (("documents", documents),
+                          ("embeddings", embeddings),
+                          ("metadatas", metadatas)):
+            if seq is not None and len(seq) != n:
+                raise ValueError(f"got {len(seq)} {name} for {n} ids")
+        # validate and assemble every replacement BEFORE mutating: the
+        # old delete-then-insert order destroyed the document when the
+        # new embedding failed validation (e.g. wrong dimensions)
+        staged = []
         for i in range(n):
             rid = str(ids[i])
             cur = self._collection.get(rid, include_vector=True)
@@ -199,6 +208,13 @@ class Collection:
                 vec = self._embedder.embed(doc)
             else:
                 vec = cur["vector"]
+            vec = np.asarray(vec, dtype=np.float32).reshape(-1)
+            if vec.shape[0] != dims:
+                raise ValueError(
+                    f"embedding for {rid!r} has {vec.shape[0]} dims, "
+                    f"collection expects {dims}")
+            staged.append((rid, vec, meta))
+        for rid, vec, meta in staged:
             self._collection.delete(rid)
             self._collection.insert(vec, rid, meta)
 
@@ -217,8 +233,7 @@ class Collection:
                     "where must contain at least one condition; to clear "
                     "the whole collection use delete(ids=collection ids) "
                     "or Client.delete_collection")
-            ids = [i for i in self._collection.all_ids()
-                   if filt.evaluate(self._collection.get(i)["metadata"])]
+            ids = self._collection.ids_matching(filt)
         self._collection.delete_batch(ids)
         return ids
 

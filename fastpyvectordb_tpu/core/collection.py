@@ -66,11 +66,18 @@ class Collection:
             self._load()
             self.config.durability = requested_durability
             self.config.wal_fsync = requested_fsync
+        # subclass hook (e.g. HybridCollection's BM25 snapshot): runs
+        # after the snapshot load but BEFORE WAL replay, so replayed
+        # mutations layer on top of the loaded sidecar state
+        self._after_snapshot_load()
         if self.base_path is not None and requested_durability == "wal":
             from ..persist.wal import WriteAheadLog
             self._wal = WriteAheadLog(self.base_path / "wal.log",
                                       fsync=requested_fsync)
             self._replay_wal()
+
+    def _after_snapshot_load(self) -> None:
+        """Subclass hook; see __init__."""
 
     # ------------------------------------------------------------------
     # CRUD
@@ -294,6 +301,17 @@ class Collection:
             self._columns_dirty = None
             self._columns_patchset.clear()
         return self._columns
+
+    def ids_matching(self, filter: Filter) -> List[str]:
+        """Ids of live rows whose metadata matches ``filter`` — one
+        vectorized mask pass (the high-level client's where-scans used to
+        loop get() per id: O(N) lock round-trips)."""
+        with self._lock:
+            mask = self._filter_mask(filter)
+            if mask is None:
+                return self.all_ids()
+            return [rid for rid, hit in zip(self._row_to_id, mask)
+                    if hit and rid is not None]
 
     def _filter_mask(self, filter: Optional[Filter]) -> Optional[np.ndarray]:
         """Compile a Filter to a host boolean mask over rows [0, count)."""

@@ -349,11 +349,21 @@ class GraphDB:
                                for h in self._hyperedges.values()],
             }, meta={"kind": "graph"})
 
+    def _reset_state(self) -> None:
+        """Clear all storage and indexes in place (keeps self._lock)."""
+        fresh = type(self)(path=None)
+        for k, v in fresh.__dict__.items():
+            if k not in ("_lock", "path"):
+                setattr(self, k, v)
+
     def load(self, path: Optional[str] = None) -> None:
         target = Path(path) if path else self.path
         c = load_container(target / GRAPH_FILE)
         with self._lock:
-            self.__init__(path=None)  # reset storage + indexes
+            # reset storage + indexes WITHOUT self.__init__: that would
+            # rebind self._lock to a fresh unlocked RLock while we hold
+            # the old one, letting other threads interleave mid-rebuild
+            self._reset_state()
             self.path = target
             for d in c.read("nodes"):
                 self.create_node(d.get("labels"), d.get("properties"), d["id"])
@@ -408,7 +418,9 @@ class GraphDB:
         for i, lst in enumerate(adj):
             indices[indptr[i]: indptr[i + 1]] = lst
         csr = native.NativeCSRGraph(indptr, indices)
-        self._csr_cache = {key: (self._version, csr, node_ids, idx)}
+        if len(self._csr_cache) > 8:  # bound: variants are few in practice
+            self._csr_cache.clear()
+        self._csr_cache[key] = (self._version, csr, node_ids, idx)
         return csr, node_ids, idx
 
     def khop_nodes(self, start_ids: List[str], max_hops: int = 2,

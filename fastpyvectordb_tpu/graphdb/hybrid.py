@@ -119,6 +119,12 @@ class HybridGraphVectorDB:
         others: 1/(1+d) monotone mapping."""
         if self.metric == DistanceMetric.COSINE:
             return 1.0 - score
+        if self.metric == DistanceMetric.DOT:
+            # dot scores are -<q,v> (negative when similar); the old
+            # max(score, 0) clamp mapped every good hit to exactly 1.0.
+            # Sigmoid keeps the ordering and discriminates.
+            import math
+            return 1.0 / (1.0 + math.exp(min(max(score, -30.0), 30.0)))
         return 1.0 / (1.0 + max(score, 0.0))
 
     def vector_search(self, query, k: int = 10,

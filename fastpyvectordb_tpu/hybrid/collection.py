@@ -76,7 +76,15 @@ class HybridCollection(Collection):
         self._bm25_impl = bm25_impl
         self._bm25 = make_bm25(bm25_config, bm25_impl)
         super().__init__(config, base_path)
-        if self.base_path is not None and (self.base_path / BM25_FILE).exists():
+
+    def _after_snapshot_load(self) -> None:
+        # Runs between the snapshot load and WAL replay (Collection.
+        # __init__): the BM25 snapshot must land FIRST so replayed
+        # mutations layer on top of it — loading it after replay would
+        # discard the keyword index of every document recovered from the
+        # WAL while vector search still finds them.
+        if self.base_path is not None and \
+                (self.base_path / BM25_FILE).exists():
             self._load_bm25()
 
     # ------------------------------------------------------------------
@@ -113,6 +121,11 @@ class HybridCollection(Collection):
             text = self._indexable_text(self._metadata[row])
             if text:
                 self._bm25.add_document(str(id), text)
+            else:
+                # the update removed every indexable field — leaving the
+                # old tokens in place would keep serving stale keyword
+                # hits and skew n_docs/avg_doc_len
+                self._bm25.remove_document(str(id))
         return ok
 
     # ------------------------------------------------------------------
@@ -159,11 +172,22 @@ class HybridCollection(Collection):
         # normalize vector distances -> similarity in [0, 1]
         vec_scores = {}
         if vec_hits:
-            max_d = max(h.score for h in vec_hits) or 1.0
-            if max_d <= 0:
-                max_d = 1.0
-            for h in vec_hits:
-                vec_scores[h.id] = 1.0 - h.score / max_d
+            from ..core.types import DistanceMetric
+            if self.config.metric == DistanceMetric.DOT:
+                # dot scores are -<q,v> and usually negative; the
+                # 1 - s/max_d form (reference hybrid_search.py:427-434)
+                # assumes nonnegative distances — min-max instead
+                lo = min(h.score for h in vec_hits)
+                hi = max(h.score for h in vec_hits)
+                span = (hi - lo) or 1.0
+                for h in vec_hits:
+                    vec_scores[h.id] = (hi - h.score) / span
+            else:
+                max_d = max(h.score for h in vec_hits) or 1.0
+                if max_d <= 0:
+                    max_d = 1.0
+                for h in vec_hits:
+                    vec_scores[h.id] = 1.0 - h.score / max_d
 
         kw_scores = {}
         if kw_hits:

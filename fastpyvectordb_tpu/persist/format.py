@@ -31,6 +31,30 @@ from typing import Any, Dict, Iterator, Optional, Union
 
 import numpy as np
 
+def _json_default(o):
+    """JSON fallback that keeps numeric types numeric on round-trip.
+
+    ``default=str`` silently turned numpy scalars into strings, so a node
+    property of np.float32(1.5) reloaded as "1.5" and dropped out of
+    numeric range indexes / equality checks.  Sets become sorted lists
+    (deterministic output); anything else still degrades to str.
+    """
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, (np.bool_,)):
+        return bool(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    if isinstance(o, (set, frozenset)):
+        try:
+            return sorted(o)
+        except TypeError:
+            return list(o)
+    return str(o)
+
+
 MAGIC = b"FPVT"
 VERSION = 1
 ALIGN = 64
@@ -60,7 +84,7 @@ def save_container(path: Union[str, Path], sections: Dict[str, SectionValue],
             raw = bytes(value)
             entry = {"kind": "bytes"}
         else:
-            raw = json.dumps(value, default=str).encode("utf-8")
+            raw = json.dumps(value, default=_json_default).encode("utf-8")
             entry = {"kind": "json"}
         entry["offset"] = offset
         entry["nbytes"] = len(raw)
@@ -241,7 +265,7 @@ class StreamingVectorWriter:
         # leaves extra sidecar lines (trimmed by n_rows on read) rather than
         # counted rows with missing ids
         for fh, values in ((self._ids_f, ids), (self._meta_f, metadatas)):
-            fh.write("".join(json.dumps(v, default=str) + "\n"
+            fh.write("".join(json.dumps(v, default=_json_default) + "\n"
                              for v in values))
             fh.flush()
             os.fsync(fh.fileno())
@@ -293,7 +317,7 @@ def _open_jsonl_sidecar(path: Path, rows: list):
     so crash-orphaned or legacy-format content can never misalign lines."""
     f = open(path, "w", encoding="utf-8")
     if rows:
-        f.write("".join(json.dumps(v, default=str) + "\n" for v in rows))
+        f.write("".join(json.dumps(v, default=_json_default) + "\n" for v in rows))
         f.flush()
         os.fsync(f.fileno())
     return f

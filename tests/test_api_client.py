@@ -165,3 +165,20 @@ def test_delete_empty_where_rejected(col):
     with pytest.raises(ValueError):
         col.delete(where={})
     assert col.count == 1
+
+
+def test_update_bad_embedding_keeps_document(col):
+    col.add(documents=["safe doc"], ids=["keep"])
+    import numpy as np
+    import pytest
+    with pytest.raises(ValueError):
+        col.update(ids=["keep"], embeddings=[np.zeros(3, np.float32)])
+    got = col.get(ids=["keep"])
+    assert got.ids == ["keep"]  # the old delete-then-insert lost it
+
+
+def test_get_ids_and_where_compose(col):
+    col.add(documents=["en doc", "fr doc"], ids=["e", "f"],
+            metadatas=[{"lang": "en"}, {"lang": "fr"}])
+    got = col.get(ids=["e", "f"], where={"lang": "en"})
+    assert got.ids == ["e"]

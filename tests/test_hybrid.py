@@ -139,3 +139,59 @@ class TestHybridCollection:
         assert hits[0].id == "d3"
         res = col2.hybrid_search(emb.embed("neural"), "neural", k=2)
         assert res
+
+
+def test_wal_recovery_keeps_bm25_for_replayed_docs(tmp_path):
+    """BM25 snapshot must load BEFORE WAL replay: documents recovered
+    from the WAL stay keyword-searchable after a crash."""
+    import numpy as np
+    from fastpyvectordb_tpu import CollectionConfig
+    from fastpyvectordb_tpu.hybrid import HybridCollection
+
+    cfg = lambda: CollectionConfig(name="h", dimensions=8,
+                                   durability="wal")
+    rng = np.random.default_rng(0)
+    col = HybridCollection(cfg(), base_path=tmp_path / "h",
+                           text_fields=["text"])
+    col.insert(rng.standard_normal(8).astype(np.float32), "a",
+               {"text": "alpha document about pelicans"})
+    col.save()  # snapshot covers A
+    col.insert(rng.standard_normal(8).astype(np.float32), "b",
+               {"text": "beta document about walruses"})
+    # crash: no save — B lives only in the WAL
+    col2 = HybridCollection(cfg(), base_path=tmp_path / "h",
+                            text_fields=["text"])
+    assert col2.count() == 2
+    hits = col2.keyword_search("walruses", k=3)
+    assert any(h.id == "b" for h in hits), [h.id for h in hits]
+    hits = col2.keyword_search("pelicans", k=3)
+    assert any(h.id == "a" for h in hits)
+
+
+def test_update_metadata_empty_text_unindexes():
+    import numpy as np
+    from fastpyvectordb_tpu import CollectionConfig
+    from fastpyvectordb_tpu.hybrid import HybridCollection
+    col = HybridCollection(CollectionConfig(name="u", dimensions=4),
+                           text_fields=["title"])
+    col.insert(np.ones(4, np.float32), "x", {"title": "ancient scrolls"})
+    assert col.keyword_search("scrolls", k=2)
+    col.update_metadata("x", {"title": ""}, merge=False)
+    assert not col.keyword_search("scrolls", k=2)
+
+
+def test_hybrid_search_dot_metric_normalized():
+    import numpy as np
+    from fastpyvectordb_tpu import CollectionConfig
+    from fastpyvectordb_tpu.hybrid import HybridCollection
+    col = HybridCollection(CollectionConfig(name="d", dimensions=4,
+                                            metric="ip"),
+                           text_fields=["text"])
+    col.insert_batch(np.eye(4, dtype=np.float32) * [[3], [2], [1], [0.5]],
+                     ["a", "b", "c", "d"],
+                     [{"text": t} for t in ("aa", "bb", "cc", "dd")])
+    res = col.hybrid_search(np.ones(4, np.float32), "aa", k=4, alpha=0.5)
+    # vector similarities must be in [0, 1] with the best hit at 1
+    vs = {r.id: r.vector_score for r in res}
+    assert all(0.0 <= v <= 1.0 for v in vs.values()), vs
+    assert res[0].id == "a"  # highest inner product AND the keyword hit
