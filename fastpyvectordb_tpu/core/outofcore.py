@@ -93,10 +93,13 @@ class OutOfCoreSearcher:
         # streamed search
         wire_dtype = (jnp.bfloat16 if jnp.dtype(self.compute_dtype)
                       == jnp.bfloat16 else np.float32)
-        for start in range(0, self.n, t):
+        for ti, start in enumerate(range(0, self.n, t)):
             stop = min(start + t, self.n)
             rows = stop - start
-            tile_np = np.asarray(self.corpus[start:stop], dtype=np.float32)
+            # cast to the wire dtype FIRST, pad after: padding the f32
+            # intermediate doubles the host bytes touched per tile
+            tile_np = np.asarray(self.corpus[start:stop],
+                                 dtype=np.float32).astype(wire_dtype)
             tile_mask = np.zeros((t,), dtype=bool)
             if mask is not None:
                 tile_mask[:rows] = mask[start:stop]
@@ -104,11 +107,18 @@ class OutOfCoreSearcher:
                 tile_mask[:rows] = True
             if rows < t:
                 tile_np = np.pad(tile_np, ((0, t - rows), (0, 0)))
-            tile_np = tile_np.astype(wire_dtype)
             best_vals, best_rows = _tile_step(
                 qd, jnp.asarray(tile_np), jnp.asarray(tile_mask),
                 jnp.int32(start), best_vals, best_rows,
                 metric=self.metric, k=kk, compute_dtype=self.compute_dtype)
+            if ti % 2 == 1:
+                # double-buffer, not unbounded: JAX's async dispatch lets
+                # Python race ahead of a slow transfer link, pinning every
+                # queued tile's host staging at once — a 20M-row corpus
+                # OOM-killed the HOST that way (130 GB RSS).  Blocking
+                # every other tile keeps copy/compute overlap while
+                # bounding in-flight memory to ~2 tiles.
+                jax.block_until_ready(best_vals)
         vals = np.asarray(best_vals)
         if self.metric == DistanceMetric.L2:
             good = vals < MASKED / 2
