@@ -75,9 +75,41 @@ class Collection:
             self._wal = WriteAheadLog(self.base_path / "wal.log",
                                       fsync=requested_fsync)
             self._replay_wal()
+        if self.base_path is not None:
+            # config sidecar (reference: config.json per collection dir,
+            # vectordb_optimized.py:306-331): VectorDB restart must
+            # reconstruct durability/dims BEFORE deciding whether to
+            # replay the WAL — without this, a reload defaulted to
+            # snapshot durability and silently dropped WAL-only writes
+            self._write_config_sidecar()
 
     def _after_snapshot_load(self) -> None:
         """Subclass hook; see __init__."""
+
+    def _write_config_sidecar(self) -> None:
+        import dataclasses
+        import json as _json
+        self.base_path.mkdir(parents=True, exist_ok=True)
+        d = dataclasses.asdict(self.config)
+        d["metric"] = DistanceMetric.parse(self.config.metric).value
+        tmp = self.base_path / "config.json.tmp"
+        tmp.write_text(_json.dumps(d, default=str))
+        import os
+        os.replace(tmp, self.base_path / "config.json")
+
+    @staticmethod
+    def load_config_sidecar(base_path) -> Optional[CollectionConfig]:
+        import dataclasses
+        import json as _json
+        f = Path(base_path) / "config.json"
+        if not f.exists():
+            return None
+        try:
+            d = _json.loads(f.read_text())
+        except (OSError, _json.JSONDecodeError):
+            return None
+        names = {fld.name for fld in dataclasses.fields(CollectionConfig)}
+        return CollectionConfig(**{k: v for k, v in d.items() if k in names})
 
     # ------------------------------------------------------------------
     # CRUD

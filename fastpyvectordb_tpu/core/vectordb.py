@@ -28,10 +28,20 @@ class VectorDB:
 
     def _load_collections(self) -> None:
         for sub in sorted(self.path.iterdir()):
-            if sub.is_dir() and (sub / STORE_FILE).exists():
-                col = Collection(
-                    CollectionConfig(name=sub.name, dimensions=1), base_path=sub)
-                self._collections[col.config.name] = col
+            if not sub.is_dir():
+                continue
+            has_snapshot = (sub / STORE_FILE).exists()
+            cfg = Collection.load_config_sidecar(sub)
+            # a WAL-durability collection may have NO snapshot yet — its
+            # only state is config.json + wal.log; skipping it would
+            # silently drop every logged write
+            has_wal = (sub / "wal.log").exists()
+            if not (has_snapshot or (cfg is not None and has_wal)):
+                continue
+            if cfg is None:  # pre-sidecar directory: config loads from
+                cfg = CollectionConfig(name=sub.name, dimensions=1)  # FPVT
+            col = Collection(cfg, base_path=sub)
+            self._collections[col.config.name] = col
 
     def create_collection(self, name: str, dimensions: int,
                           metric: "DistanceMetric | str" = DistanceMetric.COSINE,

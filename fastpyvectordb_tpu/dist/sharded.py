@@ -29,7 +29,7 @@ from ..kernels.distances import MASKED, matmul_precision
 from .mesh import DATA_AXIS, QUERY_AXIS
 
 
-def _local_scores(q, v, metric, compute_dtype):
+def _local_scores(q, v, metric, compute_dtype, vsq=None, rinv=None):
     prec = matmul_precision(compute_dtype)
 
     def mm(a, b):
@@ -40,18 +40,24 @@ def _local_scores(q, v, metric, compute_dtype):
     vf = v.astype(jnp.float32)
     if metric == DistanceMetric.COSINE:
         qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-30)
-        vsq = jnp.einsum("nd,nd->n", vf, vf, preferred_element_type=jnp.float32)
-        rinv = jnp.where(vsq > 0, jax.lax.rsqrt(jnp.maximum(vsq, 1e-30)), 0.0)
+        if rinv is None:
+            vsq = jnp.einsum("nd,nd->n", vf, vf,
+                             preferred_element_type=jnp.float32)
+            rinv = jnp.where(vsq > 0,
+                             jax.lax.rsqrt(jnp.maximum(vsq, 1e-30)), 0.0)
         return 1.0 - mm(qn, vf) * rinv[None, :]
     if metric == DistanceMetric.L2:
-        vsq = jnp.einsum("nd,nd->n", vf, vf, preferred_element_type=jnp.float32)
+        if vsq is None:
+            vsq = jnp.einsum("nd,nd->n", vf, vf,
+                             preferred_element_type=jnp.float32)
         qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
         return jnp.maximum(qsq[:, None] + vsq[None, :] - 2.0 * mm(qf, vf), 0.0)
     return -mm(qf, vf)
 
 
 def build_sharded_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
-                         compute_dtype: str = "float32", sqrt_l2: bool = True):
+                         compute_dtype: str = "float32", sqrt_l2: bool = True,
+                         with_stats: bool = False):
     """Compile a sharded search fn over ``mesh``.
 
     Returned fn signature: (queries (B, D) [sharded on QUERY axis if the
@@ -63,9 +69,11 @@ def build_sharded_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
     out_spec = (q_spec, q_spec)
     metric = DistanceMetric.parse(metric)
 
-    def local(q, v, valid):
+    def local(q, v, valid, *stats):
         shard_rows = v.shape[0]
-        s = _local_scores(q, v, metric, jnp.dtype(compute_dtype))
+        vsq, rinv = stats if stats else (None, None)
+        s = _local_scores(q, v, metric, jnp.dtype(compute_dtype),
+                          vsq=vsq, rinv=rinv)
         s = jnp.where(valid[None, :], s, MASKED)
         kk = min(k, shard_rows)
         neg, idx = jax.lax.top_k(-s, kk)
@@ -84,9 +92,12 @@ def build_sharded_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
                              jnp.sqrt(jnp.maximum(vals, 0.0)))
         return vals, rows
 
+    in_specs = (q_spec, P(DATA_AXIS, None), P(DATA_AXIS))
+    if with_stats:
+        in_specs = in_specs + (P(DATA_AXIS), P(DATA_AXIS))
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(q_spec, P(DATA_AXIS, None), P(DATA_AXIS)),
+        in_specs=in_specs,
         out_specs=out_spec,
         check_vma=False,
     )
@@ -140,11 +151,22 @@ class ShardedSearcher:
         self.vectors, self.valid = shard_corpus(mesh, vectors, valid)
         self.metric = DistanceMetric.parse(metric)
         self.compute_dtype = compute_dtype
+        # per-row stats once at construction, not per search call — the
+        # corpus is immutable here, so recomputing the O(N*D) norms pass
+        # inside every query batch wasted roughly half the B=1 kernel
+        # (row-wise ops keep the DATA sharding under jit)
+        vsq = jax.jit(lambda v: jnp.einsum(
+            "nd,nd->n", v.astype(jnp.float32), v.astype(jnp.float32),
+            preferred_element_type=jnp.float32))(self.vectors)
+        self.vsq = vsq
+        self.rinv = jax.jit(lambda x: jnp.where(
+            x > 0, jax.lax.rsqrt(jnp.maximum(x, 1e-30)), 0.0))(vsq)
         self._fns = {}
 
     def search(self, queries, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if k not in self._fns:
             self._fns[k] = build_sharded_search(
                 self.mesh, metric=self.metric, k=k,
-                compute_dtype=self.compute_dtype)
-        return self._fns[k](queries, self.vectors, self.valid)
+                compute_dtype=self.compute_dtype, with_stats=True)
+        return self._fns[k](queries, self.vectors, self.valid,
+                            self.vsq, self.rinv)

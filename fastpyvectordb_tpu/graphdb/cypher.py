@@ -26,9 +26,6 @@ _NODE_RE = re.compile(
     r"\(\s*(?P<var>\w+)?\s*(?::(?P<label>\w+))?\s*(?:\{(?P<props>[^}]*)\})?\s*\)")
 _REL_RE = re.compile(
     r"(?P<larrow><)?-\[\s*:(?P<type>\w+)\s*(?:\*(?P<min>\d+)\.\.(?P<max>\d+))?\s*\]-(?P<rarrow>>)?")
-_WHERE_RE = re.compile(
-    r"(?P<var>\w+)\.(?P<prop>\w+)\s*(?P<op><=|>=|<>|=|<|>)\s*(?P<value>[^\s]+(?:\s+[^\sA]+)*?)(?=\s+AND\s+|\s*$)",
-    re.IGNORECASE)
 
 
 def _parse_value(tok: str) -> Any:
@@ -53,11 +50,43 @@ def _parse_value(tok: str) -> Any:
         return tok
 
 
+def _split_outside_quotes(s: str, sep_re: str, flags: int = 0) -> List[str]:
+    """Split on ``sep_re`` matches that fall outside '...' and "..."
+    string literals (a plain re.split breaks values like "x, y" or
+    'Rock AND Roll')."""
+    parts, buf, quote = [], [], None
+    i, n = 0, len(s)
+    sep = re.compile(sep_re, flags)
+    while i < n:
+        ch = s[i]
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+            buf.append(ch)
+            i += 1
+            continue
+        m = sep.match(s, i)
+        if m and m.end() > i:
+            parts.append("".join(buf))
+            buf = []
+            i = m.end()
+        else:
+            buf.append(ch)
+            i += 1
+    parts.append("".join(buf))
+    return parts
+
+
 def _parse_props(s: Optional[str]) -> dict:
     if not s or not s.strip():
         return {}
     out = {}
-    for part in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", s):
+    for part in _split_outside_quotes(s, r","):
         if ":" not in part:
             continue
         k, v = part.split(":", 1)
@@ -134,7 +163,8 @@ class CypherQuery:
         self.conditions: List[Tuple[str, str, str, Any]] = []
         if not where:
             return
-        for clause in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
+        for clause in _split_outside_quotes(where, r"\s+AND\s+",
+                                            re.IGNORECASE):
             cm = re.match(
                 r"\s*(?P<var>\w+)\.(?P<prop>\w+)\s*(?P<op><=|>=|<>|=|<|>)"
                 r"\s*(?P<value>.+?)\s*$", clause)
@@ -184,15 +214,27 @@ def execute(graph: GraphDB, query_text: str) -> List[dict]:
     q = CypherQuery(query_text)
     anchors = graph.find_nodes(q.anchor["label"], q.anchor["props"] or None)
     rows: List[dict] = []
+    full = (q.limit is None)
+
+    def add(binding) -> bool:  # returns False once the limit is reached
+        if _check_where(binding, q.conditions):
+            rows.append(_project(binding, q.returns))
+        return full or len(rows) < q.limit
+
     for a in anchors:
+        if not full and len(rows) >= q.limit:
+            break  # LIMIT terminates expansion, not just the final slice
         if q.rel is None:
-            binding = {q.anchor["var"]: a}
-            if _check_where(binding, q.conditions):
-                rows.append(_project(binding, q.returns))
+            if not add({q.anchor["var"]: a}):
+                break
             continue
         # expand hops
+        targets = []
+        if q.rel["min"] == 0:
+            targets.append(a)  # Cypher *0..: the anchor itself binds
         if q.rel["max"] <= 1:
-            targets = graph.neighbors(a.id, q.rel["direction"], q.rel["type"])
+            targets.extend(graph.neighbors(a.id, q.rel["direction"],
+                                           q.rel["type"]))
         else:
             paths = graph.traverse(a.id, max_depth=q.rel["max"],
                                    edge_type=q.rel["type"],
@@ -200,16 +242,15 @@ def execute(graph: GraphDB, query_text: str) -> List[dict]:
             seen = {}
             for p in paths:
                 hops = len(p) - 1
-                if hops >= q.rel["min"]:
+                if hops >= max(q.rel["min"], 1):
                     seen.setdefault(p[-1], hops)
-            targets = [graph.get_node(t) for t in seen]
+            targets.extend(graph.get_node(t) for t in seen)
         for b in targets:
             if b is None or not _node_matches(b, q.other["label"],
                                               q.other["props"]):
                 continue
-            binding = {q.anchor["var"]: a, q.other["var"]: b}
-            if _check_where(binding, q.conditions):
-                rows.append(_project(binding, q.returns))
+            if not add({q.anchor["var"]: a, q.other["var"]: b}):
+                break
     if q.limit is not None:
         rows = rows[: q.limit]
     return rows

@@ -11,6 +11,15 @@ from typing import Any, Dict, List, Optional, Sequence
 import httpx
 import numpy as np
 
+from urllib.parse import quote
+
+
+def _seg(value) -> str:
+    """Percent-encode one URL path segment: ids like 'doc/1' or 'a#1'
+    would otherwise break route matching (404 for an existing row) or be
+    truncated at the fragment and hit the WRONG id."""
+    return quote(str(value), safe="")
+
 
 class VectorDBClient:
     def __init__(self, base_url: str = "http://localhost:8000",
@@ -33,53 +42,58 @@ class VectorDBClient:
             "index": index})
 
     def get_collection(self, name: str) -> Optional[dict]:
-        return self._get(f"/collections/{name}", none_on_404=True)
+        return self._get(f"/collections/{_seg(name)}", none_on_404=True)
 
     def delete_collection(self, name: str) -> bool:
-        r = self._client.delete(f"/collections/{name}")
+        r = self._client.delete(f"/collections/{_seg(name)}")
+        if r.status_code not in (200, 404):
+            r.raise_for_status()
         return r.status_code == 200
 
     # vectors ----------------------------------------------------------
     def insert(self, collection: str, vector, id: Optional[str] = None,
                metadata: Optional[dict] = None) -> str:
-        return self._post(f"/collections/{collection}/vectors", {
+        return self._post(f"/collections/{_seg(collection)}/vectors", {
             "vector": np.asarray(vector, dtype=float).tolist(),
             "id": id, "metadata": metadata})["id"]
 
     def insert_batch(self, collection: str, vectors,
                      ids: Optional[Sequence[str]] = None,
                      metadatas: Optional[Sequence[dict]] = None) -> List[str]:
-        return self._post(f"/collections/{collection}/vectors/batch", {
+        return self._post(f"/collections/{_seg(collection)}/vectors/batch", {
             "vectors": np.asarray(vectors, dtype=float).tolist(),
             "ids": list(ids) if ids else None,
             "metadatas": list(metadatas) if metadatas else None})["ids"]
 
     def upsert(self, collection: str, vector, id: str,
                metadata: Optional[dict] = None) -> dict:
-        return self._put(f"/collections/{collection}/vectors", {
+        return self._put(f"/collections/{_seg(collection)}/vectors", {
             "vector": np.asarray(vector, dtype=float).tolist(),
             "id": id, "metadata": metadata})
 
     def insert_text(self, collection: str, text: str,
                     id: Optional[str] = None,
                     metadata: Optional[dict] = None) -> str:
-        return self._post(f"/collections/{collection}/texts", {
+        return self._post(f"/collections/{_seg(collection)}/texts", {
             "text": text, "id": id, "metadata": metadata})["id"]
 
     def get(self, collection: str, id: str,
             include_vector: bool = False) -> Optional[dict]:
         return self._get(
-            f"/collections/{collection}/vectors/{id}"
+            f"/collections/{_seg(collection)}/vectors/{_seg(id)}"
             f"?include_vector={'true' if include_vector else 'false'}",
             none_on_404=True)
 
     def delete(self, collection: str, id: str) -> bool:
-        return self._client.delete(
-            f"/collections/{collection}/vectors/{id}").status_code == 200
+        r = self._client.delete(
+            f"/collections/{_seg(collection)}/vectors/{_seg(id)}")
+        if r.status_code not in (200, 404):
+            r.raise_for_status()  # a 500 is not "already deleted"
+        return r.status_code == 200
 
     def list_ids(self, collection: str, limit: int = 100,
                  offset: int = 0) -> List[str]:
-        return self._get(f"/collections/{collection}/ids"
+        return self._get(f"/collections/{_seg(collection)}/ids"
                          f"?limit={limit}&offset={offset}")["ids"]
 
     # search -----------------------------------------------------------
@@ -87,7 +101,7 @@ class VectorDBClient:
                     **params) -> dict:
         """Build an ANN index (ivf/graph) or enable a quantized scan
         (int8/binary/pq) server-side."""
-        return self._post(f"/collections/{collection}/index",
+        return self._post(f"/collections/{_seg(collection)}/index",
                           {"kind": kind, "params": params})
 
     def search(self, collection: str, vector=None, text: Optional[str] = None,
@@ -101,7 +115,7 @@ class VectorDBClient:
             body["vector"] = np.asarray(vector, dtype=float).tolist()
         if text is not None:
             body["text"] = text
-        return self._post(f"/collections/{collection}/search", body)
+        return self._post(f"/collections/{_seg(collection)}/search", body)
 
     def search_batch(self, collection: str, vectors=None,
                      texts: Optional[Sequence[str]] = None, k: int = 10,
@@ -111,7 +125,7 @@ class VectorDBClient:
             body["vectors"] = np.asarray(vectors, dtype=float).tolist()
         if texts is not None:
             body["texts"] = list(texts)
-        return self._post(f"/collections/{collection}/search/batch", body)
+        return self._post(f"/collections/{_seg(collection)}/search/batch", body)
 
     # graph ------------------------------------------------------------
     def create_node(self, labels=None, properties=None,
@@ -120,11 +134,11 @@ class VectorDBClient:
                                            "properties": properties, "id": id})
 
     def get_node(self, id: str) -> Optional[dict]:
-        return self._get(f"/graph/nodes/{id}", none_on_404=True)
+        return self._get(f"/graph/nodes/{_seg(id)}", none_on_404=True)
 
     def update_node(self, id: str, properties=None, add_labels=None,
                     remove_labels=None, merge: bool = True) -> Optional[dict]:
-        r = self._client.put(f"/graph/nodes/{id}", json={
+        r = self._client.put(f"/graph/nodes/{_seg(id)}", json={
             "properties": properties, "add_labels": add_labels,
             "remove_labels": remove_labels, "merge": merge})
         if r.status_code == 404:
@@ -133,7 +147,10 @@ class VectorDBClient:
         return r.json()
 
     def delete_node(self, id: str) -> bool:
-        return self._client.delete(f"/graph/nodes/{id}").status_code == 200
+        r = self._client.delete(f"/graph/nodes/{_seg(id)}")
+        if r.status_code not in (200, 404):
+            r.raise_for_status()
+        return r.status_code == 200
 
     def find_nodes(self, label: Optional[str] = None,
                    properties: Optional[dict] = None) -> List[dict]:
@@ -158,7 +175,7 @@ class VectorDBClient:
         params = {"direction": direction}
         if edge_type:
             params["edge_type"] = edge_type
-        r = self._client.get(f"/graph/neighbors/{id}", params=params)
+        r = self._client.get(f"/graph/neighbors/{_seg(id)}", params=params)
         r.raise_for_status()
         return r.json()["neighbors"]
 

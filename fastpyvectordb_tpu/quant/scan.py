@@ -247,7 +247,22 @@ class QuantizedScan:
             codes = qz.encode(dev)
             kind = "binary"
         elif kind in ("pq", "product"):
+            # PQ ADC distances are squared-L2 only.  For cosine, encode
+            # the NORMALIZED corpus (L2 ordering over unit vectors ==
+            # cosine ordering; the exact re-rank restores true scores);
+            # dot products have no such reduction — reject loudly rather
+            # than rank by the wrong quantity.
+            metric = collection.config.metric
+            from ..core.types import DistanceMetric as _DM
+            if metric == _DM.DOT:
+                raise ValueError(
+                    "kind='pq' supports cosine/l2 collections only; the "
+                    "squared-L2 ADC ordering is wrong for dot — use "
+                    "kind='int8' for dot-metric collections")
             vecs = np.asarray(dev, dtype=np.float32)
+            if metric == _DM.COSINE:
+                vecs = vecs / np.maximum(
+                    np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
             qz = ProductQuantizer(m=kwargs.pop("m", 8),
                                   k=kwargs.pop("k", 256))
             qz.train(vecs, **kwargs)
@@ -278,6 +293,11 @@ class QuantizedScan:
                     qcodes, self._codes_t).astype(jnp.float32)
             return self.quantizer.hamming_distances(q, self.codes
                                                     ).astype(jnp.float32)
+        if self.metric == DistanceMetric.COSINE:
+            # the PQ codes were built over the normalized corpus; the
+            # query must be normalized the same way for L2==cosine
+            qn = np.linalg.norm(np.asarray(q), axis=-1, keepdims=True)
+            q = np.asarray(q) / np.maximum(qn, 1e-30)
         return self.quantizer.distances(q, self.codes)
 
     def search(self, queries: np.ndarray, k: int,

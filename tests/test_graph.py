@@ -222,3 +222,36 @@ class TestNativeTraversal:
             assert g.shortest_path("n0", "n499") == ["n0", "n499"]
         finally:
             gmod.NATIVE_TRAVERSAL_THRESHOLD = old
+
+
+def test_cypher_quoted_commas_and_and():
+    from fastpyvectordb_tpu.graphdb import GraphDB
+    g = GraphDB()
+    g.create_node(["Song"], {"title": "Rock AND Roll", "tag": "x, y"},
+                  id="s1")
+    g.create_node(["Song"], {"title": "Quiet", "tag": "z"}, id="s2")
+    rows = g.query('MATCH (n:Song {tag: "x, y"}) RETURN n.title')
+    assert [r["n.title"] for r in rows] == ["Rock AND Roll"]
+    rows = g.query(
+        "MATCH (n:Song) WHERE n.title = 'Rock AND Roll' RETURN n.title")
+    assert [r["n.title"] for r in rows] == ["Rock AND Roll"]
+
+
+def test_cypher_zero_hop_var_length():
+    from fastpyvectordb_tpu.graphdb import GraphDB
+    g = GraphDB()
+    g.create_node(["X"], {}, id="a")
+    g.create_node(["X"], {}, id="b")
+    g.create_edge("a", "b", "T")
+    rows = g.query("MATCH (n:X)-[:T*0..2]->(m) RETURN m")
+    ids = {r["m"]["id"] for r in rows}
+    assert "a" in ids and "b" in ids  # zero-hop binds the anchor itself
+
+
+def test_cypher_limit_early():
+    from fastpyvectordb_tpu.graphdb import GraphDB
+    g = GraphDB()
+    for i in range(50):
+        g.create_node(["U"], {"i": i}, id=f"u{i}")
+    rows = g.query("MATCH (n:U) RETURN n LIMIT 3")
+    assert len(rows) == 3

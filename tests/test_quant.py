@@ -266,3 +266,33 @@ def test_tuned_rerank_survives_threshold_rebuild():
     assert col._index_rebuild_due(scan.built_count)
     col.search_quantized(rng.standard_normal(16).astype(np.float32), k=5)
     assert getattr(col._quantized, "default_rerank", None) == 32
+
+
+def test_pq_scan_cosine_normalizes():
+    """PQ ADC ranks by squared L2; for cosine collections the codes must
+    be built over the normalized corpus or large-norm rows hijack the
+    candidate pool."""
+    import numpy as np
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    rng = np.random.default_rng(0)
+    n, d = 1500, 32
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    v[: n // 2] *= 20.0  # large-norm rows that are NOT cosine-close
+    col = Collection(CollectionConfig(name="pqc", dimensions=d,
+                                      metric="cosine"))
+    col.insert_batch(v, [f"v{i}" for i in range(n)])
+    col.enable_quantized_scan("pq", m=8, k=16)
+    q = v[1200] / np.linalg.norm(v[1200])
+    hits = col.search_quantized(q[None, :], k=5, rerank=8)[0]
+    assert hits[0].id == "v1200", [h.id for h in hits]
+
+
+def test_pq_scan_rejects_dot_metric():
+    import numpy as np
+    import pytest
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    col = Collection(CollectionConfig(name="pqd", dimensions=8,
+                                      metric="ip"))
+    col.insert_batch(np.eye(8, dtype=np.float32), list("abcdefgh"))
+    with pytest.raises(ValueError, match="dot"):
+        col.enable_quantized_scan("pq", m=4, k=16)

@@ -408,3 +408,17 @@ def test_metrics_unmatched_paths_collapse(server):
     body = httpx.get(f"{base}/metrics", timeout=30).text
     assert 'route="<unmatched>"' in body
     assert "/no/such/route" not in body  # raw paths never become labels
+
+
+def test_client_ids_with_special_chars_roundtrip(client):
+    """Ids containing '/' or '#' must survive the HTTP path (percent-
+    encoded), not 404 or hit a truncated id."""
+    client.create_collection("sp", dimensions=4, metric="l2")
+    client.insert("sp", [1, 0, 0, 0], id="doc/1")
+    client.insert("sp", [0, 1, 0, 0], id="a#1")
+    client.insert("sp", [0, 0, 1, 0], id="a")
+    assert client.get("sp", "doc/1") is not None
+    assert client.get("sp", "a#1") is not None
+    assert client.delete("sp", "a#1") is True
+    # 'a' must NOT have been deleted by a fragment-truncated path
+    assert client.get("sp", "a") is not None

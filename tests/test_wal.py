@@ -178,3 +178,23 @@ def test_wal_zero_filled_torn_tail(tmp_path):
     assert len(recs) == 1 and recs[0][0] == OP_INSERT
     assert p.stat().st_size == size  # tail clipped back to the intact record
     wal2.close()
+
+
+def test_vectordb_restart_replays_wal_and_keeps_durability(tmp_path):
+    """VectorDB reload must reconstruct WAL durability from the config
+    sidecar: logged-but-unsnapshotted writes survive a restart, and the
+    reloaded collection keeps logging."""
+    import numpy as np
+    from fastpyvectordb_tpu import VectorDB
+    db = VectorDB(str(tmp_path))
+    col = db.create_collection("w", 8, durability="wal")
+    col.insert(np.ones(8, np.float32), "a")
+    # no save(): the row lives only in the WAL
+    db2 = VectorDB(str(tmp_path))
+    assert "w" in db2.list_collections()
+    col2 = db2.get_collection("w")
+    assert col2.count() == 1 and col2.get("a") is not None
+    assert col2.config.durability == "wal" and col2._wal is not None
+    col2.insert(np.zeros(8, np.float32), "b")  # must be logged too
+    db3 = VectorDB(str(tmp_path))
+    assert db3.get_collection("w").count() == 2
