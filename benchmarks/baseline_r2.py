@@ -367,9 +367,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("configs", nargs="*",
                     default=["config1", "config2", "config5", "crossover"])
+    ap.add_argument("--rerank", type=int, default=None,
+                    help="candidate-depth override for config5")
     args = ap.parse_args()
     for c in args.configs:
-        globals()[c]()
+        if c == "config5" and args.rerank is not None:
+            config5(rerank=args.rerank)
+        else:
+            globals()[c]()
 
 
 if __name__ == "__main__":
