@@ -209,6 +209,79 @@ def config5(n=5_000_000, b=64, k=10, rerank=128):
          rescoring_overhead_ms=round((dt_g - dt) * 1e3, 3))
 
 
+def config5_int8(n=5_000_000, b=64, k=10, rerank=16):
+    """5M x 768 int8 two-stage vs the exact bf16 scan — the 1M champion
+    (bench.py: int8 beats exact 108.7k vs 97.2k QPS) tested at the scale
+    where the binary prefilter needs recall-killing depth (rr384 run:
+    0.972 recall at 0.76x exact).  int8 codes stream half the bytes of
+    the bf16 corpus with far better coarse ordering than 1-bit."""
+    from fastpyvectordb_tpu.quant.scalar import ScalarQuantizer
+    from fastpyvectordb_tpu.quant.scan import _int8_two_stage
+
+    d = 768
+    rng = np.random.default_rng(2)
+    emit(exp="config5_int8_setup", n=n, d=d, b=b, rerank=rerank)
+    v, centers = clustered_corpus(n, d, seed=2)
+    import functools
+    import ml_dtypes
+    tile = 500_000
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _write(buf, t, start):
+        return jax.lax.dynamic_update_slice(buf, t, (start, 0))
+
+    vbf16 = jnp.zeros((n, d), jnp.bfloat16)
+    for st in range(0, n, tile):
+        t = jnp.asarray(v[st:st + tile].astype(ml_dtypes.bfloat16))
+        vbf16 = _write(vbf16, t, jnp.int32(st))
+        jax.block_until_ready(vbf16)
+        del t
+    qz = ScalarQuantizer().train(v[:500_000])
+    codes = jnp.zeros((n, d), jnp.int8)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _write8(buf, t, start):
+        return jax.lax.dynamic_update_slice(buf, t, (start, 0))
+
+    for st in range(0, n, tile):
+        cp = qz.encode(v[st:st + tile])
+        codes = _write8(codes, cp, jnp.int32(st))
+        jax.block_until_ready(codes)
+        del cp
+    vsq, rinv = qz.corpus_stats(codes)
+    jax.block_until_ready((vsq, rinv))
+    mask = jnp.ones((n,), bool)
+    emit(exp="config5_int8_resident_gb",
+         bf16_gb=round(vbf16.nbytes / 2**30, 2),
+         codes_gb=round(codes.nbytes / 2**30, 2))
+
+    batches = [jnp.asarray(clustered_queries(centers, b, seed=100 + i))
+               for i in range(REPS)]
+    stats = K.corpus_stats(vbf16)
+    gtf = lambda q: K.search_kernel(q, vbf16, stats["sq"], stats["rinv"],
+                                    mask, metric=DistanceMetric.COSINE,
+                                    k=k, compute_dtype="bfloat16",
+                                    approx=True)
+    dt_exact = timed(gtf, batches)
+    gt = [np.asarray(gtf(q)[1]) for q in batches]
+    emit(exp="config5_int8_exactref", ms=round(dt_exact * 1e3, 2),
+         qps=round(b / dt_exact, 1))
+
+    for rr in (4, 16):
+        c = k * rr
+        pipe = lambda q: _int8_two_stage(
+            q, codes, qz.vmin, qz.scale, vsq, rinv, vbf16, mask,
+            metric=DistanceMetric.COSINE, k=k, c=c, approx=True,
+            rerank_dtype="bfloat16")
+        dt = timed(pipe, batches)
+        _, rows = pipe(batches[-1])
+        rec = recall(rows, gt[-1], k)
+        emit(exp=f"config5_int8_2stage_rr{rr}_5Mx768",
+             ms=round(dt * 1e3, 2), qps=round(b / dt, 1),
+             recall_at_10_vs_bf16=round(rec, 4),
+             vs_exact=round(dt_exact / dt, 2))
+
+
 # ---------------------------------------------------------------------------
 def crossover(n=1_000_000, k=10):
     """Method x batch-size crossover at 1M x 768."""

@@ -264,7 +264,21 @@ class GraphANN:
         n = store.count
         if n == 0:
             raise ValueError("cannot build GraphANN over an empty collection")
+        metric = collection.config.metric
+        if metric == DistanceMetric.DOT:
+            raise ValueError(
+                "graph ANN does not support dot-product (MIPS) "
+                "collections: the L2 edge graph excludes the high-norm "
+                "rows inner-product search needs — use kind='ivf' or the "
+                "int8 quantized scan for dot metrics")
         vectors = store.vectors[:n].astype(jnp.float32)
+        if metric == DistanceMetric.COSINE:
+            # edges must follow the SEARCH metric: L2-KNN over the raw
+            # vectors drifts from cosine neighborhoods when rows are
+            # unnormalized — build the graph over unit vectors (same
+            # ordering as cosine); search still scores the real store
+            vectors = vectors / jnp.maximum(
+                jnp.linalg.norm(vectors, axis=1, keepdims=True), 1e-30)
         sqn = jnp.einsum("nd,nd->n", vectors, vectors,
                          preferred_element_type=jnp.float32)
         chunk = int(min(chunk, n))
@@ -273,6 +287,9 @@ class GraphANN:
         # graph leaves outliers unreachable; HNSW gets this from its
         # bidirectional insertion) and pseudo-random long-range links.
         knn = max(r // 2, r - random_links - r // 4) if n > r * 4 else r
+        # tiny collections: top_k k cannot exceed the corpus size
+        # (excluding self), and fill/reverse links need n >= 2
+        knn = max(1, min(knn, n - 1)) if n > 1 else 1
         parts = []
         for start in range(0, n, chunk):
             s = min(start, max(n - chunk, 0))  # overlap final ragged chunk
@@ -345,6 +362,11 @@ class GraphANN:
             # k*overfetch filtered survivors fit among the W beam entries
             want = max(k * max(overfetch, 1), w)
             w = min(512, 1 << (want - 1).bit_length()) if want > w else w
+        if k > w:
+            # the kernel returns min(k, beam) columns — without widening,
+            # an unfiltered k=200 search on a beam-128 index silently
+            # returned 128 hits
+            w = min(1024, 1 << (k - 1).bit_length())
         vals, rows = _beam_search_kernel(
             jnp.asarray(qp), store.vectors, self.neighbors, self.centroids,
             self.medoids, validmask, filtermask, metric=cfg.metric, k=k,

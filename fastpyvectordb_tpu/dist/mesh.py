@@ -25,6 +25,12 @@ def make_mesh(n_devices: Optional[int] = None,
     """1-D corpus mesh, or 2-D (query, data) when query_parallel > 1."""
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        # a silent [:n] truncation would hand back fewer shards than the
+        # caller planned capacity for (or crash in the 2-D reshape with a
+        # bare numpy error)
+        raise ValueError(f"requested {n} devices, only {len(devices)} "
+                         "available")
     devices = np.asarray(devices[:n])
     if query_parallel > 1:
         if n % query_parallel:

@@ -30,12 +30,20 @@ def initialize(coordinator_address: Optional[str] = None,
     """
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator_address or num_processes or "TPU_WORKER_HOSTNAMES" in os.environ:
+    if not (coordinator_address or num_processes
+            or "TPU_WORKER_HOSTNAMES" in os.environ):
+        return  # single host: nothing to wire
+    # NOTE: do not touch jax.process_count()/jax.devices() here — reading
+    # them initializes the local XLA backend, after which
+    # jax.distributed.initialize refuses to run.  idempotency is handled
+    # by catching the already-initialized error instead.
+    try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
 
 
 def global_mesh(query_parallel: int = 1) -> Mesh:
@@ -44,15 +52,8 @@ def global_mesh(query_parallel: int = 1) -> Mesh:
     The DATA axis (corpus rows) is the fastest-varying axis so the
     per-query top-k all_gather stays within a slice's ICI where possible.
     """
-    devices = np.asarray(jax.devices())
-    n = devices.size
-    if query_parallel > 1:
-        if n % query_parallel:
-            raise ValueError(f"{n} devices not divisible by "
-                             f"query_parallel={query_parallel}")
-        return Mesh(devices.reshape(query_parallel, n // query_parallel),
-                    (QUERY_AXIS, DATA_AXIS))
-    return Mesh(devices, (DATA_AXIS,))
+    from .mesh import make_mesh
+    return make_mesh(query_parallel=query_parallel)
 
 
 def shard_local_corpus(mesh: Mesh, local_rows: np.ndarray):

@@ -81,9 +81,22 @@ class EdgeTypeIndex:
         return set(self._by_type.get(type, ()))
 
 
+def _pkey(v: Any) -> str:
+    """Index key for a property value, disambiguated by type class: a
+    bare str(v) collides the string '30' with the number 30, so numeric
+    range queries would return string-valued nodes and deleting one
+    value's last node could strand the other's numeric entry."""
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, (int, float)):
+        return f"n:{float(v)!r}"
+    return f"s:{v}"
+
+
 class PropertyIndex:
-    """key -> str(value) -> node ids.  Exact lookups are O(1); numeric range
-    queries scan the key's distinct values (reference: graph.py:347-426)."""
+    """key -> typed-value-key -> node ids.  Exact lookups are O(1);
+    numeric range queries scan the key's distinct values (reference:
+    graph.py:347-426)."""
 
     def __init__(self):
         self._by_kv: Dict[str, Dict[str, Set[str]]] = defaultdict(
@@ -92,14 +105,14 @@ class PropertyIndex:
 
     def add(self, node_id: str, properties: dict) -> None:
         for k, v in properties.items():
-            sv = str(v)
+            sv = _pkey(v)
             self._by_kv[k][sv].add(node_id)
             if isinstance(v, (int, float)) and not isinstance(v, bool):
                 self._numeric[k][sv] = float(v)
 
     def remove(self, node_id: str, properties: dict) -> None:
         for k, v in properties.items():
-            sv = str(v)
+            sv = _pkey(v)
             vals = self._by_kv.get(k)
             if not vals:
                 continue
@@ -111,7 +124,7 @@ class PropertyIndex:
                     self._numeric.get(k, {}).pop(sv, None)
 
     def get(self, key: str, value: Any) -> Set[str]:
-        return set(self._by_kv.get(key, {}).get(str(value), ()))
+        return set(self._by_kv.get(key, {}).get(_pkey(value), ()))
 
     def range(self, key: str, min_value: Optional[float] = None,
               max_value: Optional[float] = None) -> Set[str]:

@@ -234,8 +234,11 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         if req.id is None:
             return _json_error(400, "upsert requires an id")
         existed = c.get(req.id) is not None
-        rid = c.upsert(np.asarray(req.vector, dtype=np.float32), req.id,
-                       req.metadata)
+        try:
+            rid = c.upsert(np.asarray(req.vector, dtype=np.float32),
+                           req.id, req.metadata)
+        except ValueError as e:  # dims mismatch etc. -> 400 like insert
+            return _json_error(400, str(e))
         await broadcast(Event(
             EventType.UPDATE if existed else EventType.INSERT, name,
             {"id": rid, "metadata": req.metadata or {}}))
@@ -263,8 +266,11 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
 
     async def list_ids(request):
         c = collection_or_404(request.match_info["name"])
-        limit = int(request.query.get("limit", 100))
-        offset = int(request.query.get("offset", 0))
+        try:
+            limit = int(request.query.get("limit", 100))
+            offset = int(request.query.get("offset", 0))
+        except ValueError:
+            return _json_error(400, "limit/offset must be integers")
         return web.json_response({"ids": c.list_ids(limit, offset),
                                   "count": c.count()})
 
@@ -421,7 +427,10 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         label = request.query.get("label")
         props = None
         if "properties" in request.query:
-            props = json.loads(request.query["properties"])
+            try:
+                props = json.loads(request.query["properties"])
+            except json.JSONDecodeError:
+                return _json_error(400, "properties must be valid JSON")
         nodes = graph().find_nodes(label, props)
         return web.json_response({"nodes": [n.to_dict() for n in nodes]})
 
@@ -604,15 +613,26 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
             if request.method == "OPTIONS":
                 resp = web.Response()
             else:
-                resp = await handler(request)
+                try:
+                    resp = await handler(request)
+                except web.HTTPException as exc:
+                    # raised errors (422/400/404) must carry CORS headers
+                    # too, or browsers surface an opaque network error
+                    # instead of the JSON detail
+                    resp = exc
             resp.headers["Access-Control-Allow-Origin"] = "*"
             resp.headers["Access-Control-Allow-Methods"] = "*"
             resp.headers["Access-Control-Allow-Headers"] = "*"
+            if isinstance(resp, web.HTTPException):
+                raise resp
             return resp
         app.middlewares.append(cors_mw)
 
     async def on_shutdown(app):
         db().save()
+        g = state.get("graph")
+        if g is not None and getattr(g, "path", None) is not None:
+            g.save()  # graph keeps everything in memory until save()
 
     app.on_shutdown.append(on_shutdown)
     return app

@@ -255,3 +255,16 @@ def test_cypher_limit_early():
         g.create_node(["U"], {"i": i}, id=f"u{i}")
     rows = g.query("MATCH (n:U) RETURN n LIMIT 3")
     assert len(rows) == 3
+
+
+def test_property_index_numeric_string_distinct():
+    from fastpyvectordb_tpu.graphdb import GraphDB
+    g = GraphDB()
+    g.create_node(["P"], {"age": 30}, id="num")
+    g.create_node(["P"], {"age": "30"}, id="strv")
+    hits = {n.id for n in g.find_nodes_in_range("age", 25, 35)}
+    assert hits == {"num"}, hits  # the string '30' is not in a numeric range
+    assert {n.id for n in g.find_nodes("P", {"age": 30})} == {"num"}
+    assert {n.id for n in g.find_nodes("P", {"age": "30"})} == {"strv"}
+    g.delete_node("num")
+    assert g.find_nodes_in_range("age", 25, 35) == []

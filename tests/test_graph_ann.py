@@ -85,3 +85,16 @@ def test_insert_served_via_tail_merge(built, rng):
     assert not col._ann.stale  # incremental: no rebuild on insert
     hits = col.search(np.full(24, 7.5, dtype=np.float32), k=1, exact=False)
     assert hits[0].id == "far"
+
+
+def test_graph_ann_k_larger_than_beam(built):
+    """Unfiltered k > beam must widen the beam, not silently truncate."""
+    col, v, q = built
+    import numpy as np
+    old = col._ann.beam
+    try:
+        col.set_search_params(beam=16)
+        hits = col.search(q[0], k=40, exact=False)
+        assert len(hits) == 40, len(hits)
+    finally:
+        col.set_search_params(beam=old)
