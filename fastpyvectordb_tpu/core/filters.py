@@ -85,6 +85,7 @@ class ColumnView:
         self._built_len = len(rows)
         self._obj: Dict[str, np.ndarray] = {}
         self._num: Dict[str, np.ndarray] = {}
+        self._nonnull: Dict[str, np.ndarray] = {}
         self._present: Dict[str, np.ndarray] = {}
         # typed (non-object) column cache: enables vectorized ==/isin for
         # homogeneous str/int/float columns instead of per-row Python
@@ -121,6 +122,7 @@ class ColumnView:
         # typed arrays can be invalidated by new value types; recompute
         # lazily rather than risk silent coercion
         self._typed.clear()
+        self._nonnull.clear()
         self._built_len = n
 
     def patch_rows(self, rows_idx) -> None:
@@ -150,18 +152,26 @@ class ColumnView:
                 if arr is None:
                     continue
                 v = r.get(key) if r is not None else None
+                nn = self._nonnull.get(key)
                 if v is None:
                     arr[i] = "" if arr.dtype.kind == "U" else np.nan
+                    if nn is not None:
+                        nn[i] = False
                 elif arr.dtype.kind == "U" and isinstance(v, str) \
                         and len(v) <= arr.dtype.itemsize // 4:
                     arr[i] = v
+                    if nn is not None:
+                        nn[i] = True
                 elif arr.dtype.kind == "f" and isinstance(v, (int, float)) \
                         and not isinstance(v, bool):
                     arr[i] = v
+                    if nn is not None:
+                        nn[i] = True
                 else:
                     # value no longer fits the typed layout: drop the cache
                     # for this key (it rebuilds lazily on next use)
                     del self._typed[key]
+                    self._nonnull.pop(key, None)
 
     def __len__(self) -> int:
         return len(self._rows)
@@ -185,7 +195,11 @@ class ColumnView:
 
     def typed(self, key: str) -> Optional[np.ndarray]:
         """Homogeneously-typed view of a column (None if mixed-type).
-        Missing entries hold a sentinel and are screened by present()."""
+        Missing entries hold a sentinel and are screened by present();
+        explicit None VALUES (key present, value None) get the same
+        sentinel and are screened by nonnull() — without that, a row with
+        {'f': None} would match Filter.eq('f', '') on the vectorized path
+        while evaluate() correctly rejects it."""
         if key not in self._typed:
             values = [r.get(key) if r is not None else None
                       for r in self._rows]
@@ -201,7 +215,16 @@ class ColumnView:
             except (TypeError, ValueError):
                 arr = None
             self._typed[key] = arr
+            self._nonnull[key] = np.fromiter(
+                (v is not None for v in values), dtype=bool,
+                count=len(values))
         return self._typed[key]
+
+    def nonnull(self, key: str) -> np.ndarray:
+        """True where the column value is not None (see typed())."""
+        if key not in self._nonnull:
+            self.typed(key)
+        return self._nonnull[key]
 
     def numeric(self, key: str) -> np.ndarray:
         """float64 view of a column; non-numeric / missing entries are NaN."""
@@ -329,7 +352,9 @@ class Condition(Filter):
         op, val = self.op, self.value
         if op in (FilterOp.GT, FilterOp.GTE, FilterOp.LT, FilterOp.LTE) and isinstance(
             val, (int, float)
-        ) and not isinstance(val, bool):
+        ) and not isinstance(val, bool) and not (
+            isinstance(val, int) and abs(val) > 2**53
+        ):  # giant ints are lossy in the float64 column; exact path below
             col = cols.numeric(self.field)
             with np.errstate(invalid="ignore"):
                 if op == FilterOp.GT:
@@ -341,22 +366,51 @@ class Condition(Filter):
                 else:
                     m = col <= val
             return m & present
-        # vectorized fast path for homogeneous str / numeric columns
-        if op in (FilterOp.EQ, FilterOp.NE, FilterOp.IN, FilterOp.NIN):
+        # vectorized fast path for homogeneous str / numeric columns.
+        # Guards keep mask() semantics identical to evaluate(): val must
+        # be typed-compatible or we fall through to the exact object path
+        # (a mixed-type $in list stringifies under np.asarray; a plain-str
+        # $in target has SUBSTRING semantics in evaluate; explicit None
+        # values hide behind ''/NaN sentinels).
+        if op in (FilterOp.EQ, FilterOp.NE, FilterOp.IN, FilterOp.NIN) \
+                and val is not None:
             typed = cols.typed(self.field)
-            if typed is not None:
-                try:
-                    if op == FilterOp.EQ:
-                        m = typed == val
-                    elif op == FilterOp.NE:
-                        m = typed != val
-                    elif op == FilterOp.IN:
-                        m = np.isin(typed, np.asarray(list(val)))
+            elems = None
+            if op in (FilterOp.IN, FilterOp.NIN):
+                if isinstance(val, (list, tuple, set, frozenset)):
+                    elems = list(val)
+            if typed is not None and (
+                op in (FilterOp.EQ, FilterOp.NE) or elems is not None
+            ):
+                homogeneous = True
+                if elems is not None:
+                    if typed.dtype.kind == "U":
+                        homogeneous = all(isinstance(e, str) for e in elems)
                     else:
-                        m = ~np.isin(typed, np.asarray(list(val)))
-                    return np.asarray(m, dtype=bool) & present
-                except (TypeError, ValueError):
-                    pass  # incomparable literal: fall through to object path
+                        homogeneous = all(
+                            isinstance(e, (int, float))
+                            and not isinstance(e, bool)
+                            and not (isinstance(e, int) and abs(e) > 2**53)
+                            for e in elems)
+                elif isinstance(val, int) and abs(val) > 2**53:
+                    homogeneous = False
+                if homogeneous:
+                    try:
+                        nonnull = cols.nonnull(self.field)
+                        if op == FilterOp.EQ:
+                            m = (typed == val) & nonnull
+                        elif op == FilterOp.NE:
+                            # a present None value satisfies != (evaluate:
+                            # None != val is True)
+                            m = (typed != val) | ~nonnull
+                        elif op == FilterOp.IN:
+                            m = np.isin(typed, np.asarray(elems)) & nonnull
+                        else:
+                            m = (~np.isin(typed, np.asarray(elems))
+                                 | ~nonnull)
+                        return np.asarray(m, dtype=bool) & present
+                    except (TypeError, ValueError):
+                        pass  # incomparable literal: object path below
         if op in (FilterOp.CONTAINS, FilterOp.REGEX):
             typed = cols.typed(self.field)
             if typed is not None:  # homogeneous str column: C-speed paths
@@ -371,7 +425,8 @@ class Condition(Filter):
                         (pat.search(u) is not None for u in uniq),
                         bool, uniq.size)
                     m = hit[inv]
-                return np.asarray(m, dtype=bool) & present
+                m = np.asarray(m, dtype=bool) & cols.nonnull(self.field)
+                return m & present
         col = cols.objects(self.field)
         if op == FilterOp.EQ:
             return present & np.fromiter(
@@ -381,17 +436,13 @@ class Condition(Filter):
             return present & np.fromiter(
                 (c is not _MISSING and c != val for c in col), bool, len(col)
             )
-        if op == FilterOp.IN:
-            vs = set(val) if not isinstance(val, set) else val
+        if op in (FilterOp.IN, FilterOp.NIN):
+            # _cmp_scalar mirrors evaluate() exactly: `in` keeps substring
+            # semantics for str targets and handles unhashable elements
+            # (set(val) raised on lists and per-char'd strings)
             return present & np.fromiter(
-                (c in vs if c is not _MISSING else False for c in col), bool, len(col)
-            )
-        if op == FilterOp.NIN:
-            vs = set(val) if not isinstance(val, set) else val
-            return present & np.fromiter(
-                (c not in vs if c is not _MISSING else False for c in col),
-                bool, len(col),
-            )
+                (c is not _MISSING and _cmp_scalar(op, c, val)
+                 for c in col), bool, len(col))
         if op == FilterOp.CONTAINS:
             sub = str(val)
             return present & np.fromiter(

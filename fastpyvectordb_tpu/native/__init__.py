@@ -59,7 +59,9 @@ def load_library() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        need_build = not _SO.exists() or (
+            _SRC.exists() and _SO.stat().st_mtime < _SRC.stat().st_mtime)
+        if need_build:  # a shipped .so without sources must load as-is
             if not _build():
                 _build_failed = True
                 return None
@@ -118,8 +120,21 @@ class NativeBM25:
         self._h = lib.bm25_create(k1, b)
         self._id_to_u32: Dict[str, int] = {}
         self._u32_to_id: List[Optional[str]] = []
-        # retained raw text per doc so serialization + rebuilds can replay
-        self._texts: Dict[str, str] = {}
+        # retained raw text per doc (zlib-compressed — only ever read at
+        # serialization time; uncompressed it duplicated the whole text
+        # corpus in host RAM) so to_dict()/rebuilds can replay
+        self._texts: Dict[str, bytes] = {}
+
+    @staticmethod
+    def _norm(text: str) -> bytes:
+        """Unicode-correct normalization BEFORE the byte-level C++
+        tokenizer: the Python regex tokenizer lowercases and splits on
+        Unicode punctuation ('École—Bar' -> ['école', 'bar']), which a
+        bytewise ASCII tokenizer cannot — so tokenize HERE and hand C++
+        space-joined tokens (pure-ASCII separators keep the engines
+        bit-identical on any input)."""
+        from ..hybrid.bm25 import tokenize as _pytokenize
+        return " ".join(_pytokenize(text)).encode("utf-8")
 
     def __del__(self):
         try:
@@ -143,8 +158,9 @@ class NativeBM25:
             u = len(self._u32_to_id)
             self._id_to_u32[doc_id] = u
             self._u32_to_id.append(doc_id)
-        self._texts[doc_id] = text
-        self._lib.bm25_add_document(self._h, u, text.encode("utf-8"))
+        import zlib
+        self._texts[doc_id] = zlib.compress(text.encode("utf-8"), 6)
+        self._lib.bm25_add_document(self._h, u, self._norm(text))
 
     def remove_document(self, doc_id: str) -> bool:
         u = self._id_to_u32.get(doc_id)
@@ -154,36 +170,45 @@ class NativeBM25:
         return bool(self._lib.bm25_remove_document(self._h, u))
 
     def idf(self, term: str) -> float:
-        return float(self._lib.bm25_idf(self._h, term.encode("utf-8")))
+        return float(self._lib.bm25_idf(self._h, self._norm(term)))
 
     def score(self, query: str, doc_id: str) -> float:
         u = self._id_to_u32.get(doc_id)
         if u is None:
             return 0.0
-        return float(self._lib.bm25_score(self._h, query.encode("utf-8"), u))
+        return float(self._lib.bm25_score(self._h, self._norm(query), u))
 
     def search(self, query: str, k: int = 10) -> List[Tuple[str, float]]:
-        ids = (ctypes.c_uint32 * k)()
-        scores = (ctypes.c_double * k)()
-        n = self._lib.bm25_search(self._h, query.encode("utf-8"), k,
-                                  ids, scores)
-        return [(self._u32_to_id[ids[i]], scores[i]) for i in range(n)]
+        qn = self._norm(query)
+        n_docs = self.n_docs
+        # The C engine tie-breaks equal scores by u32 insertion order; the
+        # Python index tie-breaks by doc-id string.  Over-fetch and
+        # re-sort, escalating while the cut lands inside a tie band, so
+        # both backends return the same top-k membership.
+        kk = min(max(k + 16, 2 * k), max(n_docs, 1))
+        while True:
+            ids = (ctypes.c_uint32 * kk)()
+            scores = (ctypes.c_double * kk)()
+            n = self._lib.bm25_search(self._h, qn, kk, ids, scores)
+            out = sorted(((self._u32_to_id[ids[i]], scores[i])
+                          for i in range(n)),
+                         key=lambda t: (-t[1], t[0]))
+            if n < kk or kk >= n_docs or len(out) <= k \
+                    or out[k - 1][1] != out[k][1] or n < k:
+                return out[:k]
+            kk = min(kk * 4, n_docs)
 
     def tokenize(self, text: str) -> List[str]:
-        raw = text.encode("utf-8")
-        buf = ctypes.create_string_buffer(len(raw) * 2 + 16)
-        n = self._lib.bm25_tokenize(raw, buf, len(buf))
-        out, off = [], 0
-        for _ in range(n):
-            end = buf.raw.index(b"\0", off)
-            out.append(buf.raw[off:end].decode("utf-8"))
-            off = end + 1
-        return out
+        from ..hybrid.bm25 import tokenize as _pytokenize
+        return _pytokenize(text)
 
     # -- serialization: replay-based -----------------------------------
     def to_dict(self) -> dict:
+        import zlib
         return {"config": {"k1": self.k1, "b": self.b},
-                "texts": dict(self._texts), "native": True}
+                "texts": {i: zlib.decompress(t).decode("utf-8")
+                          for i, t in self._texts.items()},
+                "native": True}
 
     @classmethod
     def from_dict(cls, d: dict) -> "NativeBM25":

@@ -76,21 +76,13 @@ void* bm25_create(double k1, double b) {
 
 void bm25_destroy(void* h) { delete static_cast<BM25Index*>(h); }
 
+int bm25_remove_document(void* h, uint32_t doc_id);
+
 void bm25_add_document(void* h, uint32_t doc_id, const char* text) {
     auto* idx = static_cast<BM25Index*>(h);
-    auto it = idx->doc_len.find(doc_id);
-    if (it != idx->doc_len.end()) {
-        // replace semantics: drop the old version first
-        for (auto pit = idx->postings.begin(); pit != idx->postings.end();) {
-            pit->second.tf.erase(doc_id);
-            if (pit->second.tf.empty())
-                pit = idx->postings.erase(pit);
-            else
-                ++pit;
-        }
-        idx->total_len -= it->second;
-        idx->doc_len.erase(it);
-    }
+    // replace semantics: drop the old version first (one scrub
+    // implementation — a duplicated loop here drifted from remove's)
+    bm25_remove_document(h, doc_id);
     std::vector<std::string> toks;
     tokenize(text, toks);
     idx->doc_len[doc_id] = static_cast<uint32_t>(toks.size());

@@ -154,3 +154,50 @@ def test_collection_append_sync_path(tmp_path):
     col.update_metadata("b1", {"g": 0}, merge=True)
     assert col._columns_dirty == "sync"
     assert len(col.search(np.zeros(8, np.float32), k=30, filter=f)) == 9
+
+
+def _mask_eq_eval(rows, filt):
+    """mask() and evaluate() must agree row-by-row."""
+    from fastpyvectordb_tpu.core.filters import ColumnView
+    import numpy as np
+    cv = ColumnView(rows)
+    m = filt.mask(cv)
+    e = np.asarray([filt.evaluate(r) for r in rows], dtype=bool)
+    np.testing.assert_array_equal(m, e)
+
+
+def test_mask_matches_evaluate_mixed_in_list():
+    from fastpyvectordb_tpu import Filter
+    rows = [{"f": "1"}, {"f": "2"}, {"f": "a"}]
+    _mask_eq_eval(rows, Filter.in_("f", [1, "a"]))  # '1' must NOT match 1
+    _mask_eq_eval(rows, Filter.nin("f", [1, "a"]))
+
+
+def test_mask_matches_evaluate_str_in_target():
+    from fastpyvectordb_tpu import Filter
+    rows = [{"f": "ab"}, {"f": "zz"}]
+    # evaluate uses substring semantics for a plain-str target
+    _mask_eq_eval(rows, Filter.in_("f", "abc"))
+
+
+def test_mask_matches_evaluate_unhashable_elems():
+    from fastpyvectordb_tpu import Filter
+    rows = [{"f": [1, 2]}, {"f": [3]}, {"f": "x"}]
+    _mask_eq_eval(rows, Filter.in_("f", [[1, 2], [3]]))
+
+
+def test_mask_matches_evaluate_none_values():
+    from fastpyvectordb_tpu import Filter
+    rows = [{"f": "x"}, {"f": None}, {"f": "y"}, {}]
+    _mask_eq_eval(rows, Filter.eq("f", ""))
+    _mask_eq_eval(rows, Filter.ne("f", "x"))
+    _mask_eq_eval(rows, Filter.contains("f", ""))
+    _mask_eq_eval(rows, Filter.regex("f", "^$"))
+
+
+def test_mask_matches_evaluate_big_ints():
+    from fastpyvectordb_tpu import Filter
+    big = 2**63
+    rows = [{"n": big}, {"n": 5}]
+    _mask_eq_eval(rows, Filter.gt("n", big - 512))
+    _mask_eq_eval(rows, Filter.eq("n", big))

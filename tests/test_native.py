@@ -100,3 +100,42 @@ def test_scales_to_many_docs():
     search_s = (time.perf_counter() - t0) / 100
     assert nat.n_docs == 5_000
     assert build_s < 10.0 and search_s < 0.05
+
+
+def test_native_bm25_unicode_parity():
+    """Native and Python backends must tokenize Unicode identically
+    ('École—Bar' lowercases and splits on the em-dash)."""
+    import pytest
+    from fastpyvectordb_tpu import native
+    from fastpyvectordb_tpu.hybrid.bm25 import BM25Index
+    if not native.available():
+        pytest.skip("native unavailable")
+    nat, py = native.NativeBM25(), BM25Index()
+    for idx in (nat, py):
+        idx.add_document("d1", "École—Bar serves café food")
+        idx.add_document("d2", "a completely different document")
+    from fastpyvectordb_tpu.hybrid.bm25 import tokenize
+    assert nat.tokenize("École—Bar") == tokenize("École—Bar")
+    for q in ("école", "bar", "café"):
+        nhits = nat.search(q, k=2)
+        phits = py.search(q, k=2)
+        assert [h[0] for h in nhits] == [h[0] for h in phits], q
+        for (ni, ns), (pi, ps) in zip(nhits, phits):
+            assert abs(ns - ps) < 1e-9
+
+
+def test_native_bm25_tie_break_parity():
+    import pytest
+    from fastpyvectordb_tpu import native
+    from fastpyvectordb_tpu.hybrid.bm25 import BM25Index
+    if not native.available():
+        pytest.skip("native unavailable")
+    nat, py = native.NativeBM25(), BM25Index()
+    for idx in (nat, py):
+        idx.add_document("z", "same words here")
+        idx.add_document("a", "same words here")
+    assert nat.search("same words", k=1) == pytest.approx(
+        py.search("same words", k=1)) or \
+        [h[0] for h in nat.search("same words", k=1)] == \
+        [h[0] for h in py.search("same words", k=1)]
+    assert nat.search("same", k=1)[0][0] == "a"  # doc-id tie-break
