@@ -365,8 +365,9 @@ class GraphANN:
         if k > w:
             # the kernel returns min(k, beam) columns — without widening,
             # an unfiltered k=200 search on a beam-128 index silently
-            # returned 128 hits
-            w = min(1024, 1 << (k - 1).bit_length())
+            # returned 128 hits.  No cap: a very large k costs beam-state
+            # memory, never silent truncation.
+            w = 1 << (k - 1).bit_length()
         vals, rows = _beam_search_kernel(
             jnp.asarray(qp), store.vectors, self.neighbors, self.centroids,
             self.medoids, validmask, filtermask, metric=cfg.metric, k=k,

@@ -362,16 +362,8 @@ class BigCollection:
 
     def _exact_host(self, q: np.ndarray, cand: np.ndarray) -> np.ndarray:
         """Exact metric on gathered candidates, host BLAS ((B,C,D) tiny)."""
-        cross = np.einsum("bd,bcd->bc", q, cand, optimize=True)
-        if self.metric == DistanceMetric.COSINE:
-            qn = np.linalg.norm(q, axis=1, keepdims=True)
-            cn = np.linalg.norm(cand, axis=2)
-            return 1.0 - cross / np.maximum(qn * cn, 1e-30)
-        if self.metric == DistanceMetric.L2:
-            qsq = np.einsum("bd,bd->b", q, q)
-            csq = np.einsum("bcd,bcd->bc", cand, cand, optimize=True)
-            return np.sqrt(np.maximum(qsq[:, None] + csq - 2.0 * cross, 0.0))
-        return -cross
+        from ..kernels.distances import host_exact_scores
+        return host_exact_scores(q, cand, self.metric)
 
     # ------------------------------------------------------------------
     # Persistence: container for ids/meta/codec, raw .npy for vectors

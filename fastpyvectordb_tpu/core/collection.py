@@ -501,22 +501,12 @@ class Collection:
         tiny gather); masked entries stay masked."""
         import jax.numpy as jnp
         from ..kernels.distances import MASKED
+        from ..kernels.distances import host_exact_scores
         rows = np.asarray(rows)
         safe = np.maximum(rows, 0)
         cand = np.asarray(jnp.take(self._store.vectors, jnp.asarray(safe),
                                    axis=0), dtype=np.float32)  # (B, k, D)
-        cross = np.einsum("bd,bkd->bk", q, cand, optimize=True)
-        metric = self.config.metric
-        if metric == DistanceMetric.COSINE:
-            qn = np.linalg.norm(q, axis=1, keepdims=True)
-            cn = np.linalg.norm(cand, axis=2)
-            out = 1.0 - cross / np.maximum(qn * cn, 1e-30)
-        elif metric == DistanceMetric.L2:
-            qsq = np.einsum("bd,bd->b", q, q)
-            csq = np.einsum("bkd,bkd->bk", cand, cand, optimize=True)
-            out = np.sqrt(np.maximum(qsq[:, None] + csq - 2.0 * cross, 0.0))
-        else:
-            out = -cross
+        out = host_exact_scores(q, cand, self.config.metric)
         bad = (rows < 0) | (np.asarray(dists) >= float(MASKED) * 0.5)
         return np.where(bad, np.inf, out).astype(np.float32)
 

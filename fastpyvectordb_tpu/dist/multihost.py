@@ -42,7 +42,9 @@ def initialize(coordinator_address: Optional[str] = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except RuntimeError as e:
-        if "already" not in str(e).lower():
+        msg = str(e).lower()
+        # jax's repeated-call error reads 'should only be called once'
+        if "already" not in msg and "called once" not in msg:
             raise
 
 

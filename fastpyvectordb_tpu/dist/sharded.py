@@ -155,12 +155,9 @@ class ShardedSearcher:
         # corpus is immutable here, so recomputing the O(N*D) norms pass
         # inside every query batch wasted roughly half the B=1 kernel
         # (row-wise ops keep the DATA sharding under jit)
-        vsq = jax.jit(lambda v: jnp.einsum(
-            "nd,nd->n", v.astype(jnp.float32), v.astype(jnp.float32),
-            preferred_element_type=jnp.float32))(self.vectors)
-        self.vsq = vsq
-        self.rinv = jax.jit(lambda x: jnp.where(
-            x > 0, jax.lax.rsqrt(jnp.maximum(x, 1e-30)), 0.0))(vsq)
+        from ..kernels.distances import corpus_stats
+        stats = corpus_stats(self.vectors)  # sharding propagates under jit
+        self.vsq, self.rinv = stats["sq"], stats["rinv"]
         self._fns = {}
 
     def search(self, queries, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -179,9 +179,16 @@ class HybridCollection(Collection):
                 # assumes nonnegative distances — min-max instead
                 lo = min(h.score for h in vec_hits)
                 hi = max(h.score for h in vec_hits)
-                span = (hi - lo) or 1.0
-                for h in vec_hits:
-                    vec_scores[h.id] = (hi - h.score) / span
+                if hi == lo:
+                    # single hit / all tied: they are the best matches we
+                    # have — similarity 1.0, not 0 (zero would let any
+                    # weak keyword match outrank a perfect vector match)
+                    for h in vec_hits:
+                        vec_scores[h.id] = 1.0
+                else:
+                    span = hi - lo
+                    for h in vec_hits:
+                        vec_scores[h.id] = (hi - h.score) / span
             else:
                 max_d = max(h.score for h in vec_hits) or 1.0
                 if max_d <= 0:

@@ -23,6 +23,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.types import DistanceMetric
 
@@ -53,6 +54,25 @@ def _corpus_stats_jit(v):
     sq = jnp.einsum("nd,nd->n", v, v, preferred_element_type=jnp.float32)
     rinv = jnp.where(sq > 0, jax.lax.rsqrt(jnp.maximum(sq, 1e-30)), 0.0)
     return sq, rinv
+
+
+def host_exact_scores(q: "np.ndarray", cand: "np.ndarray",
+                      metric: DistanceMetric) -> "np.ndarray":
+    """Exact metric over gathered candidates on the HOST: q (B, D) f32 x
+    cand (B, C, D) f32 -> (B, C) scores, lower = closer.  One shared
+    implementation behind Collection._exact_rescore and
+    BigCollection._exact_host (identical metric algebra used to live in
+    both and could drift)."""
+    cross = np.einsum("bd,bcd->bc", q, cand, optimize=True)
+    if metric == DistanceMetric.COSINE:
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        cn = np.linalg.norm(cand, axis=2)
+        return 1.0 - cross / np.maximum(qn * cn, 1e-30)
+    if metric == DistanceMetric.L2:
+        qsq = np.einsum("bd,bd->b", q, q)
+        csq = np.einsum("bcd,bcd->bc", cand, cand, optimize=True)
+        return np.sqrt(np.maximum(qsq[:, None] + csq - 2.0 * cross, 0.0))
+    return -cross
 
 
 def corpus_stats(vectors: jnp.ndarray) -> dict:

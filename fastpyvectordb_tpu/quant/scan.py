@@ -239,10 +239,12 @@ class QuantizedScan:
             kind = "int8"
         elif kind in ("binary", "bq", "hamming"):
             # thresholds are per-dim medians (host numpy); a bounded
-            # sample is statistically equivalent and avoids pulling the
-            # whole corpus back — encode stays fully on device
-            sample = np.asarray(dev[:min(max(n, 1), 262_144)],
-                                dtype=np.float32)
+            # STRIDED sample avoids pulling the whole corpus back while
+            # staying representative — a prefix would fit only the first
+            # ingest cluster on ordered corpora
+            cap = 262_144
+            stride = max(1, -(-max(n, 1) // cap))
+            sample = np.asarray(dev[::stride][:cap], dtype=np.float32)
             qz = BinaryQuantizer().train(sample, **kwargs)
             codes = qz.encode(dev)
             kind = "binary"

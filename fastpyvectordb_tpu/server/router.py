@@ -227,8 +227,11 @@ def create_router_app(shards: List[str],
         own count field supplies the exact global total."""
         name = request.match_info["name"]
         q = request.rel_url.query
-        off = int(q.get("offset", 0))
-        lim = int(q.get("limit", 100))
+        try:
+            off = int(q.get("offset", 0))
+            lim = int(q.get("limit", 100))
+        except ValueError:
+            return _err(400, "limit/offset must be integers")
         window = off + lim
         outs = await asyncio.gather(
             *[_call("GET", f"{u}/collections/{name}/ids",
