@@ -222,8 +222,9 @@ class NewsDataGenerator:
         slots = {
             "topic": topic, "outlet": outlet,
             "entity": ents["company"][0],
-            "entity2": ents["company"][-1] if len(ents["company"]) > 1
-            else r.choice(COMPANIES),
+            "entity2": (ents["company"][-1] if len(ents["company"]) > 1
+                        else r.choice([c for c in COMPANIES
+                                       if c != ents["company"][0]])),
             "person": ents["person"][0] if ents["person"] else r.choice(PEOPLE),
             "place": ents["place"][0],
             "agency": ents["agency"][0] if ents["agency"] else r.choice(AGENCIES),

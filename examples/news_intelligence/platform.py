@@ -47,11 +47,18 @@ class NewsIntelligencePlatform:
     def ingest(self, articles: List[Article],
                show_progress: bool = True) -> float:
         """Batch-insert all articles; returns articles/sec."""
+        # re-run safety: a persisted/WAL-replayed collection already
+        # holds earlier articles — re-inserting their ids would raise
+        existing = set(self.collection.all_ids())
+        if existing:
+            articles = [a for a in articles if a.id not in existing]
         n = len(articles)
         t0 = time.perf_counter()
         bs = self.config.batch_size
         for s in range(0, n, bs):
             chunk = articles[s: s + bs]
+            if not chunk:
+                continue
             self.collection.insert_batch(
                 np.stack([a.embedding for a in chunk]),
                 [a.id for a in chunk],
@@ -73,7 +80,15 @@ class NewsIntelligencePlatform:
         limit = max_articles or self.config.graph_articles
         subset = articles[:limit]
         g = self.graph
+        # idempotent over a loaded graph: hydrate the entity-node cache
+        # and skip articles already present
+        if g.stats()["nodes"] and not self._entity_nodes:
+            for kind in ENTITY_KINDS + ("topic", "outlet"):
+                for node in g.find_nodes(kind.capitalize()):
+                    self._entity_nodes.add(node.id)
         for a in subset:
+            if g.get_node(a.id) is not None:
+                continue
             g.create_node(["Article"], {
                 "headline": a.headline, "category": a.category,
                 "topic": a.topic, "source": a.outlet,
@@ -139,7 +154,7 @@ class NewsIntelligencePlatform:
             self.generator.query_embedding(query), query, k=k, alpha=alpha)
 
     def quantized_search(self, query: str, k: int = 10,
-                         rerank: int = 4) -> list:
+                         rerank: Optional[int] = None) -> list:
         return self.collection.search_quantized(
             self.generator.query_embedding(query)[None, :], k=k,
             rerank=rerank)[0]
@@ -148,7 +163,7 @@ class NewsIntelligencePlatform:
     def entity_profile(self, name: str) -> dict:
         """Everything the graph knows about an entity by display name."""
         node = None
-        for kind in ("company", "person", "place", "agency"):
+        for kind in ENTITY_KINDS:
             node = self.graph.get_node(f"{kind}:{name}")
             if node is not None:
                 break
@@ -199,7 +214,7 @@ class NewsIntelligencePlatform:
                     nxt.add(nb.id)
             frontier = nxt
         ranked = [(nid.split(":", 1)[1], cnt) for nid, cnt in seen.items()
-                  if ":" in nid and not nid.startswith("article_")]
+                  if nid.split(":", 1)[0] in ENTITY_KINDS and not nid.startswith("article_")]
         ranked.sort(key=lambda t: -t[1])
         return ranked[:10]
 

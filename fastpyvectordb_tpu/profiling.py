@@ -57,7 +57,8 @@ class QueryTimer:
         arr = np.asarray(self.samples)
         return {
             "count": self.count,
-            "mean_ms": float(arr.mean() * 1e3),
+            # exact running mean — the reservoir is for percentiles only
+            "mean_ms": float(self.total / self.count * 1e3),
             "p50_ms": float(np.percentile(arr, 50) * 1e3),
             "p95_ms": float(np.percentile(arr, 95) * 1e3),
             "p99_ms": float(np.percentile(arr, 99) * 1e3),
@@ -78,7 +79,12 @@ def trace(log_dir: str = "/tmp/fvdb_trace",
           host_tracer_level: int = 2) -> Iterator[str]:
     """Capture a device trace viewable in TensorBoard / Perfetto."""
     import jax
-    jax.profiler.start_trace(log_dir)
+    opts = jax.profiler.ProfileOptions()
+    opts.host_tracer_level = host_tracer_level
+    try:
+        jax.profiler.start_trace(log_dir, profiler_options=opts)
+    except TypeError:  # older jax: no options kwarg
+        jax.profiler.start_trace(log_dir)
     try:
         yield log_dir
     finally:

@@ -115,8 +115,16 @@ class BinaryQuantizer:
         if use_pallas is None:
             use_pallas = pallas_quant.on_tpu()
         if use_pallas:
+            # memoize the word-major transpose keyed on the codes buffer:
+            # jnp arrays are immutable, so identity is a correct key, and
+            # re-transposing the whole packed corpus per call would dwarf
+            # the scan itself at small batch
+            codes_j = jnp.asarray(codes)
+            if getattr(self, "_t_src", None) is not codes_j:
+                self._t_src = codes_j
+                self._t_codes = codes_j.T
             return self.hamming_distances_t(
-                qcodes, jnp.asarray(codes).T,
+                qcodes, self._t_codes,
                 interpret=not pallas_quant.on_tpu())
         return _hamming(qcodes, jnp.asarray(codes))
 

@@ -317,13 +317,22 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
             else:
                 exact = (req.exact if req.mode == "auto"
                          else req.mode == "exact")
-                hits = await state["batcher"].search(c, q, req.k,
-                                                     _filter_of(req), exact)
+                if req.include_vectors:
+                    # the batcher's coalesced path never gathers vectors;
+                    # a vector-bearing response runs its own batch-of-one
+                    loop = asyncio.get_running_loop()
+                    filt = _filter_of(req)
+                    hits = (await loop.run_in_executor(
+                        None, lambda: c.search_batch(
+                            q[None, :], req.k, filt, True, exact)))[0]
+                else:
+                    hits = await state["batcher"].search(
+                        c, q, req.k, _filter_of(req), exact)
         except ValueError as e:  # e.g. query dimension mismatch -> 400
             return _json_error(400, str(e))
         took = (time.perf_counter() - t0) * 1000
         return web.json_response(
-            {"results": [_hit_dict(h) for h in hits],
+            {"results": [_hit_dict(h, req.include_vectors) for h in hits],
              "took_ms": round(took, 3)})
 
     async def build_index(request):

@@ -7,7 +7,7 @@ dict or a serialized Filter expression tree, core/filters.py).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Literal, Any, Dict, List, Optional
 
 from pydantic import BaseModel, Field
 
@@ -45,7 +45,9 @@ class SearchRequest(BaseModel):
     filter_tree: Optional[Dict[str, Any]] = None
     include_vectors: bool = False
     exact: Optional[bool] = None
-    mode: str = "auto"  # auto | exact | ann | quantized
+    # validated: a typo like "exat" must 422, not silently route to the
+    # approximate path
+    mode: Literal["auto", "exact", "ann", "quantized"] = "auto"
 
 
 class BuildIndexRequest(BaseModel):
