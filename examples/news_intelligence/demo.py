@@ -121,13 +121,13 @@ class NewsIntelligenceDemo:
         timer = QueryTimer()
         for i in range(qmat.shape[0]):
             with timer.measure():
-                p.collection.search(qmat[i], k=10)
+                p.collection.search(qmat[i], k=10, exact=True)
         st = timer.summary()
         print(f"  single-query exact: p50={st['p50_ms']:.2f} ms  "
               f"p95={st['p95_ms']:.2f} ms  ({st['qps']:.0f} qps)")
 
         t0 = time.perf_counter()
-        p.collection.search_batch(qmat, k=10)
+        p.collection.search_batch(qmat, k=10, exact=True)
         dt = time.perf_counter() - t0
         print(f"  batched exact ({qmat.shape[0]} queries): {dt*1e3:.1f} ms "
               f"({qmat.shape[0]/dt:,.0f} qps)")
@@ -250,10 +250,20 @@ class NewsIntelligenceDemo:
         bus.start()
         obs = ObservableCollection(p.collection, bus.publish)
         gen = p.generator
+        existing = set(p.collection.all_ids())
+        base = 10_000_000
+        while f"article_{base}" in existing:  # re-run over a persisted db
+            base += 100
         for i in range(40):
-            a = gen.article(10_000_000 + i)
+            a = gen.article(base + i)
             a.embedding = gen.query_embedding(a.headline + " " + a.content)
             obs.insert(a.embedding, id=a.id, metadata=a.to_metadata())
+        # drain before stop(): stop() discards the queued backlog
+        for _ in range(100):
+            if bus.stats()["queued"] == 0:
+                break
+            time.sleep(0.05)
+        time.sleep(0.1)  # let the in-flight handler finish
         bus.stop()
         print(f"  streamed 40 articles; {len(alerts)} matched the "
               "'refinery outage' watchlist")

@@ -60,13 +60,13 @@ class NewsQueryInterface:
             self.p.generator.query_embedding(value), k=k,
             filter=Filter.eq(key, value))
         if not hits:  # fall back to pure filter browse (no semantic signal)
-            ids = [a["id"] for a in self.p.collection.get_batch(
-                self.p.collection.all_ids())
-                if a["metadata"].get(key) == value][:k]
-            hits = [type("Hit", (), {
-                "id": i, "score": 0.0,
-                "metadata": self.p.collection.get(i)["metadata"]})()
-                for i in ids]
+            from fastpyvectordb_tpu.core.types import SearchResult
+            rows = self.p.collection.get_batch(self.p.collection.all_ids())
+            hits = [SearchResult(id=a["id"], score=0.0,
+                                 metadata=a["metadata"])
+                    for a in rows
+                    if a is not None
+                    and a["metadata"].get(key) == value][:k]
         return self._remember(hits)
 
     def topic(self, name: str, k: int = 10) -> list:

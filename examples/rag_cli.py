@@ -60,6 +60,7 @@ def chunk_text(text: str, size: int = 400, overlap: int = 80):
     """Greedy word-boundary chunker with character overlap."""
     words = text.split()
     chunks, cur, cur_len = [], [], 0
+    carried = None  # the overlap tail carried past the last flush
     for w in words:
         cur.append(w)
         cur_len += len(w) + 1
@@ -74,7 +75,10 @@ def chunk_text(text: str, size: int = 400, overlap: int = 80):
                     break
             cur = list(reversed(tail))
             cur_len = tl
-    if cur:
+            carried = list(cur)
+    if cur and cur != carried:
+        # the final buffer can be exactly the overlap tail of the last
+        # flushed chunk — a pure duplicate, not new content
         chunks.append(" ".join(cur))
     return chunks
 
@@ -107,11 +111,15 @@ class RagStore:
                 ids.append(f"{name}#{i}")
                 vecs.append(self.embedder.embed(ch))
                 metas.append({"text": ch, "source": name, "chunk": i})
-        # re-ingesting a file replaces its chunks
+        # re-ingesting a file replaces ALL its chunks — including stale
+        # higher-index chunks when the file shrank (they would otherwise
+        # keep serving outdated text)
         existing = set(self.col.all_ids())
-        dups = [i for i in ids if i in existing]
-        if dups:
-            self.col.delete_batch(dups)
+        names = {f"{name}#" for name in files}
+        stale = [i for i in existing
+                 if any(i.startswith(p) for p in names)]
+        if stale:
+            self.col.delete_batch(stale)
         self.col.insert_batch(np.stack(vecs), ids, metas)
         return len(ids)
 
@@ -156,8 +164,9 @@ def generate(prompt: str) -> str:
     return f"{note}(offline extractive answer) {body[:300]} [1]"
 
 
-def answer(store: RagStore, question: str, k: int = 4, show_ctx: bool = True):
-    hits = store.retrieve(question, k=k)
+def answer(store: RagStore, question: str, k: int = 4,
+           alpha: float = 0.65, show_ctx: bool = True):
+    hits = store.retrieve(question, k=k, alpha=alpha)
     if not hits:
         print("no indexed documents — run `ingest` first")
         return
@@ -192,9 +201,13 @@ def main(argv=None):
         if not a.target:
             ap.error("ingest needs a directory of .txt/.md files")
         files = {}
-        for p in sorted(Path(a.target).rglob("*")):
+        root = Path(a.target)
+        for p in sorted(root.rglob("*")):
             if p.suffix.lower() in (".txt", ".md") and p.is_file():
-                files[p.name] = p.read_text(errors="replace")
+                # key by RELATIVE path: same-named files in different
+                # subdirectories must not overwrite each other
+                files[str(p.relative_to(root))] = \
+                    p.read_text(errors="replace")
         if not files:
             sys.exit(f"no .txt/.md files under {a.target}")
         n = store.ingest(files)
@@ -205,7 +218,7 @@ def main(argv=None):
             sys.exit("empty index — run `sample` or `ingest` first")
         if not a.target:
             ap.error("ask needs a question")
-        answer(store, a.target, k=a.k)
+        answer(store, a.target, k=a.k, alpha=a.alpha)
     else:  # chat
         if store.col.count() == 0:
             store.ingest(SAMPLE_DOCS)
@@ -218,7 +231,7 @@ def main(argv=None):
                 break
             if not q:
                 break
-            answer(store, q, k=a.k)
+            answer(store, q, k=a.k, alpha=a.alpha)
 
 
 if __name__ == "__main__":

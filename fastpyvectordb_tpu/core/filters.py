@@ -326,7 +326,23 @@ class Filter:
         }
         parts: List[Filter] = []
         for key, val in d.items():
-            if isinstance(val, dict) and val and all(k in ops for k in val):
+            # Chroma/Mongo-style logical combinators: {"$or": [...]},
+            # {"$and": [...]}, {"$not": {...}} — without these a top-level
+            # "$or" silently became Condition(EQ, "$or", [...]) and
+            # matched nothing
+            if key == "$and" and isinstance(val, (list, tuple)):
+                sub = [Filter.from_dict(x) for x in val]
+                parts.extend(x for x in sub if x is not None)
+            elif key == "$or" and isinstance(val, (list, tuple)):
+                sub = [f for f in (Filter.from_dict(x) for x in val)
+                       if f is not None]
+                if sub:
+                    parts.append(Or(sub))
+            elif key == "$not" and isinstance(val, dict):
+                inner = Filter.from_dict(val)
+                if inner is not None:
+                    parts.append(Not(inner))
+            elif isinstance(val, dict) and val and all(k in ops for k in val):
                 for opk, opv in val.items():
                     parts.append(Condition(ops[opk], key, opv))
             else:

@@ -201,3 +201,16 @@ def test_mask_matches_evaluate_big_ints():
     rows = [{"n": big}, {"n": 5}]
     _mask_eq_eval(rows, Filter.gt("n", big - 512))
     _mask_eq_eval(rows, Filter.eq("n", big))
+
+
+def test_from_dict_logical_combinators():
+    from fastpyvectordb_tpu import Filter
+    f = Filter.from_dict({"$or": [{"category": "food"},
+                                  {"category": "finance"}]})
+    assert f.evaluate({"category": "food"})
+    assert f.evaluate({"category": "finance"})
+    assert not f.evaluate({"category": "tech"})
+    f = Filter.from_dict({"$and": [{"a": 1}, {"b": {"$gt": 5}}]})
+    assert f.evaluate({"a": 1, "b": 9}) and not f.evaluate({"a": 1, "b": 2})
+    f = Filter.from_dict({"$not": {"lang": "en"}})
+    assert f.evaluate({"lang": "fr"}) and not f.evaluate({"lang": "en"})
