@@ -93,6 +93,7 @@ class OutOfCoreSearcher:
         # streamed search
         wire_dtype = (jnp.bfloat16 if jnp.dtype(self.compute_dtype)
                       == jnp.bfloat16 else np.float32)
+        pending = []
         for ti, start in enumerate(range(0, self.n, t)):
             stop = min(start + t, self.n)
             rows = stop - start
@@ -107,8 +108,10 @@ class OutOfCoreSearcher:
                 tile_mask[:rows] = True
             if rows < t:
                 tile_np = np.pad(tile_np, ((0, t - rows), (0, 0)))
+            tile_dev = jnp.asarray(tile_np)
+            pending.append(tile_dev)
             best_vals, best_rows = _tile_step(
-                qd, jnp.asarray(tile_np), jnp.asarray(tile_mask),
+                qd, tile_dev, jnp.asarray(tile_mask),
                 jnp.int32(start), best_vals, best_rows,
                 metric=self.metric, k=kk, compute_dtype=self.compute_dtype)
             if ti % 2 == 1:
@@ -117,8 +120,17 @@ class OutOfCoreSearcher:
                 # queued tile's host staging at once — a 20M-row corpus
                 # OOM-killed the HOST that way (130 GB RSS).  Blocking
                 # every other tile keeps copy/compute overlap while
-                # bounding in-flight memory to ~2 tiles.
+                # bounding in-flight memory to ~2 tiles; deleting the
+                # consumed tile buffers explicitly releases any
+                # transfer-runtime retention (second 20M attempt grew by
+                # ~one corpus of host bytes per repeated scan without it).
                 jax.block_until_ready(best_vals)
+                for td in pending:
+                    try:
+                        td.delete()
+                    except Exception:
+                        pass
+                pending = []
         vals = np.asarray(best_vals)
         if self.metric == DistanceMetric.L2:
             good = vals < MASKED / 2
