@@ -35,8 +35,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: a session-scoped generator's stream depends on
+    # which tests ran before, making data-dependent failures
+    # irreproducible under -k / reordering
     return np.random.default_rng(42)
 
 
@@ -45,6 +48,3 @@ def tmp_db_path(tmp_path):
     return tmp_path / "db"
 
 
-def normalized(rng, n, d):
-    v = rng.standard_normal((n, d)).astype(np.float32)
-    return v / np.linalg.norm(v, axis=1, keepdims=True)

@@ -43,13 +43,15 @@ def test_sharded_matches_exact(mesh, rng, metric):
     vals, rows = searcher.search(jnp.asarray(q), k)
     want = exact_rows(q, v, metric, k)
     got = np.asarray(rows)
-    # score-equivalence check (robust to ties)
-    assert set(got[0].tolist()) == set(want[0].tolist()) or np.allclose(
-        np.sort(np.asarray(vals)[0]),
-        np.sort([_score(q[0], v[w], metric) for w in want[0]]), atol=1e-4)
-    overlap = np.mean([len(set(g.tolist()) & set(w.tolist())) / k
-                       for g, w in zip(got, want)])
-    assert overlap == 1.0
+    # score-equivalence per row (genuinely robust to ties: a different
+    # index with an equal score is a correct answer)
+    for bi in range(b):
+        same_sets = set(got[bi].tolist()) == set(want[bi].tolist())
+        same_scores = np.allclose(
+            np.sort(np.asarray(vals)[bi]),
+            np.sort([_score(q[bi], v[w], metric) for w in want[bi]]),
+            atol=1e-4)
+        assert same_sets or same_scores, bi
 
 
 def _score(q, v, metric):
