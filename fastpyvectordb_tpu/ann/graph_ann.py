@@ -365,9 +365,12 @@ class GraphANN:
         if k > w:
             # the kernel returns min(k, beam) columns — without widening,
             # an unfiltered k=200 search on a beam-128 index silently
-            # returned 128 hits.  No cap: a very large k costs beam-state
-            # memory, never silent truncation.
-            w = 1 << (k - 1).bit_length()
+            # returned 128 hits.  Preserve the filter-overfetch margin in
+            # this path too: a filtered large-k search must still carry
+            # k*overfetch candidate headroom.  No cap: a very large k
+            # costs beam-state memory, never silent truncation.
+            want = k if filtermask is None else k * max(overfetch, 1)
+            w = 1 << (want - 1).bit_length()
         vals, rows = _beam_search_kernel(
             jnp.asarray(qp), store.vectors, self.neighbors, self.centroids,
             self.medoids, validmask, filtermask, metric=cfg.metric, k=k,

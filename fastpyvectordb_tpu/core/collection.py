@@ -89,13 +89,23 @@ class Collection:
     def _write_config_sidecar(self) -> None:
         import dataclasses
         import json as _json
-        self.base_path.mkdir(parents=True, exist_ok=True)
         d = dataclasses.asdict(self.config)
         d["metric"] = DistanceMetric.parse(self.config.metric).value
-        tmp = self.base_path / "config.json.tmp"
-        tmp.write_text(_json.dumps(d, default=str))
-        import os
-        os.replace(tmp, self.base_path / "config.json")
+        payload = _json.dumps(d, default=str)
+        target = self.base_path / "config.json"
+        try:
+            # skip the write when the sidecar already matches — pure reloads
+            # must succeed on read-only snapshots/mounts, and concurrent
+            # opens of the same directory should not race on the file
+            if target.exists() and target.read_text() == payload:
+                return
+            self.base_path.mkdir(parents=True, exist_ok=True)
+            tmp = self.base_path / "config.json.tmp"
+            tmp.write_text(payload)
+            import os
+            os.replace(tmp, target)
+        except OSError:
+            pass  # read-only filesystem: the collection still opens
 
     @staticmethod
     def load_config_sidecar(base_path) -> Optional[CollectionConfig]:

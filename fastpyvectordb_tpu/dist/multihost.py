@@ -19,6 +19,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, QUERY_AXIS
 
+# set after the first successful jax.distributed.initialize in this process
+_initialized = False
+
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
@@ -35,17 +38,23 @@ def initialize(coordinator_address: Optional[str] = None,
         return  # single host: nothing to wire
     # NOTE: do not touch jax.process_count()/jax.devices() here — reading
     # them initializes the local XLA backend, after which
-    # jax.distributed.initialize refuses to run.  idempotency is handled
-    # by catching the already-initialized error instead.
+    # jax.distributed.initialize refuses to run.  Idempotency is tracked
+    # by a module flag set on first success; the error-message sniff is
+    # only a fallback for processes that initialized outside this module.
+    global _initialized
+    if _initialized:
+        return
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
+        _initialized = True
     except RuntimeError as e:
         msg = str(e).lower()
         # jax's repeated-call error reads 'should only be called once'
         if "already" not in msg and "called once" not in msg:
             raise
+        _initialized = True
 
 
 def global_mesh(query_parallel: int = 1) -> Mesh:

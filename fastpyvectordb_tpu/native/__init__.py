@@ -179,6 +179,8 @@ class NativeBM25:
         return float(self._lib.bm25_score(self._h, self._norm(query), u))
 
     def search(self, query: str, k: int = 10) -> List[Tuple[str, float]]:
+        if k <= 0:
+            return []  # out[k-1] below would wrap to out[-1] and escalate
         qn = self._norm(query)
         n_docs = self.n_docs
         # The C engine tie-breaks equal scores by u32 insertion order; the

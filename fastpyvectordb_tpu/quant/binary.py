@@ -115,14 +115,16 @@ class BinaryQuantizer:
         if use_pallas is None:
             use_pallas = pallas_quant.on_tpu()
         if use_pallas:
-            # memoize the word-major transpose keyed on the codes buffer:
-            # jnp arrays are immutable, so identity is a correct key, and
-            # re-transposing the whole packed corpus per call would dwarf
-            # the scan itself at small batch
-            codes_j = jnp.asarray(codes)
-            if getattr(self, "_t_src", None) is not codes_j:
-                self._t_src = codes_j
-                self._t_codes = codes_j.T
+            # memoize the word-major transpose keyed on the CALLER-passed
+            # object (not jnp.asarray's output — that is a fresh device
+            # array for numpy inputs, so the cache would never hit while
+            # still pinning a stale transposed corpus in HBM).  The key
+            # reference is retained, so identity stays valid; jnp arrays
+            # are immutable and callers passing numpy re-encode anyway.
+            if getattr(self, "_t_src", None) is not codes:
+                self._t_src = codes
+                self._t_codes = None  # drop the stale copy before alloc
+                self._t_codes = jnp.asarray(codes).T
             return self.hamming_distances_t(
                 qcodes, self._t_codes,
                 interpret=not pallas_quant.on_tpu())
