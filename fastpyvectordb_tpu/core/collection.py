@@ -53,6 +53,8 @@ class Collection:
         self._columns_dirty: Optional[str] = None  # None | "sync" | "rebuild"
         self._columns_patchset: set = set()  # rows pending point-patch
         self._mask_cache: Dict[str, Tuple[int, np.ndarray]] = {}
+        self._ids_arr: Optional[np.ndarray] = None  # object-array id cache
+        self._ids_arr_version = -1
         self._ann = None  # optional ANN index (ann/ivf.py), built on demand
         self._quantized = None  # optional quantized scan state (quant/)
         self._wal = None  # write-ahead log (persist/wal.py), durability="wal"
@@ -250,7 +252,7 @@ class Collection:
                      include_vectors: bool = False,
                      exact: Optional[bool] = None
                      ) -> List[List[SearchResult]]:
-        q = as_f32_matrix(queries, self.config.dimensions)
+        q = as_f32_matrix(queries, self.config.dimensions, allow_device=True)
         with self._lock:
             if self._store.n_valid == 0:
                 return [[] for _ in range(q.shape[0])]
@@ -269,6 +271,8 @@ class Collection:
             if use_ann and self._ann is not None:
                 if self._index_rebuild_due(self._ann._built_count):
                     self._ann.mark_stale()  # rebuilt inside .search()
+                if not isinstance(q, np.ndarray):
+                    q = np.asarray(q)  # ANN routing runs host-side numpy
                 dists, rows = self._ann.search(
                     q, k, mask=mask,
                     overfetch=self.config.overfetch if filter is not None else 1)
@@ -295,9 +299,31 @@ class Collection:
         (vectordb_optimized.py:650-721)."""
         return self.search(query, k, filter, include_vectors, exact=True)
 
-    def _assemble(self, q: np.ndarray, dists: np.ndarray, rows: np.ndarray,
+    def _ids_object_array(self) -> np.ndarray:
+        """``_row_to_id`` as an object ndarray, memoized per mutation version
+        — turns the per-hit id lookup in ``_assemble`` into one vectorized
+        gather (the assembly loop was 6x the kernel cost at B=1024)."""
+        if self._ids_arr is None or self._ids_arr_version != self._version \
+                or len(self._ids_arr) != len(self._row_to_id):
+            self._ids_arr = np.array(self._row_to_id, dtype=object)
+            self._ids_arr_version = self._version
+        return self._ids_arr
+
+    def _assemble(self, q, dists: np.ndarray, rows: np.ndarray,
                   k: int, include_vectors: bool) -> List[List[SearchResult]]:
+        dists = np.asarray(dists)
+        rows = np.asarray(rows)
         ok = np.asarray(topk_mod.valid_hits(dists))
+        nrow = len(self._row_to_id)
+        in_range = (rows >= 0) & (rows < nrow)
+        if nrow:
+            ids_arr = self._ids_object_array()
+            rid_grid = ids_arr[np.clip(rows, 0, nrow - 1)]
+            # None entries = tombstoned between mask build and assembly
+            ok = ok & in_range & (rid_grid != None)  # noqa: E711 - elementwise
+        else:
+            ok = ok & in_range
+            rid_grid = rows  # unused: ok is all-False
         results: List[List[SearchResult]] = []
         if include_vectors:
             # one gather for every candidate slot, indexed positionally so
@@ -305,22 +331,17 @@ class Collection:
             vecs = self._store.get_rows(
                 np.maximum(rows, 0).reshape(-1).astype(np.int64)
             ).reshape(rows.shape[0], rows.shape[1], -1)
-        for bi in range(q.shape[0]):
-            hits: List[SearchResult] = []
-            for ki in range(dists.shape[1]):
-                if not ok[bi, ki] or len(hits) >= k:
-                    continue
-                row = int(rows[bi, ki])
-                rid = self._row_to_id[row] if row < len(self._row_to_id) else None
-                if rid is None:
-                    continue  # tombstoned between mask build and assembly
-                hits.append(SearchResult(
-                    id=rid,
-                    score=float(dists[bi, ki]),
-                    metadata=dict(self._metadata[row] or {}),
-                    vector=(vecs[bi, ki] if include_vectors else None),
-                ))
-            results.append(hits)
+        md = self._metadata
+        for bi in range(rows.shape[0]):
+            sel = np.nonzero(ok[bi])[0]
+            if sel.size > k:
+                sel = sel[:k]
+            results.append([SearchResult(
+                id=rid_grid[bi, ki],
+                score=float(dists[bi, ki]),
+                metadata=dict(md[rows[bi, ki]] or {}),
+                vector=(vecs[bi, ki] if include_vectors else None),
+            ) for ki in sel])
         return results
 
     # ------------------------------------------------------------------
@@ -604,6 +625,13 @@ class Collection:
                 ann_sections, ann_meta = self._ann.export_sections()
                 sections.update(ann_sections)
                 meta["ann"] = ann_meta
+            # persist the quantized-scan snapshot (codes + quantizer params
+            # + tuned rerank) so a reload serves search_quantized without
+            # re-training/re-encoding (reference: quantization.py:196-213)
+            if self._quantized is not None:
+                q_sections, q_meta = self._quantized.export_sections()
+                sections.update(q_sections)
+                meta["quantized"] = q_meta
             save_container(self.base_path / STORE_FILE, sections, meta=meta)
             if self._wal is not None:
                 # the snapshot now covers everything in the log
@@ -663,3 +691,10 @@ class Collection:
             elif ann_meta["kind"] == "graph":
                 from ..ann.graph_ann import GraphANN
                 self._ann = GraphANN.from_sections(self, sections, ann_meta)
+        q_meta = c.meta.get("quantized")
+        if q_meta:
+            from ..quant.scan import QuantizedScan
+            q_sections = {k: c.read(k) for k in c.keys()
+                          if k.startswith("quant_")}
+            self._quantized = QuantizedScan.from_sections(
+                self, q_sections, q_meta)

@@ -90,6 +90,7 @@ class DeviceVectorStore:
         self.rinv = jnp.zeros((cap,), dtype=jnp.float32)
         self.count = 0          # rows ever allocated (monotonic high-water mark)
         self.n_valid = 0        # live rows (count minus tombstones)
+        self._mask_memo: dict = {}  # id(host mask) -> (mask, valid, device mask)
 
     @property
     def capacity(self) -> int:
@@ -100,6 +101,7 @@ class DeviceVectorStore:
         pad = new_cap - self.capacity
         self.vectors = jnp.pad(self.vectors, ((0, pad), (0, 0)))
         self.valid = jnp.pad(self.valid, ((0, pad),))
+        self._mask_memo.clear()  # capacity changed: cached masks are stale
         self.sq = jnp.pad(self.sq, ((0, pad),))
         self.rinv = jnp.pad(self.rinv, ((0, pad),))
 
@@ -148,6 +150,7 @@ class DeviceVectorStore:
         extra_mask: Optional[np.ndarray] = None,
         compute_dtype: str = "float32",
         topk: str = "exact",
+        return_device: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Masked top-k over the live rows.
 
@@ -159,13 +162,15 @@ class DeviceVectorStore:
         """
         b = queries.shape[0]
         bp = _next_pow2(max(b, 8))
-        q = pad_rows(np.ascontiguousarray(queries, dtype=np.float32), bp)
-        if extra_mask is not None:
-            m = np.zeros((self.capacity,), dtype=bool)
-            m[: extra_mask.shape[0]] = extra_mask
-            mask = jnp.logical_and(self.valid, jnp.asarray(m))
+        if isinstance(queries, jax.Array) and not isinstance(queries, np.ndarray):
+            # device queries stay on device: no host bounce, pad in-graph
+            q = queries.astype(jnp.float32)
+            if b != bp:
+                q = jnp.pad(q, ((0, bp - b), (0, 0)))
         else:
-            mask = self.valid
+            q = jnp.asarray(
+                pad_rows(np.ascontiguousarray(queries, dtype=np.float32), bp))
+        mask = self._combined_mask(extra_mask)
         kk = min(k, self.capacity)
         if topk == "auto":
             try:
@@ -176,11 +181,35 @@ class DeviceVectorStore:
         else:
             approx = topk == "approx"
         vals, rows = K.search_kernel(
-            jnp.asarray(q), self.vectors, self.sq, self.rinv, mask,
+            q, self.vectors, self.sq, self.rinv, mask,
             metric=metric, k=kk, compute_dtype=compute_dtype, approx=approx,
         )
+        if return_device:
+            return vals[:b], rows[:b]  # caller pipelines / syncs itself
         vals, rows = jax.device_get((vals, rows))  # one host sync, not two
         return vals[:b], rows[:b]
+
+    def _combined_mask(self, extra_mask: Optional[np.ndarray]):
+        """valid AND extra_mask as a device array, memoized.
+
+        Keyed on the identity of BOTH the caller's host mask (stable: the
+        Collection's filter-mask cache hands out the same array per
+        (fingerprint, version)) and the current validity buffer (a new
+        object after any mutation) — so repeated filtered searches reuse
+        one device mask instead of shipping capacity bytes per call."""
+        if extra_mask is None:
+            return self.valid
+        key = id(extra_mask)
+        hit = self._mask_memo.get(key)
+        if hit is not None and hit[0] is extra_mask and hit[1] is self.valid:
+            return hit[2]
+        m = np.zeros((self.capacity,), dtype=bool)
+        m[: extra_mask.shape[0]] = extra_mask
+        dm = jnp.logical_and(self.valid, jnp.asarray(m))
+        if len(self._mask_memo) >= 8:  # bound pinned HBM to 8 masks
+            self._mask_memo.clear()
+        self._mask_memo[key] = (extra_mask, self.valid, dm)
+        return dm
 
     # -- maintenance ------------------------------------------------------
     def live_rows_host(self) -> np.ndarray:
@@ -201,6 +230,7 @@ class DeviceVectorStore:
         self.rinv = jnp.zeros((cap,), dtype=jnp.float32)
         self.count = 0
         self.n_valid = 0
+        self._mask_memo.clear()
         if live.size:
             self.append(vecs)
         return live

@@ -126,8 +126,26 @@ class CollectionConfig:
         return cls(**{k: v for k, v in d.items() if k in known})
 
 
-def as_f32_matrix(x: Any, dims: Optional[int] = None, name: str = "vectors") -> np.ndarray:
-    """Coerce input to a contiguous float32 (N, D) matrix, validating dims."""
+def as_f32_matrix(x: Any, dims: Optional[int] = None, name: str = "vectors",
+                  allow_device: bool = False):
+    """Coerce input to a contiguous float32 (N, D) matrix, validating dims.
+
+    With ``allow_device=True`` jax arrays stay on device — shape/dtype
+    validation needs no host transfer, and bouncing a query batch through
+    numpy costs two tunnel copies per search call on TPU."""
+    if allow_device and not isinstance(x, np.ndarray) \
+            and type(x).__module__.startswith("jax"):
+        arr = x
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        if arr.ndim != 2:
+            raise ValueError(f"{name} must be 1-D or 2-D, got shape {arr.shape}")
+        if dims is not None and arr.shape[1] != dims:
+            raise ValueError(
+                f"{name} dimensionality {arr.shape[1]} does not match "
+                f"collection dimensions {dims}")
+        import jax.numpy as jnp
+        return arr.astype(jnp.float32) if arr.dtype != jnp.float32 else arr
     arr = np.ascontiguousarray(np.asarray(x, dtype=np.float32))
     if arr.ndim == 1:
         arr = arr[None, :]

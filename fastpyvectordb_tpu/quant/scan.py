@@ -443,3 +443,54 @@ class QuantizedScan:
 
     def memory_usage(self) -> dict:
         return self.quantizer.memory_usage(self.codes.shape[0])
+
+    # -- persistence (sections inside the collection's FPVT container) ----
+    def export_sections(self) -> Tuple[dict, dict]:
+        """Codes + quantizer params + tuned serving defaults, as container
+        sections/meta — so a reloaded collection serves ``search_quantized``
+        without minutes of re-train/re-encode (the reference persists
+        quantizer state too, quantization.py:196-213)."""
+        sections = {"quant_codes": np.asarray(self.codes)}
+        meta = {"kind": self.kind,
+                "default_rerank": int(self.default_rerank),
+                "built_count": int(self.built_count),
+                "compute_dtype": getattr(self, "compute_dtype", "float32")}
+        qz = self.quantizer
+        if self.kind == "int8":
+            sections["quant_vmin"] = np.asarray(qz.vmin)
+            sections["quant_scale"] = np.asarray(qz.scale)
+            meta["dims"] = qz.dims
+        elif self.kind == "binary":
+            sections["quant_thresholds"] = np.asarray(qz.thresholds)
+            meta["dims"] = qz.dims
+        elif self.kind == "pq":
+            sections["quant_codebooks"] = np.asarray(qz.codebooks)
+            meta.update(dims=qz.dims, m=qz.m, k=qz.k)
+        return sections, meta
+
+    @classmethod
+    def from_sections(cls, collection, sections: dict, meta: dict
+                      ) -> "QuantizedScan":
+        kind = meta["kind"]
+        if kind == "int8":
+            qz = ScalarQuantizer(dims=meta["dims"])
+            qz.vmin = jnp.asarray(np.asarray(sections["quant_vmin"]))
+            qz.scale = jnp.asarray(np.asarray(sections["quant_scale"]))
+        elif kind == "binary":
+            qz = BinaryQuantizer(dims=meta["dims"])
+            qz.thresholds = jnp.asarray(
+                np.asarray(sections["quant_thresholds"]))
+        elif kind == "pq":
+            qz = ProductQuantizer(dims=meta["dims"], m=meta["m"],
+                                  k=meta["k"])
+            qz.codebooks = jnp.asarray(np.asarray(sections["quant_codebooks"]))
+        else:
+            raise ValueError(f"unknown quantized snapshot kind {kind!r}")
+        codes = jnp.asarray(np.asarray(sections["quant_codes"]))
+        scan = cls(kind, qz, codes, collection._store,
+                   collection.config.metric)
+        scan.default_rerank = int(meta.get("default_rerank",
+                                           scan.default_rerank))
+        scan.built_count = int(meta.get("built_count", codes.shape[0]))
+        scan.compute_dtype = meta.get("compute_dtype", "float32")
+        return scan
