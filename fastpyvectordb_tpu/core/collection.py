@@ -442,9 +442,35 @@ class Collection:
     # ------------------------------------------------------------------
     # ANN / quantization hooks (implemented in ann/ and quant/)
     # ------------------------------------------------------------------
-    def build_ann(self, kind: str = "ivf", **kwargs) -> None:
-        """Build an approximate index: "ivf" (ann/ivf.py) or "graph"
-        (ann/graph_ann.py — the hnswlib-equivalent beam-search index)."""
+    # corpora below this size skip build-time auto-tune by default: the
+    # exact oracle there is trivially cheap to the caller anyway, and the
+    # extra XLA compiles would dominate small-collection workflows
+    _AUTOTUNE_MIN_ROWS = 4096
+
+    def _sample_live_queries(self, n: int = 32) -> Optional[np.ndarray]:
+        """Strided sample of live corpus rows as a self-query tuning set
+        (the recall oracle's queries; spread across the corpus so ordered
+        ingests don't bias the sample to the first cluster)."""
+        live = self._store.live_rows_host()
+        if live.size == 0:
+            return None
+        take = int(min(n, live.size))
+        idx = live[np.linspace(0, live.size - 1, take).astype(np.int64)]
+        return np.asarray(self._store.get_rows(idx.astype(np.int64)),
+                          dtype=np.float32)
+
+    def build_ann(self, kind: str = "ivf", tune: Optional[bool] = None,
+                  tune_target: float = 0.95, tune_queries: int = 32,
+                  **kwargs) -> None:
+        """Build an approximate index: "ivf" (ann/ivf.py), "ivfpq", or
+        "graph" (ann/graph_ann.py — the hnswlib-equivalent beam-search
+        index).
+
+        By default (``tune=None``) corpora >= 4096 rows auto-tune the
+        index's recall knobs (nprobe / rerank / beam) against the exact
+        path on a sampled self-query set right after the build — untuned
+        defaults can silently serve <=0.74 recall on clustered corpora
+        (round-2 crossover measurements). Pass ``tune=False`` to skip."""
         with self._lock:
             if kind == "ivf":
                 from ..ann.ivf import IVFIndex
@@ -462,12 +488,37 @@ class Collection:
             # rebuilding with defaults silently regresses recall
             self._ann._build_kwargs = dict(kwargs)
             self.config.index = kind
+            if tune is None:
+                tune = self._store.n_valid >= self._AUTOTUNE_MIN_ROWS
+            if tune:
+                qs = self._sample_live_queries(tune_queries)
+                if qs is not None:
+                    if kind == "ivf":
+                        self._ann.tune_nprobe(qs, target_recall=tune_target)
+                    else:  # ivfpq and graph expose a joint .tune()
+                        self._ann.tune(qs, target_recall=tune_target)
 
-    def enable_quantized_scan(self, kind: str = "int8", **kwargs):
+    def enable_quantized_scan(self, kind: str = "int8",
+                              tune: Optional[bool] = None,
+                              tune_target: float = 0.95,
+                              tune_queries: int = 32, **kwargs):
+        """Build the two-stage quantized scan snapshot.
+
+        By default (``tune=None``) corpora >= 4096 rows run
+        ``tune_rerank`` on a sampled self-query set at build time, so the
+        serving default re-rank depth clears ``tune_target`` recall@10 —
+        the untuned binary default measured 0.50 recall on clustered
+        corpora (round-2 verdict #4). Pass ``tune=False`` to skip."""
         from ..quant.scan import QuantizedScan
         with self._lock:
             self._quantized = QuantizedScan.build(self, kind=kind, **kwargs)
             self._quant_kwargs = dict(kwargs)  # for threshold rebuilds
+            if tune is None:
+                tune = self._store.n_valid >= self._AUTOTUNE_MIN_ROWS
+            if tune:
+                qs = self._sample_live_queries(tune_queries)
+                if qs is not None:
+                    self._quantized.tune_rerank(qs, target_recall=tune_target)
             return self._quantized
 
     def set_search_params(self, **params) -> None:
@@ -505,7 +556,7 @@ class Collection:
                 # back to the untuned default on clustered corpora
                 tuned = getattr(self._quantized, "default_rerank", None)
                 self.enable_quantized_scan(
-                    kind=self._quantized.kind,
+                    kind=self._quantized.kind, tune=False,
                     **getattr(self, "_quant_kwargs", {}))
                 if tuned is not None:
                     self._quantized.default_rerank = tuned
