@@ -488,8 +488,15 @@ class Collection:
             # rebuilding with defaults silently regresses recall
             self._ann._build_kwargs = dict(kwargs)
             self.config.index = kind
+            # explicit recall knobs are a caller decision — auto-tune
+            # (tune=None) must never override them; only opt-in
+            # tune=True re-tunes past an explicit setting
+            knobs = {"ivf": ("nprobe",), "ivfpq": ("nprobe", "rerank"),
+                     "graph": ("beam", "iters")}[kind]
+            explicit = any(kwargs.get(kb) is not None for kb in knobs)
             if tune is None:
-                tune = self._store.n_valid >= self._AUTOTUNE_MIN_ROWS
+                tune = (not explicit
+                        and self._store.n_valid >= self._AUTOTUNE_MIN_ROWS)
             if tune:
                 qs = self._sample_live_queries(tune_queries)
                 if qs is not None:

@@ -29,8 +29,10 @@ from ..core.types import DistanceMetric
 
 # A large-but-finite sentinel used to disqualify masked-out rows.  Using +inf
 # directly breaks `top_k` tie-handling on some backends when every row is
-# masked; a finite sentinel keeps the lattice total.
-MASKED = jnp.float32(3.0e38)
+# masked; a finite sentinel keeps the lattice total.  A numpy (not jnp)
+# scalar: materializing a device array at import time would initialize the
+# XLA backend and break jax.distributed.initialize on multi-host jobs.
+MASKED = np.float32(3.0e38)
 
 
 def matmul_precision(compute_dtype) -> jax.lax.Precision:
