@@ -54,18 +54,27 @@ class ServerThread:
         assert self.started.wait(30)
 
 
-async def drive_concurrent(base, queries, concurrency, k):
+async def drive_concurrent(base, queries, concurrency, k, binary=False):
     """N workers, each sending its slice of distinct queries serially."""
     import httpx
+    import msgpack
     lat = []
     done = [0]
+    hdr = {"Content-Type": "application/msgpack"}
 
     async def worker(wq):
         async with httpx.AsyncClient(base_url=base, timeout=120) as c:
             for q in wq:
                 t0 = time.perf_counter()
-                r = await c.post("/collections/load/search",
-                                 json={"vector": q.tolist(), "k": k})
+                if binary:
+                    r = await c.post(
+                        "/collections/load/search", headers=hdr,
+                        content=msgpack.packb(
+                            {"vector": q.tobytes(), "k": k},
+                            use_bin_type=True))
+                else:
+                    r = await c.post("/collections/load/search",
+                                     json={"vector": q.tolist(), "k": k})
                 r.raise_for_status()
                 lat.append(time.perf_counter() - t0)
                 done[0] += 1
@@ -82,20 +91,38 @@ async def drive_concurrent(base, queries, concurrency, k):
             "n": done[0]}
 
 
-async def drive_batched(base, queries, batch, k):
+async def drive_batched(base, queries, batch, k, binary=False,
+                        pipeline=2):
+    """Client-side batch calls; ``pipeline`` in-flight requests keep the
+    server busy while the client serializes the next batch."""
     import httpx
+    import msgpack
+    hdr = {"Content-Type": "application/msgpack"}
     t0 = time.perf_counter()
-    total = 0
-    async with httpx.AsyncClient(base_url=base, timeout=300) as c:
-        for s in range(0, len(queries), batch):
-            chunk = queries[s: s + batch]
+    total = [0]
+    qarr = np.stack(queries)
+    starts = list(range(0, len(queries), batch))
+
+    async def send(c, s):
+        chunk = qarr[s: s + batch]
+        if binary:
+            r = await c.post(
+                "/collections/load/search/batch", headers=hdr,
+                content=msgpack.packb(
+                    {"vectors": np.ascontiguousarray(chunk).tobytes(),
+                     "k": k}, use_bin_type=True))
+        else:
             r = await c.post("/collections/load/search/batch",
-                             json={"vectors": [q.tolist() for q in chunk],
-                                   "k": k})
-            r.raise_for_status()
-            total += len(chunk)
+                             json={"vectors": chunk.tolist(), "k": k})
+        r.raise_for_status()
+        total[0] += len(chunk)
+
+    async with httpx.AsyncClient(base_url=base, timeout=300) as c:
+        for g in range(0, len(starts), pipeline):
+            await asyncio.gather(*[send(c, s)
+                                   for s in starts[g: g + pipeline]])
     wall = time.perf_counter() - t0
-    return {"qps": round(total / wall, 1), "n": total}
+    return {"qps": round(total[0] / wall, 1), "n": total[0]}
 
 
 def main():
@@ -143,16 +170,37 @@ def main():
                       "rows_per_s": round(api_rows
                                           / (time.perf_counter() - t0), 1)}),
           flush=True)
+    # binary-body ingest of the same volume (server/wire.py raw-f32 path)
+    import msgpack
+    bvecs = rng.standard_normal((api_rows, args.dims)).astype(np.float32)
+    t0 = time.perf_counter()
+    with httpx.Client(base_url=base, timeout=600) as c:
+        for s in range(0, api_rows, 5000):
+            e = min(s + 5000, api_rows)
+            r = c.post("/collections/load/vectors/batch",
+                       headers={"Content-Type": "application/msgpack"},
+                       content=msgpack.packb(
+                           {"vectors": np.ascontiguousarray(
+                                bvecs[s:e]).tobytes(),
+                            "ids": [f"b{i}" for i in range(s, e)]},
+                           use_bin_type=True))
+            r.raise_for_status()
+    print(json.dumps({"exp": "binary_ingest",
+                      "rows": api_rows,
+                      "rows_per_s": round(api_rows
+                                          / (time.perf_counter() - t0), 1)}),
+          flush=True)
     col = srv.app["state"]["db"].get_collection("load")
     t0 = time.perf_counter()
-    inserted = api_rows
+    inserted = 2 * api_rows  # JSON slice + binary slice above
+    fill_start = inserted
     while inserted < args.rows:
         n = min(250_000, args.rows - inserted)
         block = rng.standard_normal((n, args.dims)).astype(np.float32)
         col.insert_batch(block, [f"v{inserted + i}" for i in range(n)])
         inserted += n
         print(f"\r  filled {inserted:,}/{args.rows:,} "
-              f"({(inserted - api_rows)/(time.perf_counter()-t0):,.0f}/s)",
+              f"({(inserted - fill_start)/(time.perf_counter()-t0):,.0f}/s)",
               end="", flush=True)
     print()
 
@@ -181,6 +229,27 @@ def main():
            **asyncio.run(drive_batched(base, queries, 256, args.k))}
     out["vs_sequential"] = round(out["qps"] / max(seq_qps, 1e-9), 2)
     print(json.dumps(out), flush=True)
+
+    # ---- binary wire path (msgpack + raw f32; server/wire.py) ----
+    for conc in (64, 128, 256):
+        asyncio.run(drive_concurrent(base, queries[: 4 * conc], conc,
+                                     args.k, binary=True))  # warmup
+        out = {"exp": f"binary_concurrent_singles_c{conc}",
+               **asyncio.run(drive_concurrent(base, queries, conc, args.k,
+                                              binary=True))}
+        out["vs_sequential"] = round(out["qps"] / max(seq_qps, 1e-9), 2)
+        print(json.dumps(out), flush=True)
+
+    for batch in (256, 1024):
+        if batch > len(queries):
+            continue
+        asyncio.run(drive_batched(base, queries[:batch], batch, args.k,
+                                  binary=True))  # warmup
+        out = {"exp": f"binary_client_batched_b{batch}",
+               **asyncio.run(drive_batched(base, queries, batch, args.k,
+                                           binary=True))}
+        out["vs_sequential"] = round(out["qps"] / max(seq_qps, 1e-9), 2)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -256,39 +256,88 @@ class Collection:
         with self._lock:
             if self._store.n_valid == 0:
                 return [[] for _ in range(q.shape[0])]
-            use_ann = (exact is False) or (
-                exact is None and self.config.index != "flat"
-                and self._ann is not None)
-            mask = self._filter_mask(filter)
-            if (use_ann and self._ann is not None and mask is not None
-                    and exact is None
-                    and int(mask.sum()) <= max(1024, 32 * k)):
-                # Highly selective filter: the exact masked scan over the
-                # few matching rows is both faster and recall-1.0, while a
-                # post-filtered ANN pass would collapse recall (the classic
-                # filtered-ANN failure mode; hnswlib has the same issue).
-                use_ann = False
-            if use_ann and self._ann is not None:
-                if self._index_rebuild_due(self._ann._built_count):
-                    self._ann.mark_stale()  # rebuilt inside .search()
-                if not isinstance(q, np.ndarray):
-                    q = np.asarray(q)  # ANN routing runs host-side numpy
-                dists, rows = self._ann.search(
-                    q, k, mask=mask,
-                    overfetch=self.config.overfetch if filter is not None else 1)
-                built = self._ann._built_count
-                if self._store.count > built:
-                    # appended tail not yet in the index: exact-scan it and
-                    # merge (row spaces are disjoint, so no dedup needed)
-                    td, tr = self._tail_exact(q, k, mask, built)
-                    dists, rows = topk_mod.merge_topk_host(
-                        dists, rows, td, tr, k)
-            else:
-                dists, rows = self._store.search(
-                    q, k, self.config.metric, extra_mask=mask,
-                    compute_dtype=self.config.compute_dtype,
-                    topk=self.config.topk)
+            dists, rows = self._search_rows(q, k, filter, exact)
             return self._assemble(q, dists, rows, k, include_vectors)
+
+    def search_arrays(self, queries, k: int = 10,
+                      filter: Optional[Filter] = None,
+                      exact: Optional[bool] = None):
+        """Array-shaped search for high-throughput callers (the binary
+        serving path): same kernel dispatch as ``search_batch`` but the
+        result is ``(ids, scores, rows)`` — an object ndarray of ids
+        (B, k; None where fewer than k hits), an f32 score grid (B, k;
+        +inf on empty slots), and the raw int32 store rows — with no
+        per-hit SearchResult / metadata-dict construction.  The reference
+        has no analogue because hnswlib already returns label arrays
+        (vectordb_optimized.py:610); this restores that property."""
+        q = as_f32_matrix(queries, self.config.dimensions, allow_device=True)
+        with self._lock:
+            b = q.shape[0]
+            if self._store.n_valid == 0:
+                return (np.full((b, k), None, dtype=object),
+                        np.full((b, k), np.inf, dtype=np.float32),
+                        np.full((b, k), -1, dtype=np.int32))
+            dists, rows = self._search_rows(q, k, filter, exact)
+            dists = np.asarray(dists)[:, :k].astype(np.float32, copy=False)
+            rows = np.asarray(rows)[:, :k]
+            ok = np.asarray(topk_mod.valid_hits(dists))
+            nrow = len(self._row_to_id)
+            ok &= (rows >= 0) & (rows < max(nrow, 1))
+            if nrow:
+                ids = self._ids_object_array()[np.clip(rows, 0, nrow - 1)]
+                ok &= ids != None  # noqa: E711 - elementwise
+            else:
+                ids = np.full(rows.shape, None, dtype=object)
+            ids = np.where(ok, ids, None)
+            dists = np.where(ok, dists, np.float32(np.inf))
+            rows = np.where(ok, rows, -1).astype(np.int32, copy=False)
+            return ids, dists, rows
+
+    def metadata_for_rows(self, rows: np.ndarray) -> list:
+        """Per-row metadata dict copies for ``search_arrays`` results
+        (row < 0 → None), fetched under the collection lock."""
+        with self._lock:
+            md = self._metadata
+            n = len(md)
+            return [[dict(md[r] or {}) if 0 <= r < n else None
+                     for r in row] for row in np.asarray(rows).tolist()]
+
+    def _search_rows(self, q, k: int, filter: Optional[Filter],
+                     exact: Optional[bool]):
+        """Shared dispatch: (ANN | exact masked scan) → (dists, rows).
+        Caller holds the lock and has handled the empty-store case."""
+        use_ann = (exact is False) or (
+            exact is None and self.config.index != "flat"
+            and self._ann is not None)
+        mask = self._filter_mask(filter)
+        if (use_ann and self._ann is not None and mask is not None
+                and exact is None
+                and int(mask.sum()) <= max(1024, 32 * k)):
+            # Highly selective filter: the exact masked scan over the
+            # few matching rows is both faster and recall-1.0, while a
+            # post-filtered ANN pass would collapse recall (the classic
+            # filtered-ANN failure mode; hnswlib has the same issue).
+            use_ann = False
+        if use_ann and self._ann is not None:
+            if self._index_rebuild_due(self._ann._built_count):
+                self._ann.mark_stale()  # rebuilt inside .search()
+            if not isinstance(q, np.ndarray):
+                q = np.asarray(q)  # ANN routing runs host-side numpy
+            dists, rows = self._ann.search(
+                q, k, mask=mask,
+                overfetch=self.config.overfetch if filter is not None else 1)
+            built = self._ann._built_count
+            if self._store.count > built:
+                # appended tail not yet in the index: exact-scan it and
+                # merge (row spaces are disjoint, so no dedup needed)
+                td, tr = self._tail_exact(q, k, mask, built)
+                dists, rows = topk_mod.merge_topk_host(
+                    dists, rows, td, tr, k)
+            return dists, rows
+        return self._store.search(
+            q, k, self.config.metric, extra_mask=mask,
+            compute_dtype=self.config.compute_dtype,
+            topk=self.config.topk)
 
     def brute_force_search(self, query, k: int = 10,
                            filter: Optional[Filter] = None,

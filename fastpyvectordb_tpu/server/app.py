@@ -50,9 +50,11 @@ from ..embeddings import get_embedder
 from ..graphdb import GraphDB
 from ..realtime import AsyncConnectionManager, Event, EventType, Subscription
 from . import schemas as S
+from . import wire
 from .batcher import QueryBatcher
 
 JSON = "application/json"
+MSGPACK = "application/msgpack"
 
 
 def _json_error(status: int, message: str):
@@ -93,7 +95,7 @@ def _hit_dict(h, include_vector=False) -> dict:
 def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
                embedding_provider: str = "auto",
                graph_path: Optional[str] = None,
-               batch_window_ms: float = 2.0,
+               batch_window_ms: float = 2.0, batch_max: int = 256,
                cors: bool = True) -> "web.Application":
     if not HAS_AIOHTTP:
         raise RuntimeError("aiohttp is required for the server")
@@ -105,7 +107,8 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         "embedder": None,
         "embedding_provider": embedding_provider,
         "ws": AsyncConnectionManager(),
-        "batcher": QueryBatcher(window_ms=batch_window_ms),
+        "batcher": QueryBatcher(window_ms=batch_window_ms,
+                                max_batch=batch_max),
         "started": time.time(),
         "full": full,
     }
@@ -217,6 +220,24 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
     async def insert_batch(request):
         name = request.match_info["name"]
         c = collection_or_404(name)
+        if wire.is_binary(request):
+            # raw-f32 ingest (see server/wire.py): JSON decode of 768-d
+            # rows dominated the round-2 ingest measurement
+            try:
+                body = wire.unpack(await request.read())
+                vectors = wire.decode_matrix(body.get("vectors"),
+                                             c.config.dimensions)
+                ids = await asyncio.get_running_loop().run_in_executor(
+                    None, lambda: c.insert_batch(
+                        vectors, body.get("ids"), body.get("metadatas")))
+            except ValueError as e:
+                return web.Response(body=wire.pack({"detail": str(e)}),
+                                    status=400, content_type=MSGPACK)
+            await broadcast(Event(EventType.BATCH_INSERT, name,
+                                  {"count": len(ids)}))
+            return web.Response(
+                body=wire.pack({"ids": ids, "count": len(ids)}),
+                status=201, content_type=MSGPACK)
         req = _parse(S.InsertBatchRequest, await _body(request))
         try:
             ids = c.insert_batch(np.asarray(req.vectors, dtype=np.float32),
@@ -301,9 +322,76 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
             text=json.dumps({"detail": "vector or text required"}),
             content_type=JSON)
 
+    def _binary_filter(body: dict) -> Optional[Filter]:
+        if body.get("filter_tree"):
+            return filter_from_tree(body["filter_tree"])
+        return Filter.from_dict(body.get("where"))
+
+    def _binary_mode_exact(body: dict):
+        mode = body.get("mode", "auto")
+        if mode not in ("auto", "exact", "ann", "quantized"):
+            raise ValueError(f"unknown mode {mode!r}")
+        exact = (None if mode == "auto"
+                 else mode == "exact" if mode != "quantized" else None)
+        return mode, exact
+
+    async def _search_binary(request, c, single: bool):
+        """msgpack + raw-f32 fast path (see server/wire.py): no pydantic,
+        no JSON, no SearchResult objects — parse bytes, dispatch arrays,
+        pack bytes."""
+        try:
+            body = wire.unpack(await request.read())
+            k = int(body.get("k", 10))
+            if not 1 <= k <= 16_384:
+                raise ValueError(f"k={k} out of range")
+            mode, exact = _binary_mode_exact(body)
+            filt = _binary_filter(body)
+            if single:
+                q = wire.decode_vector(body.get("vector"),
+                                       c.config.dimensions)
+            else:
+                q = wire.decode_matrix(body.get("vectors"),
+                                       c.config.dimensions)
+            t0 = time.perf_counter()
+            loop = asyncio.get_running_loop()
+            metadata = None
+            if mode == "quantized":
+                qm = q[None, :] if single else q
+                hits_b = await loop.run_in_executor(
+                    None, lambda: c.search_quantized(qm, k, filter=filt))
+                ids = np.full((len(hits_b), k), None, dtype=object)
+                scores = np.full((len(hits_b), k), np.inf, dtype=np.float32)
+                for bi, hits in enumerate(hits_b):
+                    for ki, h in enumerate(hits[:k]):
+                        ids[bi, ki], scores[bi, ki] = h.id, h.score
+                if body.get("include_metadata"):
+                    metadata = [[h.metadata for h in hits[:k]]
+                                + [None] * (k - min(len(hits), k))
+                                for hits in hits_b]
+            else:
+                if single:
+                    i_row, s_row, r_row = await state["batcher"].search_raw(
+                        c, q, k, filt, exact)
+                    ids, scores, rows = i_row[None], s_row[None], r_row[None]
+                else:
+                    ids, scores, rows = await loop.run_in_executor(
+                        None, lambda: c.search_arrays(q, k, filt, exact))
+                if body.get("include_metadata"):
+                    metadata = c.metadata_for_rows(rows)
+            took = (time.perf_counter() - t0) * 1000
+        except ValueError as e:
+            return web.Response(
+                body=wire.pack({"detail": str(e)}), status=400,
+                content_type=MSGPACK)
+        return web.Response(
+            body=wire.search_response(ids, scores, took, metadata, single),
+            content_type=MSGPACK)
+
     async def search(request):
         name = request.match_info["name"]
         c = collection_or_404(name)
+        if wire.is_binary(request):
+            return await _search_binary(request, c, single=True)
         req = _parse(S.SearchRequest, await _body(request))
         t0 = time.perf_counter()
         try:
@@ -360,6 +448,8 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
     async def search_batch(request):
         name = request.match_info["name"]
         c = collection_or_404(name)
+        if wire.is_binary(request):
+            return await _search_binary(request, c, single=False)
         req = _parse(S.SearchBatchRequest, await _body(request))
         if req.vectors is not None:
             q = np.asarray(req.vectors, dtype=np.float32)

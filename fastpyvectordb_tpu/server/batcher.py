@@ -20,7 +20,7 @@ import numpy as np
 
 
 class QueryBatcher:
-    def __init__(self, window_ms: float = 2.0, max_batch: int = 64):
+    def __init__(self, window_ms: float = 2.0, max_batch: int = 256):
         self.window = window_ms / 1000.0
         self.max_batch = max_batch
         self._buckets: Dict[Tuple, List] = {}
@@ -33,9 +33,23 @@ class QueryBatcher:
 
     async def search(self, collection, vector: np.ndarray, k: int,
                      filter=None, exact: Optional[bool] = None):
-        """Await one query's results, transparently batched."""
+        """Await one query's results (List[SearchResult]), transparently
+        batched."""
+        return await self._enqueue(collection, vector, k, filter, exact,
+                                   raw=False)
+
+    async def search_raw(self, collection, vector: np.ndarray, k: int,
+                         filter=None, exact: Optional[bool] = None):
+        """Array-shaped variant for the binary wire path: resolves to
+        ``(ids_row, scores_row, rows_row)`` from Collection.search_arrays
+        — no SearchResult objects anywhere in the pipeline."""
+        return await self._enqueue(collection, vector, k, filter, exact,
+                                   raw=True)
+
+    async def _enqueue(self, collection, vector, k, filter, exact, raw):
         key = (id(collection), k,
-               filter.fingerprint() if filter is not None else None, exact)
+               filter.fingerprint() if filter is not None else None,
+               exact, raw)
         fut = asyncio.get_running_loop().create_future()
         async with self._lock:
             bucket = self._buckets.setdefault(key, [])
@@ -46,23 +60,23 @@ class QueryBatcher:
                 if t:
                     t.cancel()
                 t = asyncio.get_running_loop().create_task(
-                    self._flush(bucket, k, exact))
+                    self._flush(bucket, k, exact, raw))
                 self._inflight.add(t)
                 t.add_done_callback(self._inflight.discard)
             elif key not in self._flusher:
                 self._flusher[key] = asyncio.get_running_loop().create_task(
-                    self._delayed_flush(key, k, exact))
+                    self._delayed_flush(key, k, exact, raw))
         return await fut
 
-    async def _delayed_flush(self, key, k, exact):
+    async def _delayed_flush(self, key, k, exact, raw):
         await asyncio.sleep(self.window)
         async with self._lock:
             bucket = self._buckets.pop(key, None)
             self._flusher.pop(key, None)
         if bucket:
-            await self._flush(bucket, k, exact)
+            await self._flush(bucket, k, exact, raw)
 
-    async def _flush(self, bucket, k, exact):
+    async def _flush(self, bucket, k, exact, raw):
         # EVERYTHING inside the try: np.stack raises on inconsistent query
         # shapes (e.g. one wrong-dims query coalesced with good ones), and
         # an exception before set_exception would strand every future in
@@ -71,12 +85,21 @@ class QueryBatcher:
             vectors = np.stack([b[0] for b in bucket])
             collection = bucket[0][2]
             filt = bucket[0][3]
-            results = await asyncio.get_running_loop().run_in_executor(
-                None, lambda: collection.search_batch(
-                    vectors, k, filt, False, exact))
-            for (_, fut, _, _), hits in zip(bucket, results):
-                if not fut.done():
-                    fut.set_result(hits)
+            loop = asyncio.get_running_loop()
+            if raw:
+                ids, scores, rows = await loop.run_in_executor(
+                    None, lambda: collection.search_arrays(
+                        vectors, k, filt, exact))
+                for i, (_, fut, _, _) in enumerate(bucket):
+                    if not fut.done():
+                        fut.set_result((ids[i], scores[i], rows[i]))
+            else:
+                results = await loop.run_in_executor(
+                    None, lambda: collection.search_batch(
+                        vectors, k, filt, False, exact))
+                for (_, fut, _, _), hits in zip(bucket, results):
+                    if not fut.done():
+                        fut.set_result(hits)
         except Exception as e:
             for _, fut, _, _ in bucket:
                 if not fut.done():

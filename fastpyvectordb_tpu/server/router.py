@@ -30,7 +30,12 @@ except ImportError:  # pragma: no cover - aiohttp is in the base env
     aiohttp = None
     web = None
 
+import numpy as np
+
+from . import wire
+
 JSON = "application/json"
+MSGPACK = "application/msgpack"
 
 
 def _shard_of(id: str, n: int) -> int:
@@ -82,6 +87,25 @@ def create_router_app(shards: List[str],
 
     async def _post(url: str, body: dict):
         return await _call("POST", url, body=body)
+
+    async def _post_binary(url: str, payload: bytes):
+        """One msgpack shard call → (status, unpacked dict)."""
+        s = await session()
+        try:
+            async with s.post(url, data=payload,
+                              headers={"Content-Type": MSGPACK}) as r:
+                raw = await r.read()
+                try:
+                    return r.status, wire.unpack(raw)
+                except Exception:
+                    return r.status, {"detail": raw[:200].decode(
+                        "utf-8", "replace")}
+        except Exception as e:
+            return 503, {"detail": f"shard unreachable: {e}"}
+
+    def _bin_resp(obj: dict, status: int = 200):
+        return web.Response(body=wire.pack(obj), status=status,
+                            content_type=MSGPACK)
 
     async def _fanout_post(path: str, body: dict):
         return await asyncio.gather(
@@ -178,6 +202,8 @@ def create_router_app(shards: List[str],
 
     async def insert_batch(request):
         name = request.match_info["name"]
+        if request.content_type in wire.MSGPACK_TYPES:
+            return await _insert_batch_binary(request, name)
         body = await request.json()
         vectors = body.get("vectors") or []
         ids = body.get("ids") or [str(uuid.uuid4()) for _ in vectors]
@@ -205,6 +231,54 @@ def create_router_app(shards: List[str],
         if bad:
             return web.json_response(bad[0][1], status=bad[0][0])
         return web.json_response({"ids": ids}, status=201)
+
+    async def _insert_batch_binary(request, name: str):
+        """Raw-f32 ingest split by id hash; row dims are inferred from the
+        id count (the router doesn't know collection dims)."""
+        try:
+            body = wire.unpack(await request.read())
+            raw = body.get("vectors")
+            if not isinstance(raw, (bytes, bytearray, memoryview)):
+                return _bin_resp(
+                    {"detail": "binary insert requires raw-f32 vectors"}, 400)
+            buf = np.frombuffer(raw, dtype="<f4")
+            ids = body.get("ids")
+            if not ids:
+                return _bin_resp(
+                    {"detail": "binary insert_batch requires ids (vector "
+                     "count is inferred from them)"}, 400)
+            if buf.size % len(ids):
+                return _bin_resp(
+                    {"detail": f"{buf.size * 4} bytes is not a whole "
+                     f"number of rows for {len(ids)} ids"}, 400)
+            vecs = buf.reshape(len(ids), -1)
+            metas = body.get("metadatas")
+            if metas is not None and len(metas) != len(ids):
+                return _bin_resp(
+                    {"detail": "metadatas/ids length mismatch"}, 400)
+        except ValueError as e:
+            return _bin_resp({"detail": str(e)}, 400)
+        parts = {i: ([], [], []) for i in range(n)}
+        for j, rid in enumerate(ids):
+            sv, si, sm = parts[_shard_of(rid, n)]
+            sv.append(j)
+            si.append(rid)
+            sm.append(metas[j] if metas else None)
+        calls = []
+        for i, (sv, si, sm) in parts.items():
+            if not sv:
+                continue
+            calls.append(_post_binary(
+                f"{shards[i]}/collections/{name}/vectors/batch",
+                wire.pack({"vectors": np.ascontiguousarray(
+                               vecs[sv]).tobytes(),
+                           "ids": si,
+                           "metadatas": sm if metas else None})))
+        outs = await asyncio.gather(*calls)
+        bad = [o for o in outs if o[0] >= 400]
+        if bad:
+            return _bin_resp(bad[0][1], bad[0][0])
+        return _bin_resp({"ids": list(ids), "count": len(ids)}, 201)
 
     async def get_vector(request):
         name, rid = request.match_info["name"], request.match_info["id"]
@@ -260,8 +334,67 @@ def create_router_app(shards: List[str],
         flat.sort(key=lambda h: h["score"])
         return flat[:k]
 
+    def _merge_binary(outs, k: int, single: bool, with_meta: bool):
+        """Merge per-shard binary responses: per query, concatenate every
+        shard's (ids, scores[, metadata]) top-k and keep the k smallest
+        scores (empty slots carry +inf so they lose automatically)."""
+        oks = [o[1] for o in outs if o[0] == 200]
+        id_grids, sc_grids, md_grids = [], [], []
+        for out in oks:
+            ids = [out["ids"]] if single else out["ids"]
+            sc = np.frombuffer(out["scores"],
+                               dtype="<f4").reshape(len(ids), -1)
+            id_grids.append(ids)
+            sc_grids.append(sc)
+            if with_meta:
+                md = out.get("metadata")
+                md_grids.append([md] if single else md)
+        nq = len(id_grids[0])
+        all_sc = np.concatenate(sc_grids, axis=1)  # (nq, shards*k)
+        order = np.argsort(all_sc, axis=1, kind="stable")[:, :k]
+        merged_scores = np.take_along_axis(all_sc, order, axis=1)
+        merged_ids, merged_md = [], []
+        for qi in range(nq):
+            flat_ids = [i for grid in id_grids for i in grid[qi]]
+            merged_ids.append([flat_ids[j] for j in order[qi]])
+            if with_meta:
+                flat_md = [m for grid in md_grids
+                           for m in (grid[qi] if grid else [])]
+                merged_md.append([flat_md[j] if j < len(flat_md) else None
+                                  for j in order[qi]])
+        resp = {"ids": merged_ids[0] if single else merged_ids,
+                "scores": wire.encode_scores(
+                    merged_scores[0] if single else merged_scores),
+                "shards_ok": len(oks)}
+        if with_meta:
+            resp["metadata"] = merged_md[0] if single else merged_md
+        return resp
+
+    async def _search_binary(request, single: bool):
+        name = request.match_info["name"]
+        payload = await request.read()
+        try:
+            body = wire.unpack(payload)
+            k = int(body.get("k", 10))
+        except (ValueError, TypeError) as e:
+            return _bin_resp({"detail": f"bad msgpack body: {e}"}, 400)
+        path = (f"/collections/{name}/search" if single
+                else f"/collections/{name}/search/batch")
+        t0 = time.perf_counter()
+        outs = await asyncio.gather(
+            *[_post_binary(u + path, payload) for u in shards])
+        bad = [o for o in outs if o[0] >= 400]
+        if len(bad) == len(outs):
+            return _bin_resp(bad[0][1], bad[0][0])
+        resp = _merge_binary(outs, k, single,
+                             bool(body.get("include_metadata")))
+        resp["took_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
+        return _bin_resp(resp)
+
     async def search(request):
         name = request.match_info["name"]
+        if request.content_type in wire.MSGPACK_TYPES:
+            return await _search_binary(request, single=True)
         body = await request.json()
         k = int(body.get("k", 10))
         t0 = time.perf_counter()
@@ -278,6 +411,8 @@ def create_router_app(shards: List[str],
 
     async def search_batch(request):
         name = request.match_info["name"]
+        if request.content_type in wire.MSGPACK_TYPES:
+            return await _search_binary(request, single=False)
         body = await request.json()
         k = int(body.get("k", 10))
         t0 = time.perf_counter()
