@@ -63,7 +63,7 @@ async def drive_concurrent(base, queries, concurrency, k, binary=False):
     hdr = {"Content-Type": "application/msgpack"}
 
     async def worker(wq):
-        async with httpx.AsyncClient(base_url=base, timeout=120) as c:
+        async with httpx.AsyncClient(base_url=base, timeout=600) as c:
             for q in wq:
                 t0 = time.perf_counter()
                 if binary:
@@ -117,7 +117,7 @@ async def drive_batched(base, queries, batch, k, binary=False,
         r.raise_for_status()
         total[0] += len(chunk)
 
-    async with httpx.AsyncClient(base_url=base, timeout=300) as c:
+    async with httpx.AsyncClient(base_url=base, timeout=600) as c:
         for g in range(0, len(starts), pipeline):
             await asyncio.gather(*[send(c, s)
                                    for s in starts[g: g + pipeline]])
@@ -207,8 +207,16 @@ def main():
     queries = [rng.standard_normal(args.dims).astype(np.float32)
                for _ in range(args.queries)]
 
-    # warmup (compile): cover the coalesced-batch pow2 buckets so the
-    # measured pass never hits a fresh XLA compile mid-flight
+    # warmup (compile): queries pad to pow2 buckets (store.py:164), so
+    # pre-compile every bucket IN-PROCESS first — first compiles through
+    # the tunnel take minutes and would trip HTTP client timeouts
+    for b in (1, 8, 16, 32, 64, 128, 256, 512, 1024):
+        t0 = time.perf_counter()
+        col.search_batch(
+            rng.standard_normal((b, args.dims)).astype(np.float32), args.k)
+        print(json.dumps({"exp": f"prewarm_b{b}",
+                          "s": round(time.perf_counter() - t0, 1)}),
+              flush=True)
     for conc in (1, 4, 16, 64):
         asyncio.run(drive_concurrent(base, queries[: 2 * conc], conc, args.k))
 

@@ -56,7 +56,10 @@ def bm25_from_dict(d: dict, impl: str = "auto"):
         from .. import native
         if impl != "python" and native.available():
             return native.NativeBM25.from_dict(d)
-        # no toolchain: replay the retained texts into the Python index
+        if "postings" in d:  # postings-style native dict: load directly
+            return BM25Index.from_dict(d)
+        # legacy texts-style dict without a toolchain: replay the
+        # retained texts into the Python index
         cfg = d.get("config", {})
         idx = BM25Index(BM25Config(**{k: v for k, v in cfg.items()
                                       if k in ("k1", "b")}))
@@ -221,13 +224,49 @@ class HybridCollection(Collection):
     # ------------------------------------------------------------------
     def save(self) -> None:
         super().save()
-        save_container(self.base_path / BM25_FILE,
-                       {"bm25": self._bm25.to_dict(),
-                        "text_fields": self.text_fields},
+        import numpy as _np
+        from .. import native
+        if isinstance(self._bm25, getattr(native, "NativeBM25", ())):
+            # binary C-ABI export: reload imports postings directly
+            # instead of re-tokenizing the whole corpus (ROADMAP #21)
+            sections = {
+                "bm25": {"config": {"k1": self._bm25.k1, "b": self._bm25.b},
+                         "native": True, "blob": True,
+                         "ids": self._bm25.doc_ids},
+                "bm25_blob": _np.frombuffer(self._bm25.export_blob(),
+                                            dtype=_np.uint8),
+                "text_fields": self.text_fields,
+            }
+        else:
+            sections = {"bm25": self._bm25.to_dict(),
+                        "text_fields": self.text_fields}
+        save_container(self.base_path / BM25_FILE, sections,
                        meta={"kind": "bm25"})
 
     def _load_bm25(self) -> None:
+        from .. import native
         c = load_container(self.base_path / BM25_FILE)
-        self._bm25 = bm25_from_dict(c.read("bm25"), self._bm25_impl)
+        d = c.read("bm25")
+        if d.get("blob"):
+            blob = bytes(c.read("bm25_blob"))
+            cfg = d.get("config", {})
+            k1, b = cfg.get("k1", 1.5), cfg.get("b", 0.75)
+            if self._bm25_impl != "python" and native.available():
+                self._bm25 = native.NativeBM25.from_blob(
+                    blob, d.get("ids", []), k1, b)
+            else:
+                # no toolchain: decode the blob host-side into the
+                # pure-Python index (still no re-tokenize)
+                postings, doc_len = native.decode_bm25_blob(blob)
+                ids = d.get("ids", [])
+                self._bm25 = BM25Index.from_dict({
+                    "config": {"k1": k1, "b": b},
+                    "postings": {t: {ids[u]: tf for u, tf in p.items()
+                                     if u < len(ids) and ids[u] is not None}
+                                 for t, p in postings.items()},
+                    "doc_len": {ids[u]: dl for u, dl in doc_len.items()
+                                if u < len(ids) and ids[u] is not None}})
+        else:
+            self._bm25 = bm25_from_dict(d, self._bm25_impl)
         tf = c.read("text_fields")
         self.text_fields = list(tf) if tf else None

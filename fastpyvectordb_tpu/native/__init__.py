@@ -96,6 +96,14 @@ def load_library() -> Optional[ctypes.CDLL]:
         lib.bm25_tokenize.restype = ctypes.c_int
         lib.bm25_tokenize.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                       ctypes.c_int]
+        lib.bm25_export_size.restype = ctypes.c_int64
+        lib.bm25_export_size.argtypes = [ctypes.c_void_p]
+        lib.bm25_export.restype = ctypes.c_int64
+        lib.bm25_export.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_int64]
+        lib.bm25_import.restype = ctypes.c_void_p
+        lib.bm25_import.argtypes = [ctypes.c_double, ctypes.c_double,
+                                    ctypes.c_char_p, ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -120,10 +128,6 @@ class NativeBM25:
         self._h = lib.bm25_create(k1, b)
         self._id_to_u32: Dict[str, int] = {}
         self._u32_to_id: List[Optional[str]] = []
-        # retained raw text per doc (zlib-compressed — only ever read at
-        # serialization time; uncompressed it duplicated the whole text
-        # corpus in host RAM) so to_dict()/rebuilds can replay
-        self._texts: Dict[str, bytes] = {}
 
     @staticmethod
     def _norm(text: str) -> bytes:
@@ -158,15 +162,12 @@ class NativeBM25:
             u = len(self._u32_to_id)
             self._id_to_u32[doc_id] = u
             self._u32_to_id.append(doc_id)
-        import zlib
-        self._texts[doc_id] = zlib.compress(text.encode("utf-8"), 6)
         self._lib.bm25_add_document(self._h, u, self._norm(text))
 
     def remove_document(self, doc_id: str) -> bool:
         u = self._id_to_u32.get(doc_id)
         if u is None:
             return False
-        self._texts.pop(doc_id, None)
         return bool(self._lib.bm25_remove_document(self._h, u))
 
     def idf(self, term: str) -> float:
@@ -204,26 +205,128 @@ class NativeBM25:
         from ..hybrid.bm25 import tokenize as _pytokenize
         return _pytokenize(text)
 
-    # -- serialization: replay-based -----------------------------------
+    # -- serialization: binary postings export (no re-tokenize) --------
+    def export_blob(self) -> bytes:
+        """Serialize postings + doc lengths via the C ABI (bm25.cpp
+        bm25_export).  Reloading through ``from_blob`` skips tokenization
+        entirely — the round-2 native index replayed the whole text
+        corpus on load (VERDICT r2 item #6 / ROADMAP #21)."""
+        size = int(self._lib.bm25_export_size(self._h))
+        buf = ctypes.create_string_buffer(size)
+        n = int(self._lib.bm25_export(self._h, buf, size))
+        if n < 0:
+            raise RuntimeError("bm25_export buffer sizing failed")
+        return buf.raw[:n]
+
+    @property
+    def doc_ids(self) -> List[Optional[str]]:
+        """u32 handle -> string doc id (None = removed handle)."""
+        return list(self._u32_to_id)
+
+    @classmethod
+    def from_blob(cls, blob: bytes, ids: List[Optional[str]],
+                  k1: float = 1.5, b: float = 0.75) -> "NativeBM25":
+        idx = cls(k1, b)
+        h = idx._lib.bm25_import(k1, b, blob, len(blob))
+        if not h:
+            raise ValueError("malformed BM25 state blob")
+        idx._lib.bm25_destroy(idx._h)
+        idx._h = h
+        idx._u32_to_id = list(ids)
+        idx._id_to_u32 = {d: u for u, d in enumerate(ids) if d is not None}
+        return idx
+
     def to_dict(self) -> dict:
-        import zlib
+        """Postings-style dict, same shape as the Python BM25Index.to_dict
+        (hybrid/bm25.py:115) so either engine can load it."""
+        postings, doc_len = decode_bm25_blob(self.export_blob())
+        u2i = self._u32_to_id
         return {"config": {"k1": self.k1, "b": self.b},
-                "texts": {i: zlib.decompress(t).decode("utf-8")
-                          for i, t in self._texts.items()},
+                "postings": {t: {u2i[u]: tf for u, tf in p.items()
+                                 if u < len(u2i) and u2i[u] is not None}
+                             for t, p in postings.items()},
+                "doc_len": {u2i[u]: dl for u, dl in doc_len.items()
+                            if u < len(u2i) and u2i[u] is not None},
                 "native": True}
 
     @classmethod
     def from_dict(cls, d: dict) -> "NativeBM25":
         cfg = d.get("config", {})
-        idx = cls(cfg.get("k1", 1.5), cfg.get("b", 0.75))
-        for doc_id, text in d.get("texts", {}).items():
-            idx.add_document(doc_id, text)
-        return idx
+        k1, b = cfg.get("k1", 1.5), cfg.get("b", 0.75)
+        if "texts" in d:  # legacy round-2 containers: replay-based
+            idx = cls(k1, b)
+            for doc_id, text in d["texts"].items():
+                idx.add_document(doc_id, text)
+            return idx
+        # postings-style dict (from either engine): build the binary blob
+        # host-side and import — no tokenization
+        ids = sorted(d.get("doc_len", {}))
+        handle = {doc: u for u, doc in enumerate(ids)}
+        postings = {t: {handle[doc]: int(tf) for doc, tf in p.items()}
+                    for t, p in d.get("postings", {}).items()}
+        doc_len = {handle[doc]: int(dl)
+                   for doc, dl in d.get("doc_len", {}).items()}
+        return cls.from_blob(encode_bm25_blob(postings, doc_len), ids, k1, b)
 
     def stats(self) -> dict:
         return {"documents": self.n_docs,
                 "terms": int(self._lib.bm25_n_terms(self._h)),
                 "avg_doc_len": self.avg_doc_len, "backend": "native"}
+
+
+# ----------------------------------------------------------------------
+# BM25 state-blob codec (pure Python mirror of bm25.cpp's export format),
+# used to (a) load a native-written container on a machine with no C++
+# toolchain, and (b) build an importable blob from a postings dict.
+# Layout: see bm25.cpp "Binary state export/import".
+# ----------------------------------------------------------------------
+BM25_MAGIC = b"FVBM25\x00\x01"
+
+
+def decode_bm25_blob(blob: bytes) -> Tuple[Dict[str, Dict[int, int]],
+                                           Dict[int, int]]:
+    """blob -> (postings {term: {handle: tf}}, doc_len {handle: len})."""
+    import struct
+    if blob[:8] != BM25_MAGIC:
+        raise ValueError("bad BM25 blob magic")
+    off = 8
+    n_docs, n_terms, _total = struct.unpack_from("<QQQ", blob, off)
+    off += 24
+    pairs = np.frombuffer(blob, dtype="<u4", count=2 * n_docs,
+                          offset=off).reshape(-1, 2)
+    off += 8 * n_docs
+    doc_len = {int(d): int(l) for d, l in pairs}
+    postings: Dict[str, Dict[int, int]] = {}
+    for _ in range(n_terms):
+        (tlen,) = struct.unpack_from("<I", blob, off)
+        off += 4
+        term = blob[off:off + tlen].decode("utf-8")
+        off += tlen
+        (df,) = struct.unpack_from("<I", blob, off)
+        off += 4
+        tf_pairs = np.frombuffer(blob, dtype="<u4", count=2 * df,
+                                 offset=off).reshape(-1, 2)
+        off += 8 * df
+        postings[term] = {int(d): int(tf) for d, tf in tf_pairs}
+    return postings, doc_len
+
+
+def encode_bm25_blob(postings: Dict[str, Dict[int, int]],
+                     doc_len: Dict[int, int]) -> bytes:
+    import struct
+    out = [BM25_MAGIC,
+           struct.pack("<QQQ", len(doc_len), len(postings),
+                       sum(doc_len.values()))]
+    for d, l in doc_len.items():
+        out.append(struct.pack("<II", d, l))
+    for term, p in postings.items():
+        tb = term.encode("utf-8")
+        out.append(struct.pack("<I", len(tb)))
+        out.append(tb)
+        out.append(struct.pack("<I", len(p)))
+        for d, tf in p.items():
+            out.append(struct.pack("<II", d, tf))
+    return b"".join(out)
 
 
 def load_graph_library() -> Optional[ctypes.CDLL]:

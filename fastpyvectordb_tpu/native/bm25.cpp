@@ -15,6 +15,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -181,6 +182,118 @@ int bm25_search(void* h, const char* query, int k, uint32_t* out_ids,
     }
     return kk;
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Binary state export/import (postings + doc lengths), so a persisted
+// index reloads WITHOUT re-tokenizing the corpus.  Layout (little-endian):
+//   u8[8]                     magic "FVBM25\0" + version byte 1
+//   u64 n_docs, u64 n_terms, u64 total_len
+//   n_docs  x (u32 doc_handle, u32 doc_len)
+//   n_terms x (u32 term_len, term bytes,
+//              u32 df, df x (u32 doc_handle, u32 tf))
+// ---------------------------------------------------------------------
+
+namespace {
+
+const char kMagic[8] = {'F', 'V', 'B', 'M', '2', '5', '\0', 1};
+
+template <typename T>
+void put(std::string& out, T v) {
+    out.append(reinterpret_cast<const char*>(&v), sizeof(T));
+}
+
+template <typename T>
+bool get(const char*& p, const char* end, T* v) {
+    if (p + sizeof(T) > end) return false;
+    std::memcpy(v, p, sizeof(T));
+    p += sizeof(T);
+    return true;
+}
+
+std::string export_state(const BM25Index& idx) {
+    std::string out;
+    out.append(kMagic, 8);
+    put<uint64_t>(out, idx.doc_len.size());
+    put<uint64_t>(out, idx.postings.size());
+    put<uint64_t>(out, idx.total_len);
+    for (const auto& [doc, len] : idx.doc_len) {
+        put<uint32_t>(out, doc);
+        put<uint32_t>(out, len);
+    }
+    for (const auto& [term, p] : idx.postings) {
+        put<uint32_t>(out, static_cast<uint32_t>(term.size()));
+        out.append(term);
+        put<uint32_t>(out, static_cast<uint32_t>(p.tf.size()));
+        for (const auto& [doc, tf] : p.tf) {
+            put<uint32_t>(out, doc);
+            put<uint32_t>(out, tf);
+        }
+    }
+    return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t bm25_export_size(void* h) {
+    return static_cast<int64_t>(
+        export_state(*static_cast<BM25Index*>(h)).size());
+}
+
+// Writes the serialized state into buf (capacity cap); returns bytes
+// written, or -1 if the buffer is too small.
+int64_t bm25_export(void* h, char* buf, int64_t cap) {
+    std::string s = export_state(*static_cast<BM25Index*>(h));
+    if (static_cast<int64_t>(s.size()) > cap) return -1;
+    std::memcpy(buf, s.data(), s.size());
+    return static_cast<int64_t>(s.size());
+}
+
+// Returns a new index handle, or nullptr on a malformed buffer.
+void* bm25_import(double k1, double b, const char* buf, int64_t len) {
+    const char* p = buf;
+    const char* end = buf + len;
+    if (len < 8 || std::memcmp(p, kMagic, 8) != 0) return nullptr;
+    p += 8;
+    uint64_t n_docs, n_terms, total_len;
+    if (!get(p, end, &n_docs) || !get(p, end, &n_terms) ||
+        !get(p, end, &total_len))
+        return nullptr;
+    auto idx = std::make_unique<BM25Index>();
+    idx->k1 = k1;
+    idx->b = b;
+    idx->total_len = total_len;
+    idx->doc_len.reserve(n_docs);
+    for (uint64_t i = 0; i < n_docs; ++i) {
+        uint32_t doc, dl;
+        if (!get(p, end, &doc) || !get(p, end, &dl)) return nullptr;
+        idx->doc_len[doc] = dl;
+    }
+    idx->postings.reserve(n_terms);
+    for (uint64_t i = 0; i < n_terms; ++i) {
+        uint32_t tlen;
+        if (!get(p, end, &tlen) || p + tlen > end) return nullptr;
+        std::string term(p, tlen);
+        p += tlen;
+        uint32_t df;
+        if (!get(p, end, &df)) return nullptr;
+        auto& posting = idx->postings[std::move(term)];
+        posting.tf.reserve(df);
+        for (uint32_t j = 0; j < df; ++j) {
+            uint32_t doc, tf;
+            if (!get(p, end, &doc) || !get(p, end, &tf)) return nullptr;
+            posting.tf[doc] = tf;
+        }
+    }
+    return idx.release();
+}
+
+}  // extern "C"
+
+extern "C" {
 
 // Tokenize into a NUL-joined buffer (for reuse of the native tokenizer from
 // Python).  Returns number of tokens; writes at most buf_len bytes.

@@ -195,3 +195,39 @@ def test_hybrid_search_dot_metric_normalized():
     vs = {r.id: r.vector_score for r in res}
     assert all(0.0 <= v <= 1.0 for v in vs.values()), vs
     assert res[0].id == "a"  # highest inner product AND the keyword hit
+
+
+def test_native_blob_persistence(tmp_path):
+    """Native BM25 persists as a binary state blob (no text replay on
+    load) and reloads bit-identically; a python-impl reload of the same
+    container decodes the blob host-side."""
+    from fastpyvectordb_tpu import native
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    from fastpyvectordb_tpu.core.types import CollectionConfig
+    from fastpyvectordb_tpu.persist.format import load_container
+
+    cfg = lambda: CollectionConfig(name="h", dimensions=8, metric="cosine")  # noqa: E731
+    col = HybridCollection(cfg(), base_path=tmp_path / "h",
+                           bm25_impl="native")
+    rng = np.random.default_rng(0)
+    texts = ["neural networks win", "pasta sauce recipe",
+             "market crash report", "vision transformers"]
+    col.insert_batch(rng.standard_normal((4, 8)).astype(np.float32),
+                     [f"d{i}" for i in range(4)],
+                     [{"text": t} for t in texts])
+    col.save()
+
+    c = load_container(tmp_path / "h" / "bm25.fpvt")
+    assert c.read("bm25").get("blob") and "bm25_blob" in c.keys()
+
+    col2 = HybridCollection(cfg(), base_path=tmp_path / "h",
+                            bm25_impl="native")
+    assert col2._bm25.search("pasta recipe", 2) == \
+        col._bm25.search("pasta recipe", 2)
+
+    col3 = HybridCollection(cfg(), base_path=tmp_path / "h",
+                            bm25_impl="python")
+    a = col._bm25.search("market crash", 2)
+    b = col3._bm25.search("market crash", 2)
+    assert [x[0] for x in a] == [x[0] for x in b]

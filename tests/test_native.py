@@ -139,3 +139,56 @@ def test_native_bm25_tie_break_parity():
         [h[0] for h in nat.search("same words", k=1)] == \
         [h[0] for h in py.search("same words", k=1)]
     assert nat.search("same", k=1)[0][0] == "a"  # doc-id tie-break
+
+
+def test_blob_export_import_roundtrip(pair):
+    """C-ABI binary state: import must reproduce searches exactly, with
+    no tokenization on the load path."""
+    _, nat = pair
+    blob = nat.export_blob()
+    nat2 = native.NativeBM25.from_blob(blob, nat.doc_ids,
+                                       nat.k1, nat.b)
+    for q in ("neural networks", "pasta", "stock market today"):
+        assert nat2.search(q, 5) == nat.search(q, 5)
+    assert nat2.stats() == nat.stats()
+
+
+def test_blob_python_codec_matches_native(pair):
+    """The pure-Python blob decoder (toolchain-free fallback) sees the
+    same postings the C++ engine wrote."""
+    py, nat = pair
+    postings, doc_len = native.decode_bm25_blob(nat.export_blob())
+    ids = nat.doc_ids
+    d = {"config": {"k1": nat.k1, "b": nat.b},
+         "postings": {t: {ids[u]: tf for u, tf in p.items()}
+                      for t, p in postings.items()},
+         "doc_len": {ids[u]: dl for u, dl in doc_len.items()}}
+    py2 = BM25Index.from_dict(d)
+    for q in ("neural networks", "vision images"):
+        a, b = py.search(q, 5), py2.search(q, 5)
+        assert [x[0] for x in a] == [x[0] for x in b]
+        np.testing.assert_allclose([x[1] for x in a], [x[1] for x in b],
+                                   rtol=1e-12)
+    # and the encoder round-trips back into the C++ engine
+    blob2 = native.encode_bm25_blob(postings, doc_len)
+    nat2 = native.NativeBM25.from_blob(blob2, ids, nat.k1, nat.b)
+    assert nat2.search("neural networks", 5) == nat.search(
+        "neural networks", 5)
+
+
+def test_from_dict_accepts_legacy_texts():
+    legacy = {"config": {"k1": 1.3, "b": 0.6}, "native": True,
+              "texts": dict(DOCS)}
+    idx = native.NativeBM25.from_dict(legacy)
+    assert idx.n_docs == len(DOCS) and idx.k1 == 1.3
+    assert idx.search("pasta", 1)[0][0] == "d3"
+
+
+def test_blob_survives_remove_and_readd(pair):
+    _, nat = pair
+    nat.remove_document("d2")
+    nat.add_document("d6", "fresh document about markets")
+    nat2 = native.NativeBM25.from_blob(nat.export_blob(), nat.doc_ids,
+                                       nat.k1, nat.b)
+    assert nat2.search("markets", 3) == nat.search("markets", 3)
+    assert nat2.search("vision", 3) == nat.search("vision", 3)
