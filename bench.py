@@ -1,4 +1,5 @@
-"""Headline benchmark: exact-search QPS at recall@10 >= 0.95 on 1M x 768-d.
+"""Headline benchmark: search QPS at recall@10 >= 0.95 on a CLUSTERED
+1M x 768-d corpus (1024 centers — benchmarks/_data.py construction).
 
 Prints ONE JSON line:
   {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ratio, ...}
@@ -47,15 +48,25 @@ def main():
     metric = DistanceMetric.COSINE
 
     key = jax.random.PRNGKey(0)
-    kv, kq = jax.random.split(key)
-    # generate the corpus on device in f32 (ground truth), then demote the
-    # serving copy to bf16
-    v32 = jax.random.normal(kv, (n, d), dtype=jnp.float32)
+    kv, kq, kc, ka, kaq = jax.random.split(key, 5)
+    # CLUSTERED corpus (round-2 verdict item 10): 1024 centers at 2x scale
+    # + unit noise, rows normalized, queries near centers — the same
+    # construction as benchmarks/_data.py, generated on device.  Gaussian
+    # noise is the *easy* case for approximate top-k and quantizers
+    # (uniform norms); clustered data is where candidate orderings
+    # actually collapse, so the headline recall is earned there.
+    n_centers = 1024
+    centers = 2.0 * jax.random.normal(kc, (n_centers, d), dtype=jnp.float32)
+    assign = jax.random.randint(ka, (n,), 0, n_centers)
+    v32 = centers[assign] + jax.random.normal(kv, (n, d), dtype=jnp.float32)
+    v32 = v32 / jnp.linalg.norm(v32, axis=1, keepdims=True)
     stats = K.corpus_stats(v32)
     sq, rinv = stats["sq"], stats["rinv"]
     v16 = v32.astype(jnp.bfloat16)
     mask = jnp.ones((n,), dtype=bool)
-    queries = jax.random.normal(kq, (batch, d), dtype=jnp.float32)
+    qassign = jax.random.randint(kaq, (batch,), 0, n_centers)
+    queries = (centers[qassign]
+               + 0.5 * jax.random.normal(kq, (batch, d), dtype=jnp.float32))
 
     # ---- recall@10 of the serving path (bf16 + hardware approx top-k)
     # against exact f32 ground truth -------------------------------------
@@ -119,8 +130,12 @@ def main():
     # warm up compile + measure over DISTINCT query batches (the runtime
     # deduplicates identical dispatches, which would inflate QPS)
     iters = 16 if on_accelerator else 3
-    qbatches = [jax.random.normal(jax.random.PRNGKey(100 + i), (batch, d),
-                                  dtype=jnp.float32) for i in range(iters + 1)]
+    qbatches = []
+    for i in range(iters + 1):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(100 + i))
+        qa = jax.random.randint(k1, (batch,), 0, n_centers)
+        qbatches.append(centers[qa] + 0.5 * jax.random.normal(
+            k2, (batch, d), dtype=jnp.float32))
     results = {}
     for mode, (run, rec) in candidates.items():
         jax.block_until_ready(run(qbatches[0]))
@@ -144,6 +159,7 @@ def main():
         "unit": "qps",
         "vs_baseline": round(qps_canonical / BASELINE_QPS, 2),
         "recall_at_10": round(recall, 4),
+        "corpus_kind": "clustered_1024c",
         "mode": best,
         "all_modes_qps": {m: round(v[0] * scale, 1)
                           for m, v in results.items()},

@@ -10,9 +10,12 @@ Usage: python benchmarks/outofcore_20m.py [--rows 20000000] [--batch 64]
 
 import argparse
 import json
+import sys
 import time
 
 import jax
+if "--cpu" in sys.argv:  # must precede backend init (sitecustomize
+    jax.config.update("jax_platforms", "cpu")  # forces axon otherwise)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np
@@ -33,6 +36,14 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--big", action="store_true",
                     help="run the BigCollection 10M part instead")
+    ap.add_argument("--memmap", default="/tmp/ooc_corpus.f32",
+                    help="disk-backed corpus path (round-2 verdict item 7: "
+                         "bound host RSS to the tile window); '' keeps the "
+                         "corpus in host RAM")
+    ap.add_argument("--scans", type=int, default=4,
+                    help="warm timed scans (first is warmup)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (handled pre-init above)")
     args = ap.parse_args()
     if args.big:
         bigcollection(batch=args.batch, k=args.k)
@@ -40,15 +51,33 @@ def main():
     n, d, b = args.rows, args.dims, args.batch
 
     emit(exp="setup", rows=n, dims=d, batch=b, tile=args.tile,
-         corpus_gb=round(n * d * 4 / 2**30, 1))
+         corpus_gb=round(n * d * 4 / 2**30, 1),
+         backing="memmap" if args.memmap else "ram")
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
-    corpus = np.empty((n, d), np.float32)
-    for s in range(0, n, 1_000_000):
-        e = min(s + 1_000_000, n)
-        x = rng.standard_normal((e - s, d)).astype(np.float32)
-        corpus[s:e] = x / np.linalg.norm(x, axis=1, keepdims=True)
-    emit(exp="corpus_built", s=round(time.perf_counter() - t0, 1))
+    if args.memmap:
+        import os
+        if (os.path.exists(args.memmap)
+                and os.path.getsize(args.memmap) == n * d * 4):
+            corpus = np.memmap(args.memmap, np.float32, "r", shape=(n, d))
+            emit(exp="corpus_reused", path=args.memmap)
+        else:
+            corpus = np.memmap(args.memmap, np.float32, "w+", shape=(n, d))
+            for s in range(0, n, 1_000_000):
+                e = min(s + 1_000_000, n)
+                x = rng.standard_normal((e - s, d)).astype(np.float32)
+                corpus[s:e] = x / np.linalg.norm(x, axis=1, keepdims=True)
+            corpus.flush()
+            emit(exp="corpus_built", s=round(time.perf_counter() - t0, 1))
+            # reopen read-only: dirty w+ pages would pin RSS until flushed
+            corpus = np.memmap(args.memmap, np.float32, "r", shape=(n, d))
+    else:
+        corpus = np.empty((n, d), np.float32)
+        for s in range(0, n, 1_000_000):
+            e = min(s + 1_000_000, n)
+            x = rng.standard_normal((e - s, d)).astype(np.float32)
+            corpus[s:e] = x / np.linalg.norm(x, axis=1, keepdims=True)
+        emit(exp="corpus_built", s=round(time.perf_counter() - t0, 1))
 
     searcher = OutOfCoreSearcher(corpus, metric="cosine",
                                  tile_rows=args.tile,
@@ -64,19 +93,40 @@ def main():
     emit(exp="planted_exact_match", top1_hit_rate=hit,
          first_pass_s=round(dt_first, 1))
 
-    # throughput: distinct random batches (runtime dedups identical work)
-    reps = 4
+    # throughput: distinct random batches (runtime dedups identical work),
+    # one JSON row PER SCAN with anonymous-RSS so retention regressions
+    # show up as a slope, not just a final max (round-2 verdict item 7:
+    # two 20M attempts host-OOMed in the warm pass; the fix must show
+    # flat RSS across >=3 scans)
+    def rss_gb():
+        anon = total = 0
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    total = int(line.split()[1]) / 2**20
+                elif line.startswith("RssAnon:"):
+                    anon = int(line.split()[1]) / 2**20
+        return round(anon, 2), round(total, 2)
+
+    scans = max(args.scans, 2)
     batches = [rng.standard_normal((b, d)).astype(np.float32)
-               for _ in range(reps)]
-    searcher.search(batches[0], k=args.k)  # warm
-    t0 = time.perf_counter()
-    for q in batches[1:]:
+               for _ in range(scans)]
+    dts = []
+    for i, q in enumerate(batches):
+        t0 = time.perf_counter()
         searcher.search(q, k=args.k)
-    dt = (time.perf_counter() - t0) / (reps - 1)
+        dt = time.perf_counter() - t0
+        anon, total = rss_gb()
+        emit(exp=f"scan{i}{'_warmup' if i == 0 else ''}",
+             s=round(dt, 1), rss_anon_gb=anon, rss_total_gb=total)
+        if i > 0:
+            dts.append(dt)
+    dt = sum(dts) / len(dts)
     rows_per_s = n / dt
-    emit(exp="outofcore_search_20Mx768", s_per_batch=round(dt, 2),
+    emit(exp=f"outofcore_search_{n // 1_000_000}Mx{d}",
+         s_per_batch=round(dt, 2),
          qps=round(b / dt, 2),
-         host_to_device_gbps=round(n * d * 4 / dt / 2**30, 2),
+         host_to_device_gbps=round(n * d * 2 / dt / 2**30, 2),
          rows_per_s=round(rows_per_s / 1e6, 1))
 
 
