@@ -40,6 +40,40 @@ C = K * RERANK
 REPS = 8
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "k", "c"))
+def v3_bf16_scores(q, codes, vmin, scale, vsq, rinv, vectors, mask, *,
+                   metric, k, c):
+    """Like v1 but the (B, N) coarse scores are cast to bf16 BEFORE the
+    approx_max_k — if XLA materializes the score matrix between the matmul
+    and the reduction, this halves the HBM bytes (4 GB -> 2 GB at B=1024).
+    The bf16 rounding only reorders candidates whose int8 scores already
+    tie within 2^-8 relative — the exact re-rank restores them."""
+    from fastpyvectordb_tpu.quant.scalar import _distances_int8_matmul
+    s = _distances_int8_matmul(q, codes, vmin, scale, vsq, rinv,
+                               metric=metric)
+    if mask is not None:
+        s = jnp.where(mask[None, :], s, MASKED)
+    neg, crows = jax.lax.approx_max_k((-s).astype(jnp.bfloat16), c,
+                                      recall_target=0.95)
+    cand_vecs = jnp.take(vectors, crows, axis=0)
+    return _rerank_body(q, cand_vecs, crows,
+                        (-neg).astype(jnp.float32) < MASKED * 0.5, metric,
+                        k, "bfloat16")
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "c"))
+def v5_coarse_only(q, codes, vmin, scale, vsq, rinv, mask, *, metric, c):
+    """Coarse scan + candidate selection only (no gather / re-rank):
+    isolates how much of the two-stage time the re-rank tail costs."""
+    from fastpyvectordb_tpu.quant.scalar import _distances_int8_matmul
+    s = _distances_int8_matmul(q, codes, vmin, scale, vsq, rinv,
+                               metric=metric)
+    if mask is not None:
+        s = jnp.where(mask[None, :], s, MASKED)
+    neg, crows = jax.lax.approx_max_k(-s, c, recall_target=0.95)
+    return -neg, crows
+
+
 def timed(fn, batches):
     jax.block_until_ready(fn(batches[0]))
     t0 = time.perf_counter()
@@ -96,7 +130,12 @@ def v2_rawint(q, codes, rs_vmin_qconst_dummy, rs, vectors, mask, *,
 
 def main():
     import sys
-    want = set(sys.argv[1:]) or {"raw", "v0", "v1", "v2"}
+    global B
+    args = [a for a in sys.argv[1:] if not a.startswith("b=")]
+    for a in sys.argv[1:]:
+        if a.startswith("b="):
+            B = int(a[2:])
+    want = set(args) or {"raw", "v0", "v1", "v2"}
     metric = DistanceMetric.COSINE
     rng = np.random.default_rng(0)
     print(json.dumps({"exp": "setup", "n": N, "d": D, "b": B, "c": C}),
@@ -164,6 +203,30 @@ def main():
                                  metric=metric, k=K, c=C)
         dt = timed(f2, batches)
         report("v2_rawint", dt, f2(batches[-1])[1], gt_last)
+
+    if "v3" in want:
+        # v3: bf16 scores into the approx_max_k (halved reduction bytes)
+        f3 = lambda q: v3_bf16_scores(q, codes, qz.vmin, qz.scale, vsq,
+                                      rinv, vbf16, mask, metric=metric,
+                                      k=K, c=C)
+        dt = timed(f3, batches)
+        report(f"v3_bf16_scores_b{B}", dt, f3(batches[-1])[1], gt_last)
+
+    if "v5" in want:
+        # v5: coarse + selection only (no rerank tail)
+        f5 = lambda q: v5_coarse_only(q, codes, qz.vmin, qz.scale, vsq,
+                                      rinv, mask, metric=metric, c=C)
+        dt = timed(f5, batches)
+        print(json.dumps({"exp": f"v5_coarse_only_b{B}",
+                          "ms": round(dt * 1e3, 2)}), flush=True)
+
+    if "exact" in want:
+        # reference: the exact bf16 + hardware-approx serving scan
+        fx = lambda q: Kd.search_kernel(
+            q, vbf16, stats["sq"], stats["rinv"], mask, metric=metric,
+            k=K, compute_dtype="bfloat16", approx=True)
+        dt = timed(fx, batches)
+        report(f"exact_bf16_b{B}", dt, fx(batches[-1])[1], gt_last)
 
 
 if __name__ == "__main__":

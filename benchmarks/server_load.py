@@ -59,6 +59,7 @@ async def drive_concurrent(base, queries, concurrency, k, binary=False):
     import httpx
     import msgpack
     lat = []
+    took = []  # server-side per-request time (includes batcher wait)
     done = [0]
     hdr = {"Content-Type": "application/msgpack"}
 
@@ -72,10 +73,13 @@ async def drive_concurrent(base, queries, concurrency, k, binary=False):
                         content=msgpack.packb(
                             {"vector": q.tobytes(), "k": k},
                             use_bin_type=True))
+                    r.raise_for_status()
+                    took.append(msgpack.unpackb(r.content).get("took_ms", 0))
                 else:
                     r = await c.post("/collections/load/search",
                                      json={"vector": q.tolist(), "k": k})
-                r.raise_for_status()
+                    r.raise_for_status()
+                    took.append(r.json().get("took_ms", 0))
                 lat.append(time.perf_counter() - t0)
                 done[0] += 1
 
@@ -85,14 +89,16 @@ async def drive_concurrent(base, queries, concurrency, k, binary=False):
     await asyncio.gather(*[worker(s) for s in slices])
     wall = time.perf_counter() - t0
     arr = np.asarray(sorted(lat))
+    tk = np.asarray(sorted(took))
     return {"qps": round(done[0] / wall, 1),
             "p50_ms": round(float(arr[len(arr) // 2]) * 1e3, 2),
             "p99_ms": round(float(arr[int(len(arr) * 0.99)]) * 1e3, 2),
+            "srv_p50_ms": round(float(tk[len(tk) // 2]), 2),
             "n": done[0]}
 
 
 async def drive_batched(base, queries, batch, k, binary=False,
-                        pipeline=2):
+                        pipeline=2, mode=None):
     """Client-side batch calls; ``pipeline`` in-flight requests keep the
     server busy while the client serializes the next batch."""
     import httpx
@@ -106,14 +112,18 @@ async def drive_batched(base, queries, batch, k, binary=False,
     async def send(c, s):
         chunk = qarr[s: s + batch]
         if binary:
+            body = {"vectors": np.ascontiguousarray(chunk).tobytes(),
+                    "k": k}
+            if mode:
+                body["mode"] = mode
             r = await c.post(
                 "/collections/load/search/batch", headers=hdr,
-                content=msgpack.packb(
-                    {"vectors": np.ascontiguousarray(chunk).tobytes(),
-                     "k": k}, use_bin_type=True))
+                content=msgpack.packb(body, use_bin_type=True))
         else:
-            r = await c.post("/collections/load/search/batch",
-                             json={"vectors": chunk.tolist(), "k": k})
+            body = {"vectors": chunk.tolist(), "k": k}
+            if mode:
+                body["mode"] = mode
+            r = await c.post("/collections/load/search/batch", json=body)
         r.raise_for_status()
         total[0] += len(chunk)
 
@@ -147,9 +157,13 @@ def main():
 
     print(json.dumps({"exp": "setup", "rows": args.rows, "dims": args.dims,
                       "platform": jax.devices()[0].platform}), flush=True)
+    # bf16 serving config: halves HBM streaming and query-upload bytes
+    # (the deployment default per DEPLOYMENT.md; recall impact <1%)
     httpx.post(f"{base}/collections",
                json={"name": "load", "dimensions": args.dims,
-                     "metric": "cosine"}, timeout=60).raise_for_status()
+                     "metric": "cosine", "compute_dtype": "bfloat16",
+                     "storage_dtype": "bfloat16", "topk": "auto"},
+               timeout=60).raise_for_status()
     # measure API-path ingest on a slice (JSON-bound), then bulk-fill the
     # rest in-process — this benchmark targets SEARCH serving, and 1M rows
     # of 768-d JSON would dominate the run without informing it
@@ -258,6 +272,27 @@ def main():
                                            binary=True))}
         out["vs_sequential"] = round(out["qps"] / max(seq_qps, 1e-9), 2)
         print(json.dumps(out), flush=True)
+
+    # ---- int8 two-stage over HTTP (the serving-default mode) ----
+    t0 = time.perf_counter()
+    r = httpx.post(f"{base}/collections/load/index",
+                   json={"kind": "int8", "params": {}}, timeout=3600)
+    r.raise_for_status()
+    print(json.dumps({"exp": "int8_build",
+                      "s": round(time.perf_counter() - t0, 1)}), flush=True)
+    for batch in (256, 1024):
+        if batch > len(queries):
+            continue
+        asyncio.run(drive_batched(base, queries[:batch], batch, args.k,
+                                  binary=True, mode="quantized"))  # warmup
+        out = {"exp": f"binary_int8_batched_b{batch}",
+               **asyncio.run(drive_batched(base, queries, batch, args.k,
+                                           binary=True, mode="quantized"))}
+        out["vs_sequential"] = round(out["qps"] / max(seq_qps, 1e-9), 2)
+        print(json.dumps(out), flush=True)
+    # coalesced singles against the int8 index (batcher path, exact=None
+    # falls through to the flat scan; quantized singles use
+    # search_quantized per-request — measure the batched default instead)
 
 
 if __name__ == "__main__":

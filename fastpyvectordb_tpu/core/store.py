@@ -168,8 +168,16 @@ class DeviceVectorStore:
             if b != bp:
                 q = jnp.pad(q, ((0, bp - b), (0, 0)))
         else:
-            q = jnp.asarray(
-                pad_rows(np.ascontiguousarray(queries, dtype=np.float32), bp))
+            qh = pad_rows(np.ascontiguousarray(queries, dtype=np.float32), bp)
+            if compute_dtype == "bfloat16":
+                # bf16 serving: demote the query block on the HOST so the
+                # upload moves half the bytes — on a remote-attached chip
+                # the transfer link (~45 MB/s tunnel) dominates the API
+                # path at large B (benchmarks/api_overhead.py: +152 ms at
+                # B=1024 f32).  The kernel computes in bf16 either way.
+                import ml_dtypes
+                qh = qh.astype(ml_dtypes.bfloat16)
+            q = jnp.asarray(qh)
         mask = self._combined_mask(extra_mask)
         kk = min(k, self.capacity)
         if topk == "auto":

@@ -180,7 +180,10 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         req = _parse(S.CreateCollectionRequest, await _body(request))
         try:
             c = db().create_collection(req.name, req.dimensions,
-                                       metric=req.metric, index=req.index)
+                                       metric=req.metric, index=req.index,
+                                       compute_dtype=req.compute_dtype,
+                                       storage_dtype=req.storage_dtype,
+                                       topk=req.topk)
         except ValueError as e:
             return _json_error(409, str(e))
         await broadcast(Event(EventType.COLLECTION_CREATED, req.name))

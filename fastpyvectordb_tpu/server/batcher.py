@@ -5,10 +5,17 @@ The reference's batch path is 3-6x faster per query than its single path
 (vectordb_optimized.py:577-644 vs :507) but servers only reach it when the
 *client* batches.  On TPU the gap is far larger (one fused GEMM amortizes
 dispatch + HBM streaming over the whole batch), so the server coalesces
-transparently: concurrent requests within a small window are merged into
-one ``search_batch`` call and the results are scattered back to their
-futures.  Requests with different (collection, k, filter) land in separate
-buckets so the fused mask stays per-bucket.
+transparently.  Requests with different (collection, k, filter) land in
+separate buckets so the fused mask stays per-bucket.
+
+Coalescing is CONTINUOUS, not fixed-window: while a dispatch for a bucket
+is in flight, new arrivals accumulate and flush as ONE batch the moment it
+completes.  A fixed window (round-2 design) only coalesces requests that
+arrive within ~2 ms of each other — under concurrent load against a 30 ms
+dispatch the workers desynchronize and every request flushes alone,
+serializing on the device (measured on chip: 16 workers -> batch-of-1
+dispatches, p50 585 ms).  In-flight-aware flushing batches at exactly the
+rate the device can serve: one wave computes while the next accumulates.
 """
 
 from __future__ import annotations
@@ -26,6 +33,7 @@ class QueryBatcher:
         self._buckets: Dict[Tuple, List] = {}
         self._lock = asyncio.Lock()
         self._flusher: Dict[Tuple, asyncio.Task] = {}
+        self._busy: Dict[Tuple, int] = {}  # in-flight dispatches per key
         # strong refs: the event loop only weak-refs scheduled tasks, so a
         # full-bucket flush task could be garbage-collected mid-flight and
         # every caller in the bucket would hang on its future
@@ -54,27 +62,61 @@ class QueryBatcher:
         async with self._lock:
             bucket = self._buckets.setdefault(key, [])
             bucket.append((vector, fut, collection, filter))
-            if len(bucket) >= self.max_batch:
-                self._buckets.pop(key)
-                t = self._flusher.pop(key, None)
-                if t:
-                    t.cancel()
-                t = asyncio.get_running_loop().create_task(
-                    self._flush(bucket, k, exact, raw))
-                self._inflight.add(t)
-                t.add_done_callback(self._inflight.discard)
+            if self._busy.get(key):
+                # a dispatch is computing right now: this request rides the
+                # next wave, launched from _flush_loop the moment the
+                # current one completes — no timer, no extra latency
+                pass
+            elif len(bucket) >= self.max_batch:
+                self._spawn_flush(key)
             elif key not in self._flusher:
                 self._flusher[key] = asyncio.get_running_loop().create_task(
-                    self._delayed_flush(key, k, exact, raw))
+                    self._delayed_flush(key))
         return await fut
 
-    async def _delayed_flush(self, key, k, exact, raw):
+    def _spawn_flush(self, key):
+        """Start a flush loop for ``key``.  Caller holds the lock and has
+        checked no other loop is active for the key."""
+        self._busy[key] = self._busy.get(key, 0) + 1
+        t = self._flusher.pop(key, None)
+        if t:
+            t.cancel()
+        t = asyncio.get_running_loop().create_task(self._flush_loop(key))
+        self._inflight.add(t)
+        t.add_done_callback(self._inflight.discard)
+
+    async def _delayed_flush(self, key):
         await asyncio.sleep(self.window)
         async with self._lock:
-            bucket = self._buckets.pop(key, None)
             self._flusher.pop(key, None)
-        if bucket:
-            await self._flush(bucket, k, exact, raw)
+            if self._buckets.get(key) and not self._busy.get(key):
+                self._spawn_flush(key)
+
+    async def _flush_loop(self, key):
+        """Dispatch waves for ``key`` until its bucket drains.  Only one
+        loop runs per key (guarded by _busy), so waves serialize on the
+        device while arrivals accumulate behind them."""
+        try:
+            while True:
+                async with self._lock:
+                    bucket = self._buckets.get(key, [])
+                    wave, rest = (bucket[:self.max_batch],
+                                  bucket[self.max_batch:])
+                    if rest:
+                        self._buckets[key] = rest
+                    else:
+                        self._buckets.pop(key, None)
+                    if not wave:
+                        self._busy.pop(key, None)
+                        return
+                await self._flush(wave, key[1], key[3], key[4])
+        finally:
+            # exception path: drop the busy marker so the key isn't wedged
+            if self._busy.get(key):
+                async with self._lock:
+                    self._busy.pop(key, None)
+                    if self._buckets.get(key):
+                        self._spawn_flush(key)
 
     async def _flush(self, bucket, k, exact, raw):
         # EVERYTHING inside the try: np.stack raises on inconsistent query

@@ -17,6 +17,12 @@ class CreateCollectionRequest(BaseModel):
     dimensions: int = Field(gt=0)
     metric: str = "cosine"
     index: str = "flat"
+    # TPU serving knobs (CollectionConfig): bfloat16 compute halves HBM
+    # streaming AND query-upload bytes; topk="auto" engages the hardware
+    # approximate top-k past 128k rows
+    compute_dtype: Literal["float32", "bfloat16"] = "float32"
+    storage_dtype: Literal["float32", "bfloat16"] = "float32"
+    topk: Literal["exact", "approx", "auto"] = "auto"
 
 
 class InsertVectorRequest(BaseModel):

@@ -249,6 +249,52 @@ def test_batcher_coalesces_concurrent_queries():
     assert calls == [8], f"expected one coalesced batch, got {calls}"
 
 
+def test_batcher_continuous_coalescing_under_inflight():
+    """While a dispatch is computing, arrivals must ACCUMULATE and flush as
+    one wave on completion — not flush one-by-one after the fixed window.
+    (On chip the fixed-window design degraded to batch-of-1 dispatches
+    under concurrent load: 16 workers, p50 585 ms — round-3 finding.)"""
+    import asyncio
+    import time as _t
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    from fastpyvectordb_tpu.server.batcher import QueryBatcher
+
+    col = Collection(CollectionConfig(name="cb", dimensions=8, metric="l2"))
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal((64, 8)).astype(np.float32)
+    col.insert_batch(v, [f"v{i}" for i in range(64)])
+
+    calls = []
+    orig = col.search_batch
+
+    def slow(queries, *a, **kw):
+        calls.append(np.asarray(queries).shape[0])
+        _t.sleep(0.05)  # a slow device dispatch
+        return orig(queries, *a, **kw)
+
+    col.search_batch = slow
+
+    async def run():
+        b = QueryBatcher(window_ms=1, max_batch=64)
+
+        async def one(i, delay):
+            await asyncio.sleep(delay)
+            return await b.search(col, v[i], k=1)
+
+        # staggered arrivals spread over ~64 ms: far wider than the 1 ms
+        # window, but they all land while earlier dispatches compute
+        return await asyncio.gather(
+            *[one(i, 0.002 * i) for i in range(32)])
+
+    results = asyncio.run(run())
+    assert [h[0].id for h in results] == [f"v{i}" for i in range(32)]
+    # continuous batching: the 32 staggered requests must ride FEW waves
+    # (first ~1-2 alone, then big accumulated waves); one-per-request
+    # would be 32 calls
+    assert sum(calls) == 32
+    assert len(calls) <= 8, f"expected few coalesced waves, got {calls}"
+
+
 def test_batcher_bad_query_fails_bucket_not_hangs():
     """A malformed query coalesced into a bucket must reject the whole
     flush with an exception on every future — never leave them pending
