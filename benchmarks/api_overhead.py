@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--rows", type=int, default=1_000_000)
     ap.add_argument("--dims", type=int, default=768)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 serving config (compute+storage bfloat16, "
+                         "topk auto) — the deployment default")
     args = ap.parse_args()
 
     import jax
@@ -50,8 +53,10 @@ def main():
     from fastpyvectordb_tpu import Collection, CollectionConfig
 
     rng = np.random.default_rng(7)
+    kw = (dict(compute_dtype="bfloat16", storage_dtype="bfloat16",
+               topk="auto") if args.bf16 else {})
     cfg = CollectionConfig(name="apiov", dimensions=args.dims,
-                           metric="cosine")
+                           metric="cosine", **kw)
     col = Collection(cfg)
     t0 = time.perf_counter()
     bs = 250_000
@@ -76,7 +81,8 @@ def main():
         row = {"exp": f"b{b}"}
 
         def kernel(q):
-            v, r = store.search(q, 10, metric, compute_dtype="float32",
+            v, r = store.search(q, 10, metric,
+                                compute_dtype=col.config.compute_dtype,
                                 topk=col.config.topk, return_device=True)
             v.block_until_ready()
         # warm (compile) then measure
@@ -84,7 +90,8 @@ def main():
         row["kernel_ms"] = round(bench(kernel, dev_batches, args.iters) * 1e3, 2)
 
         def store_host(q):
-            store.search(q, 10, metric, compute_dtype="float32",
+            store.search(q, 10, metric,
+                         compute_dtype=col.config.compute_dtype,
                          topk=col.config.topk)
         store_host(host_batches[0])
         row["store_ms"] = round(

@@ -340,6 +340,18 @@ class QuantizedScan:
         rerank_dtype = getattr(self, "compute_dtype", "float32")
         kk = min(k, c)
 
+        def q_dev():
+            # bf16 serving: demote the query block on the HOST — upload
+            # bytes dominate the API path on remote-attached chips
+            # (benchmarks/api_overhead.py), and both the int8 coarse
+            # quantization and the bf16 re-rank are insensitive to the
+            # rounding.  Host-side code paths (CPU binary encode) keep
+            # the f32 block.
+            if rerank_dtype == "bfloat16":
+                import ml_dtypes
+                return jnp.asarray(q.astype(ml_dtypes.bfloat16))
+            return jnp.asarray(q)
+
         # single-dispatch full pipelines (coarse scan -> candidates ->
         # gather -> exact re-rank): separate dispatches pay host/tunnel
         # latency that can dominate the kernels themselves
@@ -349,7 +361,7 @@ class QuantizedScan:
             vsq, rinv = self._sq_stats
             qz = self.quantizer
             dists, rows = _int8_two_stage(
-                jnp.asarray(q), jnp.asarray(self.codes), qz.vmin, qz.scale,
+                q_dev(), jnp.asarray(self.codes), qz.vmin, qz.scale,
                 vsq, rinv, self._store.vectors, m, metric=self.metric,
                 k=kk, c=c, approx=on_tpu, rerank_dtype=rerank_dtype)
             return np.asarray(dists)[:b], np.asarray(rows)[:b]
@@ -357,7 +369,7 @@ class QuantizedScan:
         if self.kind == "binary" and rerank > 1 and on_tpu:
             self._ensure_binary_tpu_layout(n)
             dists, rows = _binary_two_stage(
-                jnp.asarray(q), self.quantizer.thresholds,
+                q_dev(), self.quantizer.thresholds,
                 self._codes_t_padded, self._store.vectors, self._mask_padded(m),
                 dims=self.quantizer.dims, metric=self.metric, k=kk, c=c,
                 rerank_dtype=rerank_dtype)
