@@ -85,17 +85,20 @@ def main():
                  recall=round(recall_of(lambda q: col._ann.search(q, K), b),
                               4))
 
-    gcombos = [(int(m.group(1)), int(m.group(2))) for c in want
-               if (m := re.fullmatch(r"g(\d+)x(\d+)", c))]
+    gcombos = [(int(m.group(1)), int(m.group(2)),
+                int(m.group(3) or 0) or None) for c in want
+               if (m := re.fullmatch(r"g(\d+)x(\d+)(?:e(\d+))?", c))]
     if gcombos:
         t0 = time.perf_counter()
         col.build_ann(kind="graph")
         emit(exp="graph_build", s=round(time.perf_counter() - t0, 1))
-        for beam, iters in gcombos:
+        for beam, iters, expand in gcombos:
             for b in BATCHES:
-                call = lambda q: col._ann.search(q, K, beam=beam, iters=iters)
+                call = lambda q: col._ann.search(q, K, beam=beam,
+                                                 iters=iters, expand=expand)
                 dt = bench(call, qsets[b])
-                emit(exp=f"graph_beam{beam}_iters{iters}_b{b}",
+                tag = f"e{expand}" if expand else ""
+                emit(exp=f"graph_beam{beam}_iters{iters}{tag}_b{b}",
                      ms=round(dt * 1e3, 3),
                      ms_per_query=round(dt * 1e3 / b, 3),
                      qps=round(b / dt, 1),

@@ -333,7 +333,8 @@ class GraphANN:
     # ------------------------------------------------------------------
     def search(self, queries: np.ndarray, k: int,
                mask: Optional[np.ndarray] = None, overfetch: int = 1,
-               beam: Optional[int] = None, iters: Optional[int] = None
+               beam: Optional[int] = None, iters: Optional[int] = None,
+               expand: Optional[int] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
         if self.stale:
             kw = dict(getattr(self, "_build_kwargs", {}))
@@ -374,7 +375,7 @@ class GraphANN:
         vals, rows = _beam_search_kernel(
             jnp.asarray(qp), store.vectors, self.neighbors, self.centroids,
             self.medoids, validmask, filtermask, metric=cfg.metric, k=k,
-            beam=w, expand=self.expand,
+            beam=w, expand=expand or self.expand,
             iters=iters or self.iters, n_init=self.n_init,
             compute_dtype="bfloat16" if cfg.compute_dtype == "bfloat16"
             else "float32")
