@@ -278,20 +278,25 @@ class Collection:
                         np.full((b, k), np.inf, dtype=np.float32),
                         np.full((b, k), -1, dtype=np.int32))
             dists, rows = self._search_rows(q, k, filter, exact)
-            dists = np.asarray(dists)[:, :k].astype(np.float32, copy=False)
-            rows = np.asarray(rows)[:, :k]
-            ok = np.asarray(topk_mod.valid_hits(dists))
-            nrow = len(self._row_to_id)
-            ok &= (rows >= 0) & (rows < max(nrow, 1))
-            if nrow:
-                ids = self._ids_object_array()[np.clip(rows, 0, nrow - 1)]
-                ok &= ids != None  # noqa: E711 - elementwise
-            else:
-                ids = np.full(rows.shape, None, dtype=object)
-            ids = np.where(ok, ids, None)
-            dists = np.where(ok, dists, np.float32(np.inf))
-            rows = np.where(ok, rows, -1).astype(np.int32, copy=False)
-            return ids, dists, rows
+            return self._arrays_of(dists, rows, k)
+
+    def _arrays_of(self, dists, rows, k: int):
+        """(dists, rows) -> the (ids, scores, rows) array triple of
+        ``search_arrays``.  Caller holds the lock."""
+        dists = np.asarray(dists)[:, :k].astype(np.float32, copy=False)
+        rows = np.asarray(rows)[:, :k]
+        ok = np.asarray(topk_mod.valid_hits(dists))
+        nrow = len(self._row_to_id)
+        ok &= (rows >= 0) & (rows < max(nrow, 1))
+        if nrow:
+            ids = self._ids_object_array()[np.clip(rows, 0, nrow - 1)]
+            ok &= ids != None  # noqa: E711 - elementwise
+        else:
+            ids = np.full(rows.shape, None, dtype=object)
+        ids = np.where(ok, ids, None)
+        dists = np.where(ok, dists, np.float32(np.inf))
+        rows = np.where(ok, rows, -1).astype(np.int32, copy=False)
+        return ids, dists, rows
 
     def metadata_for_rows(self, rows: np.ndarray) -> list:
         """Per-row metadata dict copies for ``search_arrays`` results
@@ -604,34 +609,58 @@ class Collection:
                 # mirror search_batch's empty guard: training a quantizer
                 # over zero rows raises from a zero-size reduction
                 return [[] for _ in range(q.shape[0])]
-            if self._quantized is None:
-                self.enable_quantized_scan()
-            elif self._index_rebuild_due(self._quantized.built_count):
-                # a threshold rebuild must not silently discard the tuned
-                # candidate depth (tune_rerank) — recall would collapse
-                # back to the untuned default on clustered corpora
-                tuned = getattr(self._quantized, "default_rerank", None)
-                self.enable_quantized_scan(
-                    kind=self._quantized.kind, tune=False,
-                    **getattr(self, "_quant_kwargs", {}))
-                if tuned is not None:
-                    self._quantized.default_rerank = tuned
-            mask = self._filter_mask(filter)
-            if rerank is None:  # tuned default if set (tune_rerank), else 4
-                rerank = getattr(self._quantized, "default_rerank", 4)
-            dists, rows = self._quantized.search(q, k, rerank=rerank, mask=mask)
-            built = self._quantized.built_count
-            if self._store.count > built:
-                if rerank <= 1:
-                    # with no re-rank stage the scan returned COARSE-unit
-                    # scores (squared L2 for int8, Hamming counts for
-                    # binary) — rescore exactly before merging against the
-                    # exact-unit tail distances, or the argsort compares
-                    # incompatible units and misorders results
-                    dists = self._exact_rescore(q, dists, rows)
-                td, tr = self._tail_exact(q, k, mask, built)
-                dists, rows = topk_mod.merge_topk_host(dists, rows, td, tr, k)
+            dists, rows = self._quantized_rows(q, k, rerank, filter)
             return self._assemble(q, dists, rows, k, False)
+
+    def search_quantized_arrays(self, queries, k: int = 10,
+                                rerank: Optional[int] = None,
+                                filter: Optional[Filter] = None):
+        """Array-shaped quantized search for high-throughput callers (the
+        binary serving path): same fused two-stage dispatch, returning the
+        ``(ids, scores, rows)`` triple of ``search_arrays`` with no
+        SearchResult construction."""
+        q = as_f32_matrix(queries, self.config.dimensions)
+        with self._lock:
+            b = q.shape[0]
+            if self._store.n_valid == 0 and self._store.count == 0:
+                return (np.full((b, k), None, dtype=object),
+                        np.full((b, k), np.inf, dtype=np.float32),
+                        np.full((b, k), -1, dtype=np.int32))
+            dists, rows = self._quantized_rows(q, k, rerank, filter)
+            return self._arrays_of(dists, rows, k)
+
+    def _quantized_rows(self, q: np.ndarray, k: int,
+                        rerank: Optional[int], filter: Optional[Filter]):
+        """Shared quantized dispatch -> (dists, rows).  Caller holds the
+        lock and has handled the empty-store case."""
+        if self._quantized is None:
+            self.enable_quantized_scan()
+        elif self._index_rebuild_due(self._quantized.built_count):
+            # a threshold rebuild must not silently discard the tuned
+            # candidate depth (tune_rerank) — recall would collapse
+            # back to the untuned default on clustered corpora
+            tuned = getattr(self._quantized, "default_rerank", None)
+            self.enable_quantized_scan(
+                kind=self._quantized.kind, tune=False,
+                **getattr(self, "_quant_kwargs", {}))
+            if tuned is not None:
+                self._quantized.default_rerank = tuned
+        mask = self._filter_mask(filter)
+        if rerank is None:  # tuned default if set (tune_rerank), else 4
+            rerank = getattr(self._quantized, "default_rerank", 4)
+        dists, rows = self._quantized.search(q, k, rerank=rerank, mask=mask)
+        built = self._quantized.built_count
+        if self._store.count > built:
+            if rerank <= 1:
+                # with no re-rank stage the scan returned COARSE-unit
+                # scores (squared L2 for int8, Hamming counts for
+                # binary) — rescore exactly before merging against the
+                # exact-unit tail distances, or the argsort compares
+                # incompatible units and misorders results
+                dists = self._exact_rescore(q, dists, rows)
+            td, tr = self._tail_exact(q, k, mask, built)
+            dists, rows = topk_mod.merge_topk_host(dists, rows, td, tr, k)
+        return dists, rows
 
     def _exact_rescore(self, q: np.ndarray, dists: np.ndarray,
                        rows: np.ndarray) -> np.ndarray:

@@ -360,17 +360,11 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
             metadata = None
             if mode == "quantized":
                 qm = q[None, :] if single else q
-                hits_b = await loop.run_in_executor(
-                    None, lambda: c.search_quantized(qm, k, filter=filt))
-                ids = np.full((len(hits_b), k), None, dtype=object)
-                scores = np.full((len(hits_b), k), np.inf, dtype=np.float32)
-                for bi, hits in enumerate(hits_b):
-                    for ki, h in enumerate(hits[:k]):
-                        ids[bi, ki], scores[bi, ki] = h.id, h.score
+                ids, scores, rows = await loop.run_in_executor(
+                    None, lambda: c.search_quantized_arrays(qm, k,
+                                                            filter=filt))
                 if body.get("include_metadata"):
-                    metadata = [[h.metadata for h in hits[:k]]
-                                + [None] * (k - min(len(hits), k))
-                                for hits in hits_b]
+                    metadata = c.metadata_for_rows(rows)
             else:
                 if single:
                     i_row, s_row, r_row = await state["batcher"].search_raw(
