@@ -334,10 +334,12 @@ def create_router_app(shards: List[str],
         flat.sort(key=lambda h: h["score"])
         return flat[:k]
 
-    def _merge_binary(outs, k: int, single: bool, with_meta: bool):
+    def _merge_binary_rows(outs, k: int, single: bool, with_meta: bool):
         """Merge per-shard binary responses: per query, concatenate every
         shard's (ids, scores[, metadata]) top-k and keep the k smallest
-        scores (empty slots carry +inf so they lose automatically)."""
+        scores (empty slots carry +inf so they lose automatically).
+        Returns (merged_ids, merged_scores (nq, k) f32, merged_md|None,
+        shards_ok)."""
         oks = [o[1] for o in outs if o[0] == 200]
         id_grids, sc_grids, md_grids = [], [], []
         for out in oks:
@@ -362,13 +364,111 @@ def create_router_app(shards: List[str],
                            for m in (grid[qi] if grid else [])]
                 merged_md.append([flat_md[j] if j < len(flat_md) else None
                                   for j in order[qi]])
+        return (merged_ids, merged_scores,
+                merged_md if with_meta else None, len(oks))
+
+    def _merge_binary(outs, k: int, single: bool, with_meta: bool):
+        merged_ids, merged_scores, merged_md, n_ok = _merge_binary_rows(
+            outs, k, single, with_meta)
         resp = {"ids": merged_ids[0] if single else merged_ids,
                 "scores": wire.encode_scores(
                     merged_scores[0] if single else merged_scores),
-                "shards_ok": len(oks)}
-        if with_meta:
+                "shards_ok": n_ok}
+        if merged_md is not None:
             resp["metadata"] = merged_md[0] if single else merged_md
         return resp
+
+    # -- router-level coalescing of single-query searches ---------------
+    # Same continuous in-flight-aware design as server/batcher.py, but the
+    # contended resource is the shard fleet: N concurrent singles collapse
+    # into ONE binary /search/batch per shard per wave (N x shards HTTP
+    # calls -> shards), and the engines see an already-batched dispatch.
+    # No window: a lone request in a quiet period flushes immediately;
+    # under load the next wave accumulates behind the in-flight one.
+    coalesce_state = {"buckets": {}, "busy": {}, "lock": asyncio.Lock(),
+                      "inflight": set()}
+
+    async def _coalesce_submit(key, qbytes):
+        cs = coalesce_state
+        fut = asyncio.get_running_loop().create_future()
+        async with cs["lock"]:
+            cs["buckets"].setdefault(key, []).append((qbytes, fut))
+            if not cs["busy"].get(key):
+                cs["busy"][key] = 1
+                t = asyncio.get_running_loop().create_task(
+                    _coalesce_loop(key))
+                cs["inflight"].add(t)
+                t.add_done_callback(cs["inflight"].discard)
+        return await fut
+
+    async def _coalesce_loop(key):
+        cs = coalesce_state
+        try:
+            while True:
+                async with cs["lock"]:
+                    bucket = cs["buckets"].get(key, [])
+                    wave, rest = bucket[:256], bucket[256:]
+                    if rest:
+                        cs["buckets"][key] = rest
+                    else:
+                        cs["buckets"].pop(key, None)
+                    if not wave:
+                        cs["busy"].pop(key, None)
+                        return
+                await _coalesce_flush(key, wave)
+        except BaseException:
+            # cancellation path: drop the busy marker and hand any waiting
+            # bucket to a fresh loop so its futures can't strand
+            async with cs["lock"]:
+                cs["busy"].pop(key, None)
+                if cs["buckets"].get(key):
+                    cs["busy"][key] = 1
+                    t = asyncio.get_running_loop().create_task(
+                        _coalesce_loop(key))
+                    cs["inflight"].add(t)
+                    t.add_done_callback(cs["inflight"].discard)
+            raise
+
+    async def _coalesce_flush(key, wave):
+        name, k, mode, fjson, with_meta, _qlen = key
+        try:
+            body = {"vectors": b"".join(q for q, _ in wave), "k": k,
+                    "include_metadata": with_meta}
+            if mode and mode != "auto":
+                body["mode"] = mode
+            body.update(json.loads(fjson))
+            payload = wire.pack(body)
+            path = f"/collections/{name}/search/batch"
+            outs = await asyncio.gather(
+                *[_post_binary(u + path, payload) for u in shards])
+            bad = [o for o in outs if o[0] >= 400]
+            if len(bad) == len(outs):
+                err = RuntimeError(
+                    str(bad[0][1].get("detail", "all shards failed")))
+                err.status = bad[0][0]
+                err.body = bad[0][1]
+                raise err
+            ids, scores, md, n_ok = _merge_binary_rows(
+                outs, k, single=False, with_meta=with_meta)
+            for i, (_, fut) in enumerate(wave):
+                if not fut.done():
+                    fut.set_result((ids[i], scores[i],
+                                    md[i] if md is not None else None,
+                                    n_ok))
+        except Exception as e:
+            for _, fut in wave:
+                if not fut.done():
+                    fut.set_exception(e)
+
+    def _filter_json(body: dict) -> str:
+        """Canonical JSON of the request's filter fields: the coalescing
+        bucket key AND the source the flush rebuilds the batch body from."""
+        f = {}
+        if body.get("where") is not None:
+            f["where"] = body["where"]
+        if body.get("filter_tree") is not None:
+            f["filter_tree"] = body["filter_tree"]
+        return json.dumps(f, sort_keys=True)
 
     async def _search_binary(request, single: bool):
         name = request.match_info["name"]
@@ -393,11 +493,59 @@ def create_router_app(shards: List[str],
 
     async def search(request):
         name = request.match_info["name"]
+        t0 = time.perf_counter()
         if request.content_type in wire.MSGPACK_TYPES:
-            return await _search_binary(request, single=True)
+            try:
+                body = wire.unpack(await request.read())
+                k = int(body.get("k", 10))
+            except (ValueError, TypeError) as e:
+                return _bin_resp({"detail": f"bad msgpack body: {e}"}, 400)
+            v = body.get("vector")
+            if v is None:
+                return _bin_resp({"detail": "vector required"}, 400)
+            if not isinstance(v, (bytes, bytearray)):
+                v = np.asarray(v, dtype=np.float32).tobytes()
+            with_meta = bool(body.get("include_metadata"))
+            key = (name, k, body.get("mode", "auto"), _filter_json(body),
+                   with_meta, len(v))
+            try:
+                ids, scores, md, n_ok = await _coalesce_submit(key, bytes(v))
+            except Exception as e:
+                return _bin_resp(
+                    getattr(e, "body", {"detail": str(e)}),
+                    getattr(e, "status", 503))
+            resp = {"ids": ids, "scores": wire.encode_scores(scores),
+                    "shards_ok": n_ok,
+                    "took_ms": round((time.perf_counter() - t0) * 1e3, 3)}
+            if with_meta:
+                resp["metadata"] = md
+            return _bin_resp(resp)
         body = await request.json()
         k = int(body.get("k", 10))
-        t0 = time.perf_counter()
+        if body.get("vector") is not None and not body.get("include_vectors"):
+            # coalesce JSON singles through the binary shard path too:
+            # metadata rides along so the response keeps its hit shape
+            mode = body.get("mode") or (
+                "exact" if body.get("exact") is True
+                else "ann" if body.get("exact") is False else "auto")
+            v = np.asarray(body["vector"], dtype=np.float32).tobytes()
+            key = (name, k, mode, _filter_json(body), True, len(v))
+            try:
+                ids, scores, md, n_ok = await _coalesce_submit(key, v)
+            except Exception as e:
+                return web.json_response(
+                    getattr(e, "body", {"detail": str(e)}),
+                    status=getattr(e, "status", 503))
+            hits = [{"id": i, "score": float(s),
+                     "metadata": (md[j] if md else None) or {}}
+                    for j, (i, s) in enumerate(zip(ids, scores))
+                    if i is not None]
+            return web.json_response(
+                {"results": hits,
+                 "took_ms": round((time.perf_counter() - t0) * 1e3, 3),
+                 "shards_ok": n_ok})
+        # text queries / vector-bearing responses: direct per-request
+        # fan-out (the binary batch path cannot carry them)
         outs = await _fanout_post(f"/collections/{name}/search", body)
         bad = [o for o in outs if o[0] >= 400]
         if len(bad) == len(outs):

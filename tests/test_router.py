@@ -118,6 +118,52 @@ def test_sharded_crud_and_merged_search(cluster):
         assert listed["total"] == n - 1
 
 
+def test_concurrent_singles_coalesce_correctly(cluster):
+    """Fire many simultaneous single-query searches: the router coalesces
+    them into shard batch calls and must demultiplex each caller's own
+    top-1 back to it (no row swaps, no stranded futures)."""
+    import concurrent.futures
+
+    router, _ = cluster
+    rng = np.random.default_rng(7)
+    n, d = 64, 16
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    ids = [f"c{i}" for i in range(n)]
+    with httpx.Client(base_url=router.url, timeout=60) as c:
+        c.post("/collections", json={"name": "cc", "dimensions": d,
+                                     "metric": "l2"}).raise_for_status()
+        c.post("/collections/cc/vectors/batch",
+               json={"vectors": v.tolist(), "ids": ids,
+                     "metadatas": [{"i": i} for i in range(n)]}
+               ).raise_for_status()
+
+        def one(i):
+            r = httpx.post(router.url + "/collections/cc/search",
+                           json={"vector": v[i].tolist(), "k": 3},
+                           timeout=60)
+            r.raise_for_status()
+            return i, r.json()
+
+        with concurrent.futures.ThreadPoolExecutor(32) as ex:
+            outs = list(ex.map(one, range(n)))
+        for i, out in outs:
+            hits = out["results"]
+            assert hits[0]["id"] == f"c{i}", (i, hits[:2])
+            assert hits[0]["metadata"]["i"] == i
+            assert out["shards_ok"] == 2
+        # different k values land in different buckets but still resolve
+        def one_k(i, k):
+            r = httpx.post(router.url + "/collections/cc/search",
+                           json={"vector": v[i].tolist(), "k": k},
+                           timeout=60)
+            r.raise_for_status()
+            return len(r.json()["results"])
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            ks = list(ex.map(lambda t: one_k(*t),
+                             [(i, 1 + i % 5) for i in range(16)]))
+        assert ks == [1 + i % 5 for i in range(16)]
+
+
 def test_shard_assignment_is_stable():
     assert _shard_of("abc", 4) == _shard_of("abc", 4)
     spread = {_shard_of(f"id{i}", 4) for i in range(64)}
