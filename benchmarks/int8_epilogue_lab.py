@@ -168,15 +168,18 @@ def main():
     print(json.dumps({"exp": "ground_truth_ready"}), flush=True)
 
     if "raw" in want:
-        # raw matmul reference point
+        # raw matmul reference point (codes as an ARGUMENT: a closed-over
+        # corpus becomes a multi-GB constant in the compile payload and
+        # overflows the remote-compile request limit)
         @jax.jit
-        def raw_mm(q):
+        def raw_mm_arg(q, cds):
             qi = jnp.clip(jnp.round(q * 127.0), -127, 127).astype(jnp.int8)
             ci = jax.lax.dot_general(
-                qi, codes, dimension_numbers=(((1,), (1,)), ((), ())),
+                qi, cds, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
             return jnp.sum(ci, axis=1)  # force materialization cheaply
 
+        raw_mm = lambda q: raw_mm_arg(q, codes)
         dt = timed(raw_mm, batches)
         print(json.dumps({"exp": "raw_s8s8_matmul",
                           "ms": round(dt * 1e3, 2)}), flush=True)

@@ -313,10 +313,74 @@ class IVFIndex:
         return idx
 
     # ------------------------------------------------------------------
+    def _cell_norms_cached(self) -> jnp.ndarray:
+        """Per-(cell, position) squared row norms, built once and cached.
+        int8 builds already store the dequantized norms; serving-dtype
+        cells compute them lazily on first grouped dispatch."""
+        if self.cell_norms is None:
+            self.cell_norms = jnp.where(
+                self.row_table >= 0,
+                jnp.einsum("ncd,ncd->nc", self.cells, self.cells,
+                           preferred_element_type=jnp.float32), 0.0)
+        return self.cell_norms
+
+    def _search_grouped(self, q: np.ndarray, k: int, validmask, nprobe: int,
+                        qcap: Optional[int] = None
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+        """Cell-major batched dispatch (ivf_grouped.py): each probed cell
+        is read from HBM once per batch and scored against all queries
+        probing it in one batched MXU matmul — the large-batch regime
+        where the per-query gather would move many times the corpus."""
+        from .ivf_grouped import grouped_ivf_search_kernel
+        cfg = self._collection.config
+        nlist, cmax = self.row_table.shape
+        d = self.centroids.shape[1]
+        if self.quantizer is not None:
+            vmin, scale = self.quantizer.vmin, self.quantizer.scale
+        else:
+            vmin = jnp.zeros((d,), jnp.float32)
+            scale = jnp.ones((d,), jnp.float32)
+        cnorms = self._cell_norms_cached()
+        # keep the (nlist, qcap, cmax) score tensor under ~2 GB
+        qcap_hbm = max(8, int((2 << 30) // max(nlist * cmax * 4, 1)))
+        sub_max = max(8, (qcap_hbm * nlist) // (4 * nprobe) // 8 * 8)
+        outs_d, outs_r = [], []
+        self.last_dropped = 0
+        for s in range(0, q.shape[0], sub_max):
+            subq = q[s: s + sub_max]
+            real = subq.shape[0]
+            pad = (-real) % 8
+            if pad:
+                subq = np.pad(subq, ((0, pad), (0, 0)))
+            # 8x mean-load headroom (hot cells under clustered query
+            # skew), pow2 so qcap doesn't churn compiles; callers can
+            # override (tune paths / the no-drop equivalence tests)
+            if qcap is None:
+                mean_load = subq.shape[0] * nprobe / max(nlist, 1)
+                sub_qcap = 8
+                while sub_qcap < min(8 * mean_load, subq.shape[0],
+                                     qcap_hbm):
+                    sub_qcap *= 2
+            else:
+                sub_qcap = min(qcap, qcap_hbm)
+            dd, rr, dropped = grouped_ivf_search_kernel(
+                jnp.asarray(subq), self.centroids, self.cells,
+                self.row_table, self.overflow_vecs, self.overflow_rows,
+                validmask, vmin, scale, cnorms,
+                metric=cfg.metric, k=min(k, cmax * nprobe), nprobe=nprobe,
+                qcap=int(sub_qcap), compute_dtype=cfg.compute_dtype)
+            self.last_dropped += int(dropped)
+            outs_d.append(np.asarray(dd)[:real])
+            outs_r.append(np.asarray(rr)[:real])
+        return np.concatenate(outs_d), np.concatenate(outs_r)
+
     def search(self, queries: np.ndarray, k: int,
                mask: Optional[np.ndarray] = None, overfetch: int = 1,
                nprobe: Optional[int] = None,
-               max_query_batch: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+               max_query_batch: int = 64,
+               grouped: Optional[bool] = None,
+               qcap: Optional[int] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
         if self.stale:
             # reuse the original build parameters; runtime-tuned knobs
             # (set_search_params) override their build-time values
@@ -343,6 +407,14 @@ class IVFIndex:
             m[: mask.shape[0]] = mask
             validmask = jnp.logical_and(validmask, jnp.asarray(m))
         cfg = self._collection.config
+        # large batches go cell-major: once the per-query gather would
+        # move more bytes than the whole cell tensor (b * nprobe >= nlist
+        # up to the qcap headroom), reading each cell once and batching
+        # its queries is strictly less HBM traffic AND one dispatch
+        if grouped is None:
+            grouped = q.shape[0] * nprobe >= self.centroids.shape[0]
+        if grouped:
+            return self._search_grouped(q, k, validmask, nprobe, qcap=qcap)
         outs_d, outs_r = [], []
         # bound per-dispatch gather memory: the probe materializes a
         # (b, nprobe, cmax, D) block, so cap the sub-batch such that the

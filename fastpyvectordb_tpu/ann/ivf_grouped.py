@@ -1,0 +1,220 @@
+"""Grouped (cell-major) batched IVF search — the large-batch dispatch.
+
+The baseline IVF kernel (ivf.py:_ivf_search_kernel) gathers a
+``(B, nprobe, cmax, D)`` per-query block: every query drags private
+copies of its probed cells through HBM, so at B=1024/nprobe=16 the
+gather alone moves ~50x the corpus and the batch has to be chopped into
+memory-bounded sub-batches (reference analogue: the hnswlib per-query
+walk, vectordb_optimized.py:598-610, which has no batch dimension at
+all).
+
+This module flips the dispatch to CELL-major, which is the natural MXU
+shape: invert the (query -> probed cells) relation into a per-cell
+query-slot table with one sort, then score every cell against the
+queries probing it in ONE batched ``dot_general`` over the cell tensor:
+
+    (nlist, qcap, D) x (nlist, cmax, D) -> (nlist, qcap, cmax)
+
+Each cell's block is read from HBM exactly once per batch regardless of
+how many queries probe it, total matmul work is proportional to the
+probed fraction of the corpus, and every shape is static (qcap is a
+capacity knob, not a data-dependent size).  The whole pipeline —
+route -> invert (sort + segmented rank) -> gather query slots ->
+batched matmul -> per-slot top-k -> regroup per query -> merge with the
+overflow scan — is a single jitted dispatch with no host round-trips.
+
+Probe-priority under saturation: pairs are sorted by (cell, probe-rank),
+so when a popular cell overflows ``qcap`` it sheds its *spill* probes
+(high probe-rank) first; a query's primary cells always land slots
+before any query's secondary ones at equal load.  The kernel also
+returns the number of dropped pairs so callers can observe saturation.
+
+Candidate-set equivalence: with ``qcap`` large enough that nothing is
+dropped, per-slot exact top-k(k) + per-query merge selects exactly the
+same rows as the baseline kernel's flat top-k over all probed cells
+(cells partition the corpus, so a row is scored by at most one probe of
+a given query).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import DistanceMetric
+from ..kernels.distances import MASKED, matmul_precision
+
+__all__ = ["grouped_ivf_search_kernel"]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "metric", "k", "nprobe", "qcap", "compute_dtype"))
+def grouped_ivf_search_kernel(
+    q: jnp.ndarray,            # (B, D) f32
+    centroids: jnp.ndarray,    # (nlist, D) f32
+    cells: jnp.ndarray,        # (nlist, cmax, D) serving dtype OR int8
+    row_table: jnp.ndarray,    # (nlist, cmax) int32, -1 = padding
+    overflow_vecs: jnp.ndarray,   # (O, D) serving dtype (O may be 0)
+    overflow_rows: jnp.ndarray,   # (O,) int32, -1 = padding
+    validmask: jnp.ndarray,    # (cap,) bool
+    vmin: jnp.ndarray,         # (D,) f32 — int8 cells only (else zeros)
+    scale: jnp.ndarray,        # (D,) f32 — int8 cells only (else ones)
+    cell_norms: jnp.ndarray,   # (nlist, cmax) f32 ||x||^2 (ALL cell dtypes)
+    *,
+    metric: DistanceMetric,
+    k: int,
+    nprobe: int,
+    qcap: int,
+    compute_dtype: str = "bfloat16",
+):
+    """Returns (dists (B, k) f32, rows (B, k) int32, dropped () int32)."""
+    b, d = q.shape
+    nlist, cmax = row_table.shape
+    prec = matmul_precision(compute_dtype)
+    cd = jnp.dtype(compute_dtype)
+    qf = q.astype(jnp.float32)
+    int8_cells = cells.dtype == jnp.int8
+
+    # ---- stage 1: route queries to their nprobe nearest cells ----------
+    if metric == DistanceMetric.COSINE:
+        qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=1, keepdims=True),
+                              1e-30)
+        cn = centroids / jnp.maximum(
+            jnp.linalg.norm(centroids, axis=1, keepdims=True), 1e-30)
+        croute = -jnp.dot(qn, cn.T, preferred_element_type=jnp.float32,
+                          precision=prec)
+    elif metric == DistanceMetric.DOT:
+        croute = -jnp.dot(qf, centroids.T,
+                          preferred_element_type=jnp.float32, precision=prec)
+    else:
+        csq = jnp.einsum("kd,kd->k", centroids, centroids,
+                         preferred_element_type=jnp.float32)
+        croute = csq[None, :] - 2.0 * jnp.dot(
+            qf, centroids.T, preferred_element_type=jnp.float32,
+            precision=prec)
+    _, probe = jax.lax.top_k(-croute, nprobe)           # (B, nprobe) int32
+
+    # ---- stage 2: invert (query -> cells) into (cell -> query slots) ---
+    m = b * nprobe
+    flat_cell = probe.reshape(-1).astype(jnp.int32)     # (M,)
+    flat_q = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nprobe)
+    prank = jnp.tile(jnp.arange(nprobe, dtype=jnp.int32), b)
+    order = jnp.argsort(flat_cell * nprobe + prank)     # cell-major,
+    scell = flat_cell[order]                            # rank-minor
+    squery = flat_q[order]
+    pos = jnp.arange(m, dtype=jnp.int32)
+    # rank within each cell's run: position minus a cummax of run starts
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), scell[1:] != scell[:-1]])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, 0))
+    rank = pos - run_start
+    keep = rank < qcap
+    dropped = jnp.sum(~keep).astype(jnp.int32)
+    # (nlist, qcap) query index per slot, -1 = empty; out-of-capacity
+    # ranks fall off the table via mode="drop"
+    qslot = jnp.full((nlist, qcap), -1, jnp.int32)
+    qslot = qslot.at[scell, rank].set(squery, mode="drop")
+    # per original pair: where did it land (for the regroup stage)
+    inv = jnp.zeros((m,), jnp.int32).at[order].set(pos)
+    pair_rank = rank[inv]                               # (M,)
+    pair_keep = keep[inv]
+
+    slot_q = jnp.maximum(qslot, 0)                      # (nlist, qcap)
+
+    # ---- stage 3+4: gather query slots, ONE batched cell matmul --------
+    if int8_cells:
+        # query-side scale folding (quant/scalar.py:_distances_int8_matmul)
+        # done ONCE per query before the slot gather; the gathered block
+        # stays int8 so the batched matmul runs s8 x s8
+        rs = scale / 255.0
+        qs = qf * rs[None, :]
+        const = jnp.dot(qf, 128.0 * rs + vmin,
+                        preferred_element_type=jnp.float32)      # (B,)
+        qmax = jnp.max(jnp.abs(qs), axis=1, keepdims=True)
+        qscale = jnp.maximum(qmax, 1e-30) / 127.0                # (B, 1)
+        qi = jnp.clip(jnp.round(qs / qscale), -127, 127).astype(jnp.int8)
+        qblk = jnp.take(qi, slot_q.reshape(-1), axis=0).reshape(
+            nlist, qcap, d)
+        cross_i = jax.lax.dot_general(
+            qblk, cells, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)           # (nlist, qcap, cmax)
+        sscale = jnp.take(qscale[:, 0], slot_q, axis=0)  # (nlist, qcap)
+        sconst = jnp.take(const, slot_q, axis=0)
+        cross = (cross_i.astype(jnp.float32) * sscale[:, :, None]
+                 + sconst[:, :, None])
+    else:
+        qblk = jnp.take(qf.astype(cd), slot_q.reshape(-1), axis=0).reshape(
+            nlist, qcap, d)
+        cross = jax.lax.dot_general(
+            qblk, cells, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+
+    qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
+    qinv = 1.0 / jnp.maximum(jnp.sqrt(qsq), 1e-30)
+    if metric == DistanceMetric.COSINE:
+        rinv = jax.lax.rsqrt(jnp.maximum(cell_norms, 1e-30))   # (nlist, cmax)
+        s = 1.0 - cross * jnp.take(qinv, slot_q, axis=0)[:, :, None] \
+            * rinv[:, None, :]
+    elif metric == DistanceMetric.L2:
+        s = jnp.maximum(
+            jnp.take(qsq, slot_q, axis=0)[:, :, None]
+            + cell_norms[:, None, :] - 2.0 * cross, 0.0)
+    else:
+        s = -cross
+
+    # validity/filter mask is per (cell, position) — shared by every slot
+    okc = (row_table >= 0) & jnp.take(validmask,
+                                      jnp.maximum(row_table, 0), axis=0)
+    s = jnp.where(okc[:, None, :], s, MASKED)
+
+    # ---- stage 5: per-slot exact top-k over the cell ------------------
+    t = min(k, cmax)
+    neg, lidx = jax.lax.top_k(-s.reshape(nlist * qcap, cmax), t)
+    slot_vals = -neg                                    # (nlist*qcap, t)
+    cellid = jnp.repeat(jnp.arange(nlist, dtype=jnp.int32), qcap)
+    slot_rows = row_table[cellid[:, None], lidx]        # (nlist*qcap, t)
+
+    # ---- stage 6: regroup per query + overflow + final merge ----------
+    flat_slot = flat_cell * qcap + jnp.minimum(pair_rank, qcap - 1)
+    pv = jnp.take(slot_vals, flat_slot, axis=0)         # (M, t)
+    pr = jnp.take(slot_rows, flat_slot, axis=0)
+    pv = jnp.where(pair_keep[:, None], pv, MASKED)
+    cand_vals = pv.reshape(b, nprobe * t)
+    cand_rows = pr.reshape(b, nprobe * t)
+
+    if overflow_rows.shape[0] > 0:
+        ovsq = jnp.einsum("od,od->o", overflow_vecs, overflow_vecs,
+                          preferred_element_type=jnp.float32)
+        ocross = jax.lax.dot_general(
+            qf.astype(cd), overflow_vecs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        if metric == DistanceMetric.COSINE:
+            orinv = jax.lax.rsqrt(jnp.maximum(ovsq, 1e-30))
+            os_ = 1.0 - ocross * qinv[:, None] * orinv[None, :]
+        elif metric == DistanceMetric.L2:
+            os_ = jnp.maximum(
+                qsq[:, None] + ovsq[None, :] - 2.0 * ocross, 0.0)
+        else:
+            os_ = -ocross
+        ook = (overflow_rows >= 0) & jnp.take(
+            validmask, jnp.maximum(overflow_rows, 0), axis=0)
+        os_ = jnp.where(ook[None, :], os_, MASKED)
+        cand_vals = jnp.concatenate([cand_vals, os_], axis=1)
+        cand_rows = jnp.concatenate(
+            [cand_rows, jnp.broadcast_to(overflow_rows[None],
+                                         (b, overflow_rows.shape[0]))],
+            axis=1)
+
+    kk = min(k, cand_vals.shape[1])
+    neg, posk = jax.lax.top_k(-cand_vals, kk)
+    vals = -neg
+    rows = jnp.take_along_axis(cand_rows, posk, axis=1)
+    if metric == DistanceMetric.L2:
+        vals = jnp.where(vals >= MASKED * 0.5, vals,
+                         jnp.sqrt(jnp.maximum(vals, 0.0)))
+    return vals, rows, dropped

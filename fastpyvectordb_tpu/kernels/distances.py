@@ -176,6 +176,14 @@ def search_kernel(
     )
     s = mask_scores(s, mask)
     if approx:
+        # NOTE: selection stays f32 here even for bf16 compute.  Casting
+        # the score matrix to bf16 before the reduction halves its HBM
+        # bytes, but this path returns the picks DIRECTLY (no exact
+        # re-rank behind it): bf16 rounds 1M cosine scores into massive
+        # ties and the approximate binning breaks them arbitrarily —
+        # measured ~9 points of recall@10 loss at 1Mx768/k=10.  The
+        # two-stage quantized paths (quant/scan.py:_masked_candidates)
+        # DO select in bf16 because their exact re-rank restores order.
         neg_vals, rows = jax.lax.approx_max_k(-s, k, recall_target=0.99)
     else:
         neg_vals, rows = jax.lax.top_k(-s, k)

@@ -66,11 +66,18 @@ def _masked_candidates(s, mask, *, c: int):
     hierarchical pad->reshape->3-D per-chunk selection broke XLA's
     matmul->reduction fusion and cost ~110 ms/batch at 1M x 768; one
     direct ``approx_max_k`` over the fused scores runs the same pipeline
-    in 5.6 ms at candidate-recall >= 0.99 after exact re-rank."""
+    in 5.6 ms at candidate-recall >= 0.99 after exact re-rank.
+
+    Round-3 refinement (same lab, b=1024): feeding the selection in
+    bfloat16 halves the HBM bytes of the materialized score matrix
+    (the approx reduction is bandwidth-bound at N >= 1M) — 14.65 ms ->
+    12.62 ms at IDENTICAL measured recall (0.9958); the bf16 rounding
+    only reorders coarse near-ties, which the exact re-rank restores."""
     if mask is not None:
         s = jnp.where(mask[None, :], s, MASKED)
-    neg, rows = jax.lax.approx_max_k(-s, c, recall_target=0.95)
-    return -neg, rows
+    neg, rows = jax.lax.approx_max_k((-s).astype(jnp.bfloat16), c,
+                                     recall_target=0.95)
+    return (-neg).astype(jnp.float32), rows
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))

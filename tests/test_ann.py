@@ -49,6 +49,35 @@ def test_higher_nprobe_raises_recall(built):
     assert rec(hi_r) >= 0.95
 
 
+def test_grouped_matches_baseline_kernel(built):
+    """The cell-major grouped dispatch (ann/ivf_grouped.py) must select
+    exactly the same rows as the per-query-gather baseline when qcap
+    drops nothing: cells partition the corpus, so per-slot top-k + merge
+    and flat top-k over all probed cells see the same candidate set."""
+    col, v, q = built
+    rng = np.random.default_rng(3)
+    qq = np.repeat(q, 8, axis=0) + 0.01 * rng.standard_normal(
+        (len(q) * 8, q.shape[1])).astype(np.float32)
+    base_d, base_r = col._ann.search(qq, 10, grouped=False)
+    grp_d, grp_r = col._ann.search(qq, 10, grouped=True)
+    assert col._ann.last_dropped == 0
+    np.testing.assert_allclose(grp_d, base_d, atol=1e-4)
+    # rows identical except possible exact-score ties
+    mism = grp_r != base_r
+    if mism.any():
+        np.testing.assert_allclose(grp_d[mism], base_d[mism], atol=1e-4)
+
+
+def test_grouped_respects_filter_mask(built):
+    """A large filtered batch auto-routes to the grouped dispatch (b *
+    nprobe >= nlist); the fused validity mask must still hold."""
+    col, v, q = built
+    res_g = col.search_batch(np.repeat(q, 8, axis=0), k=8,
+                             filter=Filter.eq("g", 1), exact=False)
+    assert all(h.metadata["g"] == 1 for hits in res_g for h in hits)
+    assert all(len(hits) > 0 for hits in res_g)
+
+
 def test_filtered_ann(built):
     col, v, q = built
     res = col.search_batch(q[:4], k=8, filter=Filter.eq("g", 2), exact=False)
