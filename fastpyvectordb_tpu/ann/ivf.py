@@ -270,7 +270,10 @@ class IVFIndex:
                                chunk=int(min(16384, _pow2_at_least(n))))
         topm = np.asarray(_assign_topm(vectors, centroids,
                                        m=min(spill_choices, nlist)))
-        cap = int(max(8, (int(max_cell_factor * n / nlist) + 7) // 8 * 8))
+        # capacity rounds to a 128 multiple: the lane width the grouped
+        # pallas score kernel tiles over (kernels/pallas_ivf.py); padding
+        # rows are masked everywhere via row_table == -1
+        cap = int(max(128, -(-int(max_cell_factor * n / nlist)) // 128 * 128))
         table, counts, overflow = _balanced_assignment(topm, nlist, cap)
         # cell-major serving-dtype corpus copy: probing becomes a block
         # gather of whole cells instead of a scattered row gather

@@ -50,6 +50,19 @@ from ..kernels.distances import MASKED, matmul_precision
 __all__ = ["grouped_ivf_search_kernel"]
 
 
+def _xla_epilogue(cross, cell_norms, qstat_b, slot_q, metric):
+    """Metric epilogue for the XLA fallback path: cross (nlist, qcap,
+    cmax) f32 -> scores (lower = closer).  qstat_b is the per-QUERY stat
+    (cosine 1/||q||, l2 ||q||^2) gathered per slot here."""
+    qs = jnp.take(qstat_b, slot_q, axis=0)[:, :, None]
+    if metric == DistanceMetric.COSINE:
+        rinv = jax.lax.rsqrt(jnp.maximum(cell_norms, 1e-30))
+        return 1.0 - cross * qs * rinv[:, None, :]
+    if metric == DistanceMetric.L2:
+        return jnp.maximum(qs + cell_norms[:, None, :] - 2.0 * cross, 0.0)
+    return -cross
+
+
 @functools.partial(jax.jit, static_argnames=(
     "metric", "k", "nprobe", "qcap", "compute_dtype"))
 def grouped_ivf_search_kernel(
@@ -125,8 +138,52 @@ def grouped_ivf_search_kernel(
 
     slot_q = jnp.maximum(qslot, 0)                      # (nlist, qcap)
 
+    qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
+    qinv = 1.0 / jnp.maximum(jnp.sqrt(qsq), 1e-30)
+    # validity/filter mask is per (cell, position) — shared by every slot
+    okc = (row_table >= 0) & jnp.take(validmask,
+                                      jnp.maximum(row_table, 0), axis=0)
+
     # ---- stage 3+4: gather query slots, ONE batched cell matmul --------
-    if int8_cells:
+    # XLA lowers the (nlist)-batched small-M matmul poorly (15+ ms at the
+    # 1M benchmark shape, ivf_grouped_lab s4-s3); on TPU with aligned
+    # shapes the pallas grid kernel streams cells through VMEM instead.
+    from ..kernels import pallas_quant
+    use_pallas = (pallas_quant.on_tpu() and d % 128 == 0
+                  and cmax % 128 == 0 and qcap % 8 == 0
+                  and (int8_cells or cd == jnp.bfloat16))
+    if metric == DistanceMetric.COSINE:
+        qstat_b = qinv
+    elif metric == DistanceMetric.L2:
+        qstat_b = qsq
+    else:
+        qstat_b = jnp.zeros_like(qsq)
+    if use_pallas:
+        from ..kernels.pallas_ivf import (grouped_cell_scores,
+                                          grouped_cell_scores_i8)
+        okf = okc.astype(jnp.float32)
+        qstat = jnp.take(qstat_b, slot_q, axis=0)       # (nlist, qcap)
+        if int8_cells:
+            rs = scale / 255.0
+            qs = qf * rs[None, :]
+            const = jnp.dot(qf, 128.0 * rs + vmin,
+                            preferred_element_type=jnp.float32)
+            qmax = jnp.max(jnp.abs(qs), axis=1, keepdims=True)
+            qscale = jnp.maximum(qmax, 1e-30) / 127.0
+            qi = jnp.clip(jnp.round(qs / qscale), -127,
+                          127).astype(jnp.int8)
+            qblk = jnp.take(qi, slot_q.reshape(-1), axis=0).reshape(
+                nlist, qcap, d)
+            s = grouped_cell_scores_i8(
+                qblk, cells, cell_norms, okf,
+                jnp.take(qscale[:, 0], slot_q, axis=0),
+                jnp.take(const, slot_q, axis=0), qstat, metric=metric)
+        else:
+            qblk = jnp.take(qf.astype(cd), slot_q.reshape(-1),
+                            axis=0).reshape(nlist, qcap, d)
+            s = grouped_cell_scores(qblk, cells, cell_norms, okf, qstat,
+                                    metric=metric)
+    elif int8_cells:
         # query-side scale folding (quant/scalar.py:_distances_int8_matmul)
         # done ONCE per query before the slot gather; the gathered block
         # stays int8 so the batched matmul runs s8 x s8
@@ -146,45 +203,30 @@ def grouped_ivf_search_kernel(
         sconst = jnp.take(const, slot_q, axis=0)
         cross = (cross_i.astype(jnp.float32) * sscale[:, :, None]
                  + sconst[:, :, None])
+        s = _xla_epilogue(cross, cell_norms, qstat_b, slot_q, metric)
+        s = jnp.where(okc[:, None, :], s, MASKED)
     else:
         qblk = jnp.take(qf.astype(cd), slot_q.reshape(-1), axis=0).reshape(
             nlist, qcap, d)
         cross = jax.lax.dot_general(
             qblk, cells, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=prec)
+        s = _xla_epilogue(cross, cell_norms, qstat_b, slot_q, metric)
+        s = jnp.where(okc[:, None, :], s, MASKED)
 
-    qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
-    qinv = 1.0 / jnp.maximum(jnp.sqrt(qsq), 1e-30)
-    if metric == DistanceMetric.COSINE:
-        rinv = jax.lax.rsqrt(jnp.maximum(cell_norms, 1e-30))   # (nlist, cmax)
-        s = 1.0 - cross * jnp.take(qinv, slot_q, axis=0)[:, :, None] \
-            * rinv[:, None, :]
-    elif metric == DistanceMetric.L2:
-        s = jnp.maximum(
-            jnp.take(qsq, slot_q, axis=0)[:, :, None]
-            + cell_norms[:, None, :] - 2.0 * cross, 0.0)
-    else:
-        s = -cross
-
-    # validity/filter mask is per (cell, position) — shared by every slot
-    okc = (row_table >= 0) & jnp.take(validmask,
-                                      jnp.maximum(row_table, 0), axis=0)
-    s = jnp.where(okc[:, None, :], s, MASKED)
-
-    # ---- stage 5: per-slot exact top-k over the cell ------------------
-    t = min(k, cmax)
-    neg, lidx = jax.lax.top_k(-s.reshape(nlist * qcap, cmax), t)
-    slot_vals = -neg                                    # (nlist*qcap, t)
-    cellid = jnp.repeat(jnp.arange(nlist, dtype=jnp.int32), qcap)
-    slot_rows = row_table[cellid[:, None], lidx]        # (nlist*qcap, t)
-
-    # ---- stage 6: regroup per query + overflow + final merge ----------
+    # ---- stage 5: regroup score rows per query, ONE top-k -------------
+    # A per-slot top-k over (nlist*qcap, cmax) measured 23 ms at the 1M
+    # benchmark shape (ivf_grouped_lab s5-s4) — the exact reduction is
+    # sort-based and pays for every slot including empty headroom.
+    # Gathering each pair's own score row back instead is a ~24 MB copy,
+    # and the per-query exact top-k over nprobe*cmax candidates is the
+    # same cheap reduction the baseline kernel uses.
     flat_slot = flat_cell * qcap + jnp.minimum(pair_rank, qcap - 1)
-    pv = jnp.take(slot_vals, flat_slot, axis=0)         # (M, t)
-    pr = jnp.take(slot_rows, flat_slot, axis=0)
+    pv = jnp.take(s.reshape(nlist * qcap, cmax), flat_slot, axis=0)
+    pr = jnp.take(row_table, flat_cell, axis=0)         # (M, cmax)
     pv = jnp.where(pair_keep[:, None], pv, MASKED)
-    cand_vals = pv.reshape(b, nprobe * t)
-    cand_rows = pr.reshape(b, nprobe * t)
+    cand_vals = pv.reshape(b, nprobe * cmax)
+    cand_rows = pr.reshape(b, nprobe * cmax)
 
     if overflow_rows.shape[0] > 0:
         ovsq = jnp.einsum("od,od->o", overflow_vecs, overflow_vecs,

@@ -101,3 +101,74 @@ def test_hamming_mxu_matches_exact(data):
                                         interpret=True))[:5, :300]
     want = np.asarray(_hamming(bq.encode(q), bq.encode(v)))
     np.testing.assert_array_equal(got.astype(np.int32), want)
+
+
+@pytest.mark.parametrize("metric", list(DistanceMetric))
+def test_grouped_ivf_scores_pallas_matches_xla(metric):
+    """grouped_cell_scores (interpret mode) vs the XLA epilogue formula
+    used by the ann/ivf_grouped.py fallback path."""
+    import jax
+    from fastpyvectordb_tpu.kernels.distances import MASKED
+    from fastpyvectordb_tpu.kernels.pallas_ivf import grouped_cell_scores
+    rng = np.random.default_rng(9)
+    nlist, qcap, cmax, d = 4, 8, 128, 128
+    qblk = rng.standard_normal((nlist, qcap, d)).astype(np.float32)
+    cells = rng.standard_normal((nlist, cmax, d)).astype(np.float32)
+    norms = np.einsum("ncd,ncd->nc", cells, cells).astype(np.float32)
+    ok = (rng.random((nlist, cmax)) > 0.2).astype(np.float32)
+    if metric == DistanceMetric.COSINE:
+        qstat = 1.0 / np.maximum(
+            np.linalg.norm(qblk, axis=2), 1e-30).astype(np.float32)
+    elif metric == DistanceMetric.L2:
+        qstat = np.einsum("nqd,nqd->nq", qblk, qblk).astype(np.float32)
+    else:
+        qstat = np.zeros((nlist, qcap), np.float32)
+    got = np.asarray(grouped_cell_scores(
+        jnp.asarray(qblk, jnp.bfloat16), jnp.asarray(cells, jnp.bfloat16),
+        jnp.asarray(norms), jnp.asarray(ok), jnp.asarray(qstat),
+        metric=metric, interpret=True))
+    cross = np.einsum("nqd,ncd->nqc",
+                      np.asarray(jnp.asarray(qblk, jnp.bfloat16),
+                                 np.float32),
+                      np.asarray(jnp.asarray(cells, jnp.bfloat16),
+                                 np.float32))
+    if metric == DistanceMetric.COSINE:
+        rinv = 1.0 / np.sqrt(np.maximum(norms, 1e-30))
+        want = 1.0 - cross * qstat[:, :, None] * rinv[:, None, :]
+    elif metric == DistanceMetric.L2:
+        want = np.maximum(qstat[:, :, None] + norms[:, None, :]
+                          - 2.0 * cross, 0.0)
+    else:
+        want = -cross
+    want = np.where(ok[:, None, :] > 0.5, want, MASKED)
+    tol = 2e-2 * max(np.abs(want[want < MASKED / 2]).max(), 1.0)
+    m = want < MASKED / 2
+    np.testing.assert_allclose(got[m], want[m], atol=tol)
+    assert np.all(got[~m] >= MASKED / 2)
+
+
+def test_grouped_ivf_scores_i8_pallas_matches_xla():
+    """int8 grouped kernel (interpret) vs the query-side scale-folded
+    reference epilogue."""
+    from fastpyvectordb_tpu.kernels.distances import MASKED
+    from fastpyvectordb_tpu.kernels.pallas_ivf import grouped_cell_scores_i8
+    rng = np.random.default_rng(11)
+    nlist, qcap, cmax, d = 3, 8, 128, 128
+    qblk = rng.integers(-127, 128, (nlist, qcap, d)).astype(np.int8)
+    cells = rng.integers(-127, 128, (nlist, cmax, d)).astype(np.int8)
+    norms = rng.random((nlist, cmax)).astype(np.float32) * 50 + 1
+    ok = np.ones((nlist, cmax), np.float32)
+    sscale = rng.random((nlist, qcap)).astype(np.float32) * 0.01
+    sconst = rng.standard_normal((nlist, qcap)).astype(np.float32)
+    qstat = np.einsum("nqd,nqd->nq", qblk.astype(np.float32),
+                      qblk.astype(np.float32)).astype(np.float32)
+    got = np.asarray(grouped_cell_scores_i8(
+        jnp.asarray(qblk), jnp.asarray(cells), jnp.asarray(norms),
+        jnp.asarray(ok), jnp.asarray(sscale), jnp.asarray(sconst),
+        jnp.asarray(qstat), metric=DistanceMetric.L2, interpret=True))
+    cross = (np.einsum("nqd,ncd->nqc", qblk.astype(np.int64),
+                       cells.astype(np.int64)).astype(np.float32)
+             * sscale[:, :, None] + sconst[:, :, None])
+    want = np.maximum(qstat[:, :, None] + norms[:, None, :] - 2.0 * cross,
+                      0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
