@@ -273,7 +273,7 @@ class IVFIndex:
         # capacity rounds to a 128 multiple: the lane width the grouped
         # pallas score kernel tiles over (kernels/pallas_ivf.py); padding
         # rows are masked everywhere via row_table == -1
-        cap = int(max(128, -(-int(max_cell_factor * n / nlist)) // 128 * 128))
+        cap = int(max(128, -(-int(max_cell_factor * n / nlist) // 128) * 128))
         table, counts, overflow = _balanced_assignment(topm, nlist, cap)
         # cell-major serving-dtype corpus copy: probing becomes a block
         # gather of whole cells instead of a scattered row gather

@@ -52,8 +52,8 @@ def _kernel_f(q_ref, c_ref, norms_ref, ok_ref, qstat_ref, out_ref, *,
     cross = jax.lax.dot_general(
         q_ref[0], c_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    out_ref[0] = _epilogue(cross, norms_ref[0], ok_ref[0], qstat_ref[0],
-                           metric)
+    out_ref[0] = _epilogue(cross, norms_ref[0, 0], ok_ref[0, 0],
+                           qstat_ref[0, 0], metric)
 
 
 def _kernel_i8(q_ref, c_ref, norms_ref, ok_ref, sscale_ref, sconst_ref,
@@ -61,10 +61,10 @@ def _kernel_i8(q_ref, c_ref, norms_ref, ok_ref, sscale_ref, sconst_ref,
     cross_i = jax.lax.dot_general(
         q_ref[0], c_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
-    cross = (cross_i.astype(jnp.float32) * sscale_ref[0][:, None]
-             + sconst_ref[0][:, None])
-    out_ref[0] = _epilogue(cross, norms_ref[0], ok_ref[0], qstat_ref[0],
-                           metric)
+    cross = (cross_i.astype(jnp.float32) * sscale_ref[0, 0][:, None]
+             + sconst_ref[0, 0][:, None])
+    out_ref[0] = _epilogue(cross, norms_ref[0, 0], ok_ref[0, 0],
+                           qstat_ref[0, 0], metric)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "interpret"))
@@ -86,11 +86,11 @@ def grouped_cell_scores(qblk: jnp.ndarray,     # (nlist, qcap, D) bf16/f32
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cmax, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cmax), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, cmax), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cmax), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, cmax), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qcap), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, qcap), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, qcap, cmax), lambda i: (i, 0, 0),
@@ -103,7 +103,7 @@ def grouped_cell_scores(qblk: jnp.ndarray,     # (nlist, qcap, D) bf16/f32
                             + nlist * qcap * cmax * 4),
             transcendentals=nlist * cmax),
         interpret=interpret,
-    )(qblk, cells, norms, okf, qstat)
+    )(qblk, cells, norms[:, None, :], okf[:, None, :], qstat[:, None, :])
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "interpret"))
@@ -127,15 +127,15 @@ def grouped_cell_scores_i8(qblk: jnp.ndarray,    # (nlist, qcap, D) int8
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cmax, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cmax), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, cmax), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cmax), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, cmax), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qcap), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, qcap), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qcap), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, qcap), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, qcap), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, qcap), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, qcap, cmax), lambda i: (i, 0, 0),
@@ -147,4 +147,5 @@ def grouped_cell_scores_i8(qblk: jnp.ndarray,    # (nlist, qcap, D) int8
                             + nlist * qcap * cmax * 4),
             transcendentals=nlist * cmax),
         interpret=interpret,
-    )(qblk, cells, norms, okf, sscale, sconst, qstat)
+    )(qblk, cells, norms[:, None, :], okf[:, None, :], sscale[:, None, :],
+      sconst[:, None, :], qstat[:, None, :])
