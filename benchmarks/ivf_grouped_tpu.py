@@ -44,7 +44,12 @@ def main():
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--np", dest="nprobes", default="8,16,32")
     ap.add_argument("--nlist", type=int, default=2048)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (env vars cannot: "
+                         "sitecustomize pins axon)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     nprobes = [int(x) for x in args.nprobes.split(",")]
 
     key = jax.random.PRNGKey(0)
@@ -68,10 +73,16 @@ def main():
     mask_all = jnp.ones((N,), dtype=bool)
     gt = []
     for q in qbatches[:2]:
-        _, rows = Kd.search_kernel(q, v32, stats["sq"], stats["rinv"],
-                                   mask_all, metric=DistanceMetric.COSINE,
-                                   k=K, compute_dtype="float32")
-        gt.append(np.asarray(rows))
+        # chunk the f32 GT scan: a (B, N) f32 score matrix at B=1024 is
+        # 4 GB on top of the 3 GB f32 corpus — halves keep peak HBM sane
+        rows_parts = []
+        for s in range(0, B, 256):
+            _, rows = Kd.search_kernel(q[s:s + 256], v32, stats["sq"],
+                                       stats["rinv"], mask_all,
+                                       metric=DistanceMetric.COSINE,
+                                       k=K, compute_dtype="float32")
+            rows_parts.append(np.asarray(rows))
+        gt.append(np.concatenate(rows_parts))
     emit(exp="ground_truth_ready")
 
     host_v = np.asarray(v32)

@@ -258,7 +258,12 @@ class IVFIndex:
         n = store.count
         if n == 0:
             raise ValueError("cannot build IVF index over an empty collection")
-        vectors = store.vectors[:n].astype(jnp.float32)
+        # stay in the STORAGE dtype: an .astype(f32) of a 5M x 768 bf16
+        # store materializes a 15 GB copy and OOMs the 16 GB HBM before
+        # the build starts.  kmeans/assignment chunk internally and
+        # accumulate in f32 via preferred_element_type, so bf16 rows only
+        # ever widen one chunk at a time.
+        vectors = store.vectors[:n]
         if nlist is None:
             nlist = int(min(max(int(math.sqrt(n)) * 2, 8), 8192,
                             max(n // 4, 1)))
@@ -290,7 +295,8 @@ class IVFIndex:
             # strided sample (not the insertion-order prefix): a drifting
             # corpus would otherwise clip rows outside the prefix's range
             step = max(1, n // 200_000)
-            quant.vmin, quant.scale = _train(vectors[::step][:200_000])
+            quant.vmin, quant.scale = _train(
+                vectors[::step][:200_000].astype(jnp.float32))
             codes = _encode(vectors, quant.vmin, quant.scale)  # int8
             cells = jnp.take(codes, safe.reshape(-1), axis=0).reshape(
                 nlist, cap, vectors.shape[1])

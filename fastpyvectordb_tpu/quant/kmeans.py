@@ -50,7 +50,9 @@ def kmeans_fit(data: jnp.ndarray, key: jax.Array, *, k: int, iters: int = 10,
     """Fit ``k`` centroids to ``data`` (N, D) float32.  Returns (k, D)."""
     n, d = data.shape
     init_idx = jax.random.choice(key, n, (k,), replace=n < k)
-    centroids = data[init_idx]
+    # centroids carry must be f32 regardless of the data dtype (bf16
+    # stores pass their buffer straight in — ann/ivf.py:build)
+    centroids = data[init_idx].astype(jnp.float32)
     padded, _ = _pad_to_multiple(data, chunk)
     weights = (jnp.arange(padded.shape[0]) < n).astype(jnp.float32)
     chunks = padded.reshape(-1, chunk, d)
