@@ -33,6 +33,20 @@ def corpus():
     return v, q, exact
 
 
+def test_kmeans_accepts_bf16_corpus(rng):
+    """bf16 stores pass their buffer straight into the IVF build
+    (ann/ivf.py keeps the storage dtype to avoid a full-corpus f32 copy);
+    the Lloyd scan carry must stay f32 for any input dtype."""
+    import jax
+    import jax.numpy as jnp
+    data = jnp.asarray(rng.standard_normal((256, 8)).astype(np.float32),
+                       dtype=jnp.bfloat16)
+    c = kmeans_fit(data, jax.random.PRNGKey(0), k=8, iters=4, chunk=128)
+    assert c.dtype == jnp.float32 and c.shape == (8, 8)
+    a = np.asarray(assign_chunked(data, c, chunk=128))
+    assert a.min() >= 0 and a.max() < 8
+
+
 def test_kmeans_reduces_distortion(rng):
     import jax
     data = rng.standard_normal((512, 8)).astype(np.float32)
