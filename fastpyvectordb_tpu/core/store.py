@@ -38,6 +38,23 @@ MIN_CAPACITY = 1024
 from ..utils import next_pow2 as _next_pow2  # shared helper
 
 
+def _ladder(n: int) -> int:
+    """Smallest value >= n from the {2^k, 3*2^(k-1)} ladder
+    (..., 1024, 1536, 2048, 3072, ...)."""
+    p = _next_pow2(n)
+    h = 3 * p // 4
+    return h if n <= h else p
+
+
+def _next_bucket(n: int) -> int:
+    """Capacity bucket for ``n`` rows.  Pure pow2 bucketing wastes up
+    to 2x HBM at the worst point (a 5M x 768 bf16 corpus lands in an
+    8.4M-row 12.9 GB buffer and OOMs a 16 GB chip); the half-step ladder
+    caps waste at 33% for twice the compile-bucket count (cached across
+    runs)."""
+    return _ladder(max(n, MIN_CAPACITY))
+
+
 def pad_rows(arr: np.ndarray, to: int) -> np.ndarray:
     """Pad the leading axis of ``arr`` with zeros up to ``to`` rows."""
     n = arr.shape[0]
@@ -83,7 +100,7 @@ class DeviceVectorStore:
                  storage_dtype: str = "float32"):
         self.dims = int(dims)
         self.storage_dtype = jnp.dtype(storage_dtype)
-        cap = _next_pow2(max(capacity, MIN_CAPACITY))
+        cap = _next_bucket(max(capacity, MIN_CAPACITY))
         self.vectors = jnp.zeros((cap, self.dims), dtype=self.storage_dtype)
         self.valid = jnp.zeros((cap,), dtype=bool)
         self.sq = jnp.zeros((cap,), dtype=jnp.float32)
@@ -97,7 +114,7 @@ class DeviceVectorStore:
         return self.vectors.shape[0]
 
     def _grow(self, needed: int) -> None:
-        new_cap = _next_pow2(needed)
+        new_cap = _next_bucket(needed)
         pad = new_cap - self.capacity
         self.vectors = jnp.pad(self.vectors, ((0, pad), (0, 0)))
         self.valid = jnp.pad(self.valid, ((0, pad),))
@@ -114,7 +131,7 @@ class DeviceVectorStore:
         # count + p (not just count + n): dynamic_update_slice clamps the
         # start index, and a clamped write would silently overwrite earlier
         # live rows while marking the new rows invalid.
-        p = _next_pow2(max(n, 8))
+        p = _ladder(max(n, 8))
         if self.count + p > self.capacity:
             self._grow(self.count + p)
         block = pad_rows(np.ascontiguousarray(vecs, dtype=np.float32), p)
@@ -231,7 +248,7 @@ class DeviceVectorStore:
         this (vectordb_optimized.py:474 keeps tombstones forever)."""
         live = self.live_rows_host()
         vecs = self.get_rows(live)
-        cap = _next_pow2(max(live.size, MIN_CAPACITY))
+        cap = _next_bucket(max(live.size, MIN_CAPACITY))
         self.vectors = jnp.zeros((cap, self.dims), dtype=self.storage_dtype)
         self.valid = jnp.zeros((cap,), dtype=bool)
         self.sq = jnp.zeros((cap,), dtype=jnp.float32)

@@ -75,3 +75,25 @@ def test_search_after_boundary_append_finds_new_rows():
     from fastpyvectordb_tpu.core.types import DistanceMetric
     dists, hit_rows = store.search(q, k=3, metric=DistanceMetric.COSINE)
     assert set(hit_rows[0].tolist()) == set(rows.tolist())
+
+
+def test_capacity_bucket_ladder():
+    """Capacities walk the {2^k, 3*2^(k-1)} ladder: a corpus slightly
+    over a pow2 lands in the 1.5x half-step, not the next pow2 (a 5M-row
+    bf16 corpus must not allocate an 8.4M-row buffer on a 16 GB chip)."""
+    from fastpyvectordb_tpu.core.store import _next_bucket
+    assert _next_bucket(1000) == 1024
+    assert _next_bucket(1024) == 1024
+    assert _next_bucket(1025) == 1536
+    assert _next_bucket(1536) == 1536
+    assert _next_bucket(1537) == 2048
+    assert _next_bucket(5_000_000) == 6_291_456      # 1.5 * 2^22
+    rng = np.random.default_rng(0)
+    store = DeviceVectorStore(4, capacity=MIN_CAPACITY)
+    store.append(rng.standard_normal((1100, 4)).astype(np.float32))
+    assert store.capacity == 1536
+    store.append(rng.standard_normal((500, 4)).astype(np.float32))
+    assert store.capacity == 2048
+    # rows survive growth across the half-step
+    got = store.get_rows(np.array([0, 1099, 1100, 1599], dtype=np.int64))
+    assert np.isfinite(got).all()
