@@ -43,12 +43,17 @@ from ..kernels.distances import MASKED, matmul_precision
 from ..quant.kmeans import kmeans_fit
 
 
-@functools.partial(jax.jit, static_argnames=("m", "chunk"))
+@functools.partial(jax.jit, static_argnames=("m", "chunk", "n"))
 def _assign_topm(data: jnp.ndarray, centroids: jnp.ndarray, *, m: int,
-                 chunk: int = 16384) -> jnp.ndarray:
-    """Top-m nearest centroids per row (N, m) int32, chunked over N."""
-    n, d = data.shape
-    pad = (-n) % chunk
+                 chunk: int = 16384, n: int = None) -> jnp.ndarray:
+    """Top-m nearest centroids for the first ``n`` rows, chunked over the
+    buffer.  Like kmeans_fit, accepts a capacity-padded buffer directly
+    so no full-corpus pad/slice copy is ever materialized (rows past
+    ``n`` are computed and discarded — they cost one partial chunk)."""
+    if n is None:
+        n = data.shape[0]
+    nb, d = data.shape
+    pad = (-nb) % chunk
     data_p = jnp.pad(data, ((0, pad), (0, 0))) if pad else data
     csq = jnp.einsum("kd,kd->k", centroids, centroids,
                      preferred_element_type=jnp.float32)
@@ -258,12 +263,13 @@ class IVFIndex:
         n = store.count
         if n == 0:
             raise ValueError("cannot build IVF index over an empty collection")
-        # stay in the STORAGE dtype: an .astype(f32) of a 5M x 768 bf16
-        # store materializes a 15 GB copy and OOMs the 16 GB HBM before
-        # the build starts.  kmeans/assignment chunk internally and
-        # accumulate in f32 via preferred_element_type, so bf16 rows only
-        # ever widen one chunk at a time.
-        vectors = store.vectors[:n]
+        # stay in the STORAGE dtype AND keep the full capacity buffer: an
+        # .astype(f32) (15 GB at 5M x 768) or even a [:n] slice /
+        # pad-to-chunk copy (6+ GB) of a big store OOMs HBM on top of the
+        # resident corpus.  kmeans/assignment take the buffer as-is with
+        # an explicit n bound; row ids from the balanced assignment are
+        # all < n, so cell gathers never touch padding rows.
+        vectors = store.vectors
         if nlist is None:
             nlist = int(min(max(int(math.sqrt(n)) * 2, 8), 8192,
                             max(n // 4, 1)))
@@ -272,9 +278,10 @@ class IVFIndex:
             nprobe = max(1, min(nlist, collection.config.ivf_nprobe))
         centroids = kmeans_fit(vectors, jax.random.PRNGKey(seed), k=nlist,
                                iters=iters,
-                               chunk=int(min(16384, _pow2_at_least(n))))
+                               chunk=int(min(16384, _pow2_at_least(n))),
+                               n=n)
         topm = np.asarray(_assign_topm(vectors, centroids,
-                                       m=min(spill_choices, nlist)))
+                                       m=min(spill_choices, nlist), n=n))
         # capacity rounds to a 128 multiple: the lane width the grouped
         # pallas score kernel tiles over (kernels/pallas_ivf.py); padding
         # rows are masked everywhere via row_table == -1
@@ -295,8 +302,10 @@ class IVFIndex:
             # strided sample (not the insertion-order prefix): a drifting
             # corpus would otherwise clip rows outside the prefix's range
             step = max(1, n // 200_000)
+            sample_idx = jnp.asarray(
+                np.arange(0, n, step, dtype=np.int64)[:200_000])
             quant.vmin, quant.scale = _train(
-                vectors[::step][:200_000].astype(jnp.float32))
+                jnp.take(vectors, sample_idx, axis=0).astype(jnp.float32))
             codes = _encode(vectors, quant.vmin, quant.scale)  # int8
             cells = jnp.take(codes, safe.reshape(-1), axis=0).reshape(
                 nlist, cap, vectors.shape[1])

@@ -30,7 +30,7 @@ def _pad_to_multiple(x: jnp.ndarray, m: int) -> Tuple[jnp.ndarray, int]:
 def assign_chunked(data: jnp.ndarray, centroids: jnp.ndarray,
                    chunk: int = 65536) -> jnp.ndarray:
     """argmin_k ||x - c_k||² for every row, scanning N in fixed chunks."""
-    padded, n = _pad_to_multiple(data, chunk)
+    padded, n = _pad_to_multiple(data, chunk)  # no-op when pre-aligned
     csq = jnp.einsum("kd,kd->k", centroids, centroids,
                      preferred_element_type=jnp.float32)
 
@@ -44,16 +44,26 @@ def assign_chunked(data: jnp.ndarray, centroids: jnp.ndarray,
     return assign.reshape(-1)[:data.shape[0]]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "iters", "chunk", "n"))
 def kmeans_fit(data: jnp.ndarray, key: jax.Array, *, k: int, iters: int = 10,
-               chunk: int = 16384) -> jnp.ndarray:
-    """Fit ``k`` centroids to ``data`` (N, D) float32.  Returns (k, D)."""
-    n, d = data.shape
+               chunk: int = 16384, n: int = None) -> jnp.ndarray:
+    """Fit ``k`` centroids to the first ``n`` rows of ``data`` (N_buf, D).
+    Returns (k, D) f32.
+
+    ``n`` (default: all rows) lets callers pass a capacity-padded device
+    buffer DIRECTLY — a `buf[:n]` slice or a `jnp.pad` to the chunk
+    multiple each copies the full corpus (6+ GB at 4M x 768 bf16, an HBM
+    OOM on top of the resident store).  Padding rows beyond ``n`` carry
+    zero weight; when the buffer length is already a chunk multiple
+    (every store capacity bucket is, above 16k) nothing is copied."""
+    n_buf, d = data.shape
+    if n is None:
+        n = n_buf
     init_idx = jax.random.choice(key, n, (k,), replace=n < k)
     # centroids carry must be f32 regardless of the data dtype (bf16
     # stores pass their buffer straight in — ann/ivf.py:build)
     centroids = data[init_idx].astype(jnp.float32)
-    padded, _ = _pad_to_multiple(data, chunk)
+    padded, _ = _pad_to_multiple(data, chunk)  # no-op when pre-aligned
     weights = (jnp.arange(padded.shape[0]) < n).astype(jnp.float32)
     chunks = padded.reshape(-1, chunk, d)
     wchunks = weights.reshape(-1, chunk)
