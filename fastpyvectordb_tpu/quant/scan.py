@@ -236,10 +236,13 @@ class QuantizedScan:
     def build(cls, collection, kind: str = "int8", **kwargs) -> "QuantizedScan":
         store = collection._store
         n = store.count
-        # train/encode on the DEVICE corpus slice: round-tripping 1Mx768
-        # through host memory costs seconds, and threshold rebuilds run on
-        # the serving path (search_quantized -> _index_rebuild_due)
-        dev = store.vectors[:max(n, 1)][:n]
+        # train/encode on the FULL capacity buffer: a [:n] slice of a big
+        # bf16 store materializes a multi-GB copy on top of the resident
+        # corpus (6+ GB at 4M x 768 — an HBM OOM class, same as the IVF
+        # build).  Padding rows encode to garbage codes but never rank:
+        # built_count stays at the build-time row count and the search
+        # mask excludes every row beyond it.
+        dev = store.vectors
         if kind in ("int8", "sq", "scalar"):
             qz = ScalarQuantizer().train(dev)
             codes = qz.encode(dev)
@@ -280,6 +283,10 @@ class QuantizedScan:
         else:
             raise ValueError(f"unknown quantized scan kind {kind!r}")
         scan = cls(kind, qz, codes, store, collection.config.metric)
+        scan.built_count = n  # NOT codes.shape[0]: codes cover the whole
+        # capacity buffer, but only the first n rows were real at build
+        # (later appends overwrite padding rows with vectors the stale
+        # codes do not represent — the exact tail merge serves those)
         # re-rank in the collection's serving dtype (bf16 on TPU configs)
         scan.compute_dtype = collection.config.compute_dtype
         return scan
@@ -336,10 +343,20 @@ class QuantizedScan:
         if getattr(self, "_valid_src", None) is not src:
             self._valid_src = src
             self._valid_sliced = src[:n]
+            if self.built_count < n:
+                # rows past the build-time count hold vectors the codes
+                # were never trained on (appends into old padding slots)
+                self._valid_sliced = self._valid_sliced & (
+                    jnp.arange(n) < self.built_count)
             self._valid_padded = None  # binary layout re-pads lazily
         valid = self._valid_sliced
         if mask is not None:
-            m = jnp.asarray(mask[:n]) & valid
+            # caller masks are count-sized; codes span the capacity
+            # buffer, so pad with False (padding rows never rank)
+            mk = np.asarray(mask[:n], dtype=bool)
+            if mk.shape[0] < n:
+                mk = np.pad(mk, (0, n - mk.shape[0]))
+            m = jnp.asarray(mk) & valid
         else:
             m = valid
         c = min(max(k * max(rerank, 1), k), n)
@@ -469,7 +486,9 @@ class QuantizedScan:
         sections/meta — so a reloaded collection serves ``search_quantized``
         without minutes of re-train/re-encode (the reference persists
         quantizer state too, quantization.py:196-213)."""
-        sections = {"quant_codes": np.asarray(self.codes)}
+        # persist only the real rows: codes may span the store's whole
+        # capacity buffer (padding rows carry garbage codes)
+        sections = {"quant_codes": np.asarray(self.codes[:self.built_count])}
         meta = {"kind": self.kind,
                 "default_rerank": int(self.default_rerank),
                 "built_count": int(self.built_count),
