@@ -310,3 +310,50 @@ def test_pq_scan_rejects_dot_metric():
     col.insert_batch(np.eye(8, dtype=np.float32), list("abcdefgh"))
     with pytest.raises(ValueError, match="dot"):
         col.enable_quantized_scan("pq", m=4, k=16)
+
+
+@pytest.mark.parametrize("kind", ["int8", "binary", "pq"])
+def test_capacity_buffer_codes(kind, tmp_path):
+    """QuantizedScan.build encodes the store's full CAPACITY buffer (no
+    [:n] device copy — an HBM OOM class at multi-GB corpora).  Padding
+    rows carry garbage codes and must never rank; rows appended after the
+    build land in old padding slots and are served by the exact tail
+    merge; count-sized filter masks pad against capacity codes; persist
+    snapshots only the built rows."""
+    rng = np.random.default_rng(11)
+    n, d = 700, 32  # MIN_CAPACITY=1024 > n: padding rows exist
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    col = Collection(CollectionConfig(name=f"cap-{kind}", dimensions=d,
+                                      metric="l2"))
+    col.insert_batch(v, [f"a{i}" for i in range(n)],
+                     metadatas=[{"g": int(i % 3)} for i in range(n)])
+    kw = {"m": 8, "k": 16} if kind == "pq" else {}
+    scan = col.enable_quantized_scan(kind, **kw)
+    assert scan.built_count == n
+    assert scan.codes.shape[0] >= col._store.capacity or \
+        scan.codes.shape[0] == n  # binary packs words; int8/pq row-major
+    q = v[17:18] + 0.01 * rng.standard_normal((1, d)).astype(np.float32)
+    hits = col.search_quantized(q, k=5, rerank=16)[0]
+    assert hits[0].id == "a17", [h.id for h in hits]
+    assert all(h.id.startswith("a") for h in hits)  # no padding rows
+    # count-sized filter mask vs capacity-length codes
+    from fastpyvectordb_tpu import Filter
+    fhits = col.search_quantized(q, k=5, rerank=16,
+                                 filter=Filter.eq("g", 2))[0]
+    assert fhits and all(h.metadata["g"] == 2 for h in fhits)
+    # append after build: new rows occupy former padding slots whose
+    # codes are stale — the exact tail merge must serve them
+    w = rng.standard_normal((40, d)).astype(np.float32)
+    col.insert_batch(w, [f"b{i}" for i in range(40)])
+    r2 = col.search_quantized(w[7:8], k=3, rerank=16)[0]
+    assert r2[0].id == "b7", [h.id for h in r2]
+    # persisted snapshot slices to built_count and round-trips
+    col.base_path = tmp_path / kind
+    col.save()
+    col2 = Collection(col.config, base_path=col.base_path)
+    assert col2._quantized is not None
+    assert col2._quantized.built_count == n
+    r3 = col2.search_quantized(q, k=5, rerank=16)[0]
+    assert r3[0].id == "a17", [h.id for h in r3]
+    r4 = col2.search_quantized(w[7:8], k=3, rerank=16)[0]
+    assert r4[0].id == "b7", [h.id for h in r4]
