@@ -96,6 +96,7 @@ class QueryBatcher:
         """Dispatch waves for ``key`` until its bucket drains.  Only one
         loop runs per key (guarded by _busy), so waves serialize on the
         device while arrivals accumulate behind them."""
+        drained = False
         try:
             while True:
                 async with self._lock:
@@ -108,11 +109,17 @@ class QueryBatcher:
                         self._buckets.pop(key, None)
                     if not wave:
                         self._busy.pop(key, None)
+                        drained = True
                         return
                 await self._flush(wave, key[1], key[3], key[4])
         finally:
-            # exception path: drop the busy marker so the key isn't wedged
-            if self._busy.get(key):
+            # exception path ONLY: drop the busy marker so the key isn't
+            # wedged.  The normal path already popped it under the lock —
+            # and releasing that lock (the async __aexit__ before this
+            # finally runs) is a suspension point where another task may
+            # have legitimately spawned the NEXT loop; touching _busy here
+            # would break that loop's single-owner guard.
+            if not drained:
                 async with self._lock:
                     self._busy.pop(key, None)
                     if self._buckets.get(key):
