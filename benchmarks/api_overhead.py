@@ -89,6 +89,24 @@ def main():
         kernel(dev_batches[0])
         row["kernel_ms"] = round(bench(kernel, dev_batches, args.iters) * 1e3, 2)
 
+        # pure host->device upload of the query block, in the dtype the
+        # store actually ships (bf16 serving demotes on the host): this
+        # attributes the store-vs-kernel gap to the transfer link, which
+        # on a remote-attached chip (~30-45 MB/s tunnel) dominates — on
+        # local PCIe the same transfer is sub-millisecond
+        import ml_dtypes
+        wire_dtype = (ml_dtypes.bfloat16
+                      if col.config.compute_dtype == "bfloat16"
+                      else np.float32)
+        wire_batches = [x.astype(wire_dtype) for x in host_batches]
+
+        def upload(x):
+            jnp.asarray(x).block_until_ready()
+        upload(wire_batches[0])
+        row["upload_ms"] = round(
+            bench(upload, wire_batches, args.iters) * 1e3, 2)
+        row["upload_mb"] = round(wire_batches[0].nbytes / 2**20, 3)
+
         def store_host(q):
             store.search(q, 10, metric,
                          compute_dtype=col.config.compute_dtype,
