@@ -187,6 +187,40 @@ def _ivf_search_kernel(
     return -neg, jnp.take_along_axis(cand, pos, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("blk",))
+def _encode_cells(vectors: jnp.ndarray, safe: jnp.ndarray,
+                  vmin: jnp.ndarray, scale: jnp.ndarray, *, blk: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather + scalar-quantize the cell tensor blockwise:
+    (capacity, D) storage-dtype buffer -> ((nlist, cap, D) int8 cells,
+    (nlist, cap) f32 dequantized norms) via a lax.scan over cell blocks.
+
+    Never materializes full-capacity int8 codes: at 4M x 768 the resident
+    bf16 store (6.4 GB) + capacity codes (3.2 GB) + the gathered cell
+    tensor (4 GB) overflow the 16 GB HBM; per-block the transient is a
+    few hundred MB.  Norms are of the DEQUANTIZED rows (encode/decode
+    round trip), exactly matching ScalarQuantizer.corpus_stats."""
+    from ..quant.scalar import _encode
+    nlist, cap = safe.shape
+    d = vectors.shape[1]
+    pad = (-nlist) % blk
+    safe_p = jnp.pad(safe, ((0, pad), (0, 0))) if pad else safe
+
+    def body(_, sb):  # sb: (blk, cap) int32 row ids (padding -> row 0)
+        v = jnp.take(vectors, sb.reshape(-1), axis=0)
+        c = _encode(v, vmin, scale)                     # (blk*cap, D) int8
+        vhat = ((c.astype(jnp.float32) + 128.0) / 255.0 * scale[None, :]
+                + vmin[None, :])
+        nrm = jnp.einsum("nd,nd->n", vhat, vhat,
+                         preferred_element_type=jnp.float32)
+        return None, (c.reshape(blk, cap, d), nrm.reshape(blk, cap))
+
+    _, (cells, norms) = jax.lax.scan(body, None,
+                                     safe_p.reshape(-1, blk, cap))
+    return (cells.reshape(-1, cap, d)[:nlist],
+            norms.reshape(-1, cap)[:nlist])
+
+
 def _balanced_assignment(topm: np.ndarray, nlist: int, cap: int
                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Greedy capacity-capped assignment from per-row top-m cell choices.
@@ -297,7 +331,7 @@ class IVFIndex:
         if cell_dtype == "int8":
             # train + encode fully on device (ScalarQuantizer.encode would
             # round-trip the corpus through the host)
-            from ..quant.scalar import ScalarQuantizer, _encode, _train
+            from ..quant.scalar import ScalarQuantizer, _train
             quant = ScalarQuantizer(dims=int(vectors.shape[1]))
             # strided sample (not the insertion-order prefix): a drifting
             # corpus would otherwise clip rows outside the prefix's range
@@ -306,14 +340,14 @@ class IVFIndex:
                 np.arange(0, n, step, dtype=np.int64)[:200_000])
             quant.vmin, quant.scale = _train(
                 jnp.take(vectors, sample_idx, axis=0).astype(jnp.float32))
-            codes = _encode(vectors, quant.vmin, quant.scale)  # int8
-            cells = jnp.take(codes, safe.reshape(-1), axis=0).reshape(
-                nlist, cap, vectors.shape[1])
-            row_norms, _ = quant.corpus_stats(codes)  # ||x_hat||^2
-            cell_norms = jnp.where(
-                jnp.asarray(table) >= 0,
-                jnp.take(row_norms, safe.reshape(-1),
-                         axis=0).reshape(nlist, cap), 0.0)
+            # blockwise gather+encode straight into cell layout: never
+            # materializes full-capacity int8 codes (see _encode_cells)
+            # ~100k rows per block: the f32 encode intermediate stays
+            # ~300 MB at D=768 regardless of corpus size
+            blk = max(1, min(nlist, -(-100_000 // cap)))
+            cells, cell_norms = _encode_cells(
+                vectors, safe, quant.vmin, quant.scale, blk=blk)
+            cell_norms = jnp.where(jnp.asarray(table) >= 0, cell_norms, 0.0)
         else:
             cells = jnp.take(vectors, safe.reshape(-1), axis=0).astype(
                 dtype).reshape(nlist, cap, vectors.shape[1])
