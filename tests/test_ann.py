@@ -187,3 +187,33 @@ def test_ivf_int8_cells_recall_and_persistence(tmp_path, rng):
     assert col2._ann.cells.dtype == np.int8
     _, rows2 = col2._ann.search(q, 10)
     np.testing.assert_array_equal(rows, rows2)
+
+
+def test_encode_cells_matches_corpus_stats():
+    """_encode_cells (blockwise gather+encode, ann/ivf.py) must produce
+    exactly the codes and dequantized norms the old full-corpus
+    encode + corpus_stats path did — bit-identical, since both run the
+    same _encode / dequant arithmetic."""
+    import jax.numpy as jnp
+    from fastpyvectordb_tpu.ann.ivf import _encode_cells
+    from fastpyvectordb_tpu.quant.scalar import (ScalarQuantizer, _encode,
+                                                 _train)
+    rng = np.random.default_rng(3)
+    n, d, nlist, cap = 1000, 32, 8, 256
+    v = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    vmin, scale = _train(v)
+    table = rng.integers(-1, n, (nlist, cap)).astype(np.int32)
+    safe = jnp.maximum(jnp.asarray(table), 0)
+    cells, norms = _encode_cells(v, safe, vmin, scale, blk=3)  # pad path
+    qz = ScalarQuantizer(dims=d)
+    qz.vmin, qz.scale = vmin, scale
+    codes = _encode(v, vmin, scale)
+    row_norms, _ = qz.corpus_stats(codes)
+    exp_cells = jnp.take(codes, safe.reshape(-1), axis=0
+                         ).reshape(nlist, cap, d)
+    exp_norms = jnp.take(row_norms, safe.reshape(-1), axis=0
+                         ).reshape(nlist, cap)
+    np.testing.assert_array_equal(np.asarray(cells), np.asarray(exp_cells))
+    np.testing.assert_allclose(np.asarray(norms), np.asarray(exp_norms),
+                               rtol=1e-6)
