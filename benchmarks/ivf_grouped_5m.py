@@ -90,8 +90,10 @@ def main():
     gt = []
     for q in qbatches[:2]:
         rows_parts = []
-        for s in range(0, B, 128):
-            _, rows = Kd.search_kernel(q[s:s + 128], v16, sq, rinv,
+        # 64-query chunks: at 5M the (chunk, N) score grid + the exact
+        # TopK's temps must fit beside the 9.7 GB bf16 store
+        for s in range(0, B, 64):
+            _, rows = Kd.search_kernel(q[s:s + 64], v16, sq, rinv,
                                        validmask,
                                        metric=DistanceMetric.COSINE, k=K,
                                        compute_dtype="bfloat16",
