@@ -246,11 +246,19 @@ def grouped_ivf_search_kernel(
         ook = (overflow_rows >= 0) & jnp.take(
             validmask, jnp.maximum(overflow_rows, 0), axis=0)
         os_ = jnp.where(ook[None, :], os_, MASKED)
+        # pre-reduce the overflow block to k per query BEFORE the merge:
+        # a big overflow (69k rows at 4M/factor 1.25) would otherwise
+        # widen the final top-k's candidate axis ~8x (nprobe*cmax ~10k
+        # -> ~79k), and the merge pays for every column
+        o = overflow_rows.shape[0]
+        if o > 4 * max(k, 1):
+            oneg, opos = jax.lax.top_k(-os_, min(k, o))
+            os_ = -oneg
+            orows_b = jnp.take(overflow_rows, opos, axis=0)  # (B, k)
+        else:
+            orows_b = jnp.broadcast_to(overflow_rows[None], (b, o))
         cand_vals = jnp.concatenate([cand_vals, os_], axis=1)
-        cand_rows = jnp.concatenate(
-            [cand_rows, jnp.broadcast_to(overflow_rows[None],
-                                         (b, overflow_rows.shape[0]))],
-            axis=1)
+        cand_rows = jnp.concatenate([cand_rows, orows_b], axis=1)
 
     kk = min(k, cand_vals.shape[1])
     neg, posk = jax.lax.top_k(-cand_vals, kk)

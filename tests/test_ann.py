@@ -217,3 +217,33 @@ def test_encode_cells_matches_corpus_stats():
     np.testing.assert_array_equal(np.asarray(cells), np.asarray(exp_cells))
     np.testing.assert_allclose(np.asarray(norms), np.asarray(exp_norms),
                                rtol=1e-6)
+
+
+def test_grouped_big_overflow_prereduce(built):
+    """When the overflow block is large (> 4k columns) the grouped kernel
+    pre-reduces it to k per query before the merge; planted overflow rows
+    must still surface exactly."""
+    import jax.numpy as jnp
+    from fastpyvectordb_tpu.ann.ivf_grouped import grouped_ivf_search_kernel
+    from fastpyvectordb_tpu.core.types import DistanceMetric
+    col, v, q = built
+    idx = col._ann
+    store = col._store
+    k = 5
+    # synthetic big overflow: first 100 corpus rows as overflow entries,
+    # padded far past 4*k so the pre-reduce branch compiles in
+    orows = np.full(256, -1, np.int32)
+    orows[:100] = np.arange(100)
+    ovecs = jnp.take(store.vectors, jnp.asarray(
+        np.maximum(orows, 0)), axis=0)
+    cnorms = idx._cell_norms_cached()
+    d_, r_, dropped = grouped_ivf_search_kernel(
+        jnp.asarray(v[:8]), idx.centroids, idx.cells, idx.row_table,
+        ovecs, jnp.asarray(orows), store.valid,
+        idx.quantizer.vmin if idx.quantizer else jnp.zeros(v.shape[1]),
+        idx.quantizer.scale if idx.quantizer else jnp.ones(v.shape[1]),
+        cnorms, metric=DistanceMetric.L2, k=k, nprobe=8, qcap=32)
+    rows = np.asarray(r_)
+    # query i IS corpus row i (also planted in overflow): must be its own
+    # top hit whichever path found it
+    assert (rows[:, 0] == np.arange(8)).all(), rows[:, 0]
