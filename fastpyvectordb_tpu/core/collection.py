@@ -386,16 +386,32 @@ class Collection:
                 np.maximum(rows, 0).reshape(-1).astype(np.int64)
             ).reshape(rows.shape[0], rows.shape[1], -1)
         md = self._metadata
+        # bulk-convert the numpy grids to Python lists ONCE: per-element
+        # numpy indexing costs ~1 us a touch and the loop below touches
+        # B*k elements three times (measured ~77 ms of the 178 ms b1024
+        # API path on chip, benchmarks/r3_api_overhead_bf16.jsonl)
+        dlist = dists.tolist()
+        rlist = rows.tolist()
+        idlist = (rid_grid.tolist() if nrow else rlist)
+        all_ok = bool(ok.all())  # unfiltered steady state: no per-row scan
+        full_sel = list(range(min(k, rows.shape[1])))
         for bi in range(rows.shape[0]):
-            sel = np.nonzero(ok[bi])[0]
-            if sel.size > k:
-                sel = sel[:k]
-            results.append([SearchResult(
-                id=rid_grid[bi, ki],
-                score=float(dists[bi, ki]),
-                metadata=dict(md[rows[bi, ki]] or {}),
-                vector=(vecs[bi, ki] if include_vectors else None),
-            ) for ki in sel])
+            if all_ok:
+                sel = full_sel
+            else:
+                sel = np.nonzero(ok[bi])[0]
+                sel = sel[:k].tolist() if sel.size > k else sel.tolist()
+            drow, rrow, irow = dlist[bi], rlist[bi], idlist[bi]
+            hits = []
+            for ki in sel:
+                m = md[rrow[ki]]
+                hits.append(SearchResult(
+                    id=irow[ki],
+                    score=drow[ki],
+                    metadata={} if m is None else dict(m),
+                    vector=(vecs[bi, ki] if include_vectors else None),
+                ))
+            results.append(hits)
         return results
 
     # ------------------------------------------------------------------
