@@ -161,8 +161,21 @@ def grouped_ivf_search_kernel(
     if use_pallas:
         from ..kernels.pallas_ivf import (grouped_cell_scores,
                                           grouped_cell_scores_i8)
+        # compact probed-cell list for the scalar-prefetch grid: the
+        # kernel fetches ONLY cells some query probes this batch.  u_idx
+        # ranks each sorted pair's cell among the batch's unique cells;
+        # compact slots past the unique count alias cell 0 (fetched once
+        # — the pipeline only re-fetches on an index CHANGE).
+        U = min(nlist, m)
+        u_idx = (jnp.cumsum(is_start) - 1).astype(jnp.int32)   # (M,)
+        compact_cells = jnp.zeros((U,), jnp.int32
+                                  ).at[u_idx].set(scell, mode="drop")
+        qslot_c = jnp.full((U, qcap), -1, jnp.int32
+                           ).at[u_idx, rank].set(squery, mode="drop")
+        slot_qc = jnp.maximum(qslot_c, 0)
+        cid_pair = u_idx[inv]                                   # (M,)
         okf = okc.astype(jnp.float32)
-        qstat = jnp.take(qstat_b, slot_q, axis=0)       # (nlist, qcap)
+        qstat = jnp.take(qstat_b, slot_qc, axis=0)              # (U, qcap)
         if int8_cells:
             rs = scale / 255.0
             qs = qf * rs[None, :]
@@ -172,17 +185,19 @@ def grouped_ivf_search_kernel(
             qscale = jnp.maximum(qmax, 1e-30) / 127.0
             qi = jnp.clip(jnp.round(qs / qscale), -127,
                           127).astype(jnp.int8)
-            qblk = jnp.take(qi, slot_q.reshape(-1), axis=0).reshape(
-                nlist, qcap, d)
+            qblk = jnp.take(qi, slot_qc.reshape(-1), axis=0).reshape(
+                U, qcap, d)
             s = grouped_cell_scores_i8(
-                qblk, cells, cell_norms, okf,
-                jnp.take(qscale[:, 0], slot_q, axis=0),
-                jnp.take(const, slot_q, axis=0), qstat, metric=metric)
+                compact_cells, qblk, cells, cell_norms, okf,
+                jnp.take(qscale[:, 0], slot_qc, axis=0),
+                jnp.take(const, slot_qc, axis=0), qstat, metric=metric)
         else:
-            qblk = jnp.take(qf.astype(cd), slot_q.reshape(-1),
-                            axis=0).reshape(nlist, qcap, d)
-            s = grouped_cell_scores(qblk, cells, cell_norms, okf, qstat,
-                                    metric=metric)
+            qblk = jnp.take(qf.astype(cd), slot_qc.reshape(-1),
+                            axis=0).reshape(U, qcap, d)
+            s = grouped_cell_scores(compact_cells, qblk, cells,
+                                    cell_norms, okf, qstat, metric=metric)
+        flat_slot = cid_pair * qcap + jnp.minimum(pair_rank, qcap - 1)
+        n_slot_rows = U * qcap
     elif int8_cells:
         # query-side scale folding (quant/scalar.py:_distances_int8_matmul)
         # done ONCE per query before the slot gather; the gathered block
@@ -221,8 +236,10 @@ def grouped_ivf_search_kernel(
     # Gathering each pair's own score row back instead is a ~24 MB copy,
     # and the per-query exact top-k over nprobe*cmax candidates is the
     # same cheap reduction the baseline kernel uses.
-    flat_slot = flat_cell * qcap + jnp.minimum(pair_rank, qcap - 1)
-    pv = jnp.take(s.reshape(nlist * qcap, cmax), flat_slot, axis=0)
+    if not use_pallas:  # XLA paths index slots by ORIGINAL cell id
+        flat_slot = flat_cell * qcap + jnp.minimum(pair_rank, qcap - 1)
+        n_slot_rows = nlist * qcap
+    pv = jnp.take(s.reshape(n_slot_rows, cmax), flat_slot, axis=0)
     pr = jnp.take(row_table, flat_cell, axis=0)         # (M, cmax)
     pv = jnp.where(pair_keep[:, None], pv, MASKED)
     cand_vals = pv.reshape(b, nprobe * cmax)

@@ -14,6 +14,17 @@ automatic grid pipeline, runs the (qcap, D) x (D, cmax) contraction on
 the MXU, applies the metric epilogue + validity mask on the VPU in
 VMEM, and writes the finished (qcap, cmax) score tile.
 
+**Dynamic cell selection via scalar prefetch.**  The grid walks the
+batch's COMPACT probed-cell list (``cell_ids``, scalar-prefetched), not
+the full cell table: the cells/norms/ok BlockSpec index maps read
+``cell_ids[i]``, so only cells some query actually probes are fetched
+from HBM.  Unused compact slots alias cell 0 — the pipeline only
+re-fetches a block when its index CHANGES between consecutive grid
+steps, so the padding tail costs one fetch plus negligible MXU time.
+At 4M x 768 / nlist=4096 the undiscriminating grid streamed the whole
+4 GB cell tensor per batch (benchmarks/r3_ivf_grouped_4m.jsonl); with
+clustered queries the unique probed set is a fraction of that.
+
 Shapes must be lane/sublane aligned: D and cmax multiples of 128, qcap a
 multiple of 8 (the IVF build rounds cell capacity to 128 —
 ann/ivf.py:build).  Off-TPU callers use interpret mode (tests) or the
@@ -47,8 +58,9 @@ def _epilogue(cross, norms, ok, qstat, metric):
     return jnp.where(ok[None, :] > 0.5, s, MASKED)
 
 
-def _kernel_f(q_ref, c_ref, norms_ref, ok_ref, qstat_ref, out_ref, *,
-              metric: DistanceMetric):
+def _kernel_f(cids_ref, q_ref, c_ref, norms_ref, ok_ref, qstat_ref,
+              out_ref, *, metric: DistanceMetric):
+    del cids_ref  # consumed by the BlockSpec index maps
     cross = jax.lax.dot_general(
         q_ref[0], c_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -56,8 +68,9 @@ def _kernel_f(q_ref, c_ref, norms_ref, ok_ref, qstat_ref, out_ref, *,
                            qstat_ref[0, 0], metric)
 
 
-def _kernel_i8(q_ref, c_ref, norms_ref, ok_ref, sscale_ref, sconst_ref,
-               qstat_ref, out_ref, *, metric: DistanceMetric):
+def _kernel_i8(cids_ref, q_ref, c_ref, norms_ref, ok_ref, sscale_ref,
+               sconst_ref, qstat_ref, out_ref, *, metric: DistanceMetric):
+    del cids_ref
     cross_i = jax.lax.dot_general(
         q_ref[0], c_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -67,85 +80,96 @@ def _kernel_i8(q_ref, c_ref, norms_ref, ok_ref, sscale_ref, sconst_ref,
                            qstat_ref[0, 0], metric)
 
 
+def _cell_spec(shape):
+    """BlockSpec over a full-table input, block chosen by cell_ids[i]."""
+    return pl.BlockSpec(shape, lambda i, cids: (cids[i], 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _slot_spec(shape):
+    """BlockSpec over a compact (U, ...) input, block = grid step."""
+    return pl.BlockSpec(shape, lambda i, cids: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "interpret"))
-def grouped_cell_scores(qblk: jnp.ndarray,     # (nlist, qcap, D) bf16/f32
+def grouped_cell_scores(cell_ids: jnp.ndarray,  # (U,) int32 compact->cell
+                        qblk: jnp.ndarray,     # (U, qcap, D) bf16/f32
                         cells: jnp.ndarray,    # (nlist, cmax, D) same dtype
                         norms: jnp.ndarray,    # (nlist, cmax) f32 ||x||^2
                         okf: jnp.ndarray,      # (nlist, cmax) f32 1.0=valid
-                        qstat: jnp.ndarray,    # (nlist, qcap) f32
+                        qstat: jnp.ndarray,    # (U, qcap) f32
                         *, metric: DistanceMetric,
                         interpret: bool = False) -> jnp.ndarray:
-    nlist, qcap, d = qblk.shape
+    u, qcap, d = qblk.shape
     cmax = cells.shape[1]
     kernel = functools.partial(_kernel_f, metric=metric)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(u,),
+        in_specs=[
+            _slot_spec((1, qcap, d)),
+            _cell_spec((1, cmax, d)),
+            _cell_spec((1, 1, cmax)),
+            _cell_spec((1, 1, cmax)),
+            _slot_spec((1, 1, qcap)),
+        ],
+        out_specs=pl.BlockSpec((1, qcap, cmax), lambda i, cids: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
     return pl.pallas_call(
         kernel,
-        grid=(nlist,),
-        in_specs=[
-            pl.BlockSpec((1, qcap, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cmax, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cmax), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cmax), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, qcap), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, qcap, cmax), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nlist, qcap, cmax), jnp.float32),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((u, qcap, cmax), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nlist * qcap * cmax * d,
-            bytes_accessed=(cells.size * cells.dtype.itemsize
+            flops=2 * u * qcap * cmax * d,
+            bytes_accessed=(u * cmax * d * cells.dtype.itemsize
                             + qblk.size * qblk.dtype.itemsize
-                            + nlist * qcap * cmax * 4),
-            transcendentals=nlist * cmax),
+                            + u * qcap * cmax * 4),
+            transcendentals=u * cmax),
         interpret=interpret,
-    )(qblk, cells, norms[:, None, :], okf[:, None, :], qstat[:, None, :])
+    )(cell_ids, qblk, cells, norms[:, None, :], okf[:, None, :],
+      qstat[:, None, :])
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "interpret"))
-def grouped_cell_scores_i8(qblk: jnp.ndarray,    # (nlist, qcap, D) int8
+def grouped_cell_scores_i8(cell_ids: jnp.ndarray,  # (U,) int32
+                           qblk: jnp.ndarray,    # (U, qcap, D) int8
                            cells: jnp.ndarray,   # (nlist, cmax, D) int8
                            norms: jnp.ndarray,   # (nlist, cmax) f32
                            okf: jnp.ndarray,     # (nlist, cmax) f32
-                           sscale: jnp.ndarray,  # (nlist, qcap) f32
-                           sconst: jnp.ndarray,  # (nlist, qcap) f32
-                           qstat: jnp.ndarray,   # (nlist, qcap) f32
+                           sscale: jnp.ndarray,  # (U, qcap) f32
+                           sconst: jnp.ndarray,  # (U, qcap) f32
+                           qstat: jnp.ndarray,   # (U, qcap) f32
                            *, metric: DistanceMetric,
                            interpret: bool = False) -> jnp.ndarray:
-    nlist, qcap, d = qblk.shape
+    u, qcap, d = qblk.shape
     cmax = cells.shape[1]
     kernel = functools.partial(_kernel_i8, metric=metric)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(u,),
+        in_specs=[
+            _slot_spec((1, qcap, d)),
+            _cell_spec((1, cmax, d)),
+            _cell_spec((1, 1, cmax)),
+            _cell_spec((1, 1, cmax)),
+            _slot_spec((1, 1, qcap)),
+            _slot_spec((1, 1, qcap)),
+            _slot_spec((1, 1, qcap)),
+        ],
+        out_specs=pl.BlockSpec((1, qcap, cmax), lambda i, cids: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
     return pl.pallas_call(
         kernel,
-        grid=(nlist,),
-        in_specs=[
-            pl.BlockSpec((1, qcap, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cmax, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cmax), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cmax), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, qcap), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, qcap), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, qcap), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, qcap, cmax), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nlist, qcap, cmax), jnp.float32),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((u, qcap, cmax), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nlist * qcap * cmax * d,
-            bytes_accessed=(cells.size + qblk.size
-                            + nlist * qcap * cmax * 4),
-            transcendentals=nlist * cmax),
+            flops=2 * u * qcap * cmax * d,
+            bytes_accessed=(u * cmax * d + qblk.size
+                            + u * qcap * cmax * 4),
+            transcendentals=u * cmax),
         interpret=interpret,
-    )(qblk, cells, norms[:, None, :], okf[:, None, :], sscale[:, None, :],
-      sconst[:, None, :], qstat[:, None, :])
+    )(cell_ids, qblk, cells, norms[:, None, :], okf[:, None, :],
+      sscale[:, None, :], sconst[:, None, :], qstat[:, None, :])

@@ -247,3 +247,61 @@ def test_grouped_big_overflow_prereduce(built):
     # query i IS corpus row i (also planted in overflow): must be its own
     # top hit whichever path found it
     assert (rows[:, 0] == np.arange(8)).all(), rows[:, 0]
+
+
+def test_grouped_pallas_compaction_matches_xla(monkeypatch):
+    """The scalar-prefetch pallas dispatch (compact probed-cell grid,
+    kernels/pallas_ivf.py) must select the same rows as the XLA fallback
+    at identical inputs.  Runs the pallas path in interpret mode on CPU
+    with the TPU gate monkeypatched open."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from fastpyvectordb_tpu.ann.ivf_grouped import grouped_ivf_search_kernel
+    from fastpyvectordb_tpu.core.types import CollectionConfig, DistanceMetric
+    from fastpyvectordb_tpu.core.collection import Collection
+    from fastpyvectordb_tpu.kernels import pallas_ivf, pallas_quant
+
+    rng = np.random.default_rng(17)
+    n, d, nlist = 1500, 128, 32
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 2
+    v = centers[rng.integers(0, 8, n)] + 0.3 * rng.standard_normal(
+        (n, d)).astype(np.float32)
+    col = Collection(CollectionConfig(name="annp", dimensions=d, metric="l2"))
+    col.insert_batch(v, [f"v{i}" for i in range(n)])
+    col.build_ann(nlist=nlist, nprobe=4, iters=4)
+    idx, store = col._ann, col._store
+    assert idx.cells.shape[1] % 128 == 0  # pallas gate precondition
+
+    cells_bf = idx.cells.astype(jnp.bfloat16)
+    args = (jnp.asarray(v[:8]), idx.centroids, cells_bf, idx.row_table,
+            jnp.zeros((0, d), jnp.bfloat16), jnp.zeros((0,), jnp.int32),
+            store.valid, jnp.zeros((d,), jnp.float32),
+            jnp.ones((d,), jnp.float32), idx._cell_norms_cached())
+    kw = dict(metric=DistanceMetric.L2, k=10, nprobe=4, qcap=32)
+
+    grouped_ivf_search_kernel.clear_cache()
+    d_x, r_x, drop_x = (np.asarray(a) for a in
+                        grouped_ivf_search_kernel(*args, **kw))
+    try:
+        monkeypatch.setattr(pallas_quant, "on_tpu", lambda: True)
+        monkeypatch.setattr(
+            pallas_ivf, "grouped_cell_scores",
+            functools.partial(pallas_ivf.grouped_cell_scores,
+                              interpret=True))
+        monkeypatch.setattr(
+            pallas_ivf, "grouped_cell_scores_i8",
+            functools.partial(pallas_ivf.grouped_cell_scores_i8,
+                              interpret=True))
+        grouped_ivf_search_kernel.clear_cache()
+        d_p, r_p, drop_p = (np.asarray(a) for a in
+                            grouped_ivf_search_kernel(*args, **kw))
+    finally:
+        grouped_ivf_search_kernel.clear_cache()  # drop the patched trace
+
+    assert drop_x == drop_p == 0
+    np.testing.assert_allclose(d_p, d_x, atol=1e-2)
+    mism = r_p != r_x
+    if mism.any():  # rows may differ only on exact-score ties
+        np.testing.assert_allclose(d_p[mism], d_x[mism], atol=1e-2)

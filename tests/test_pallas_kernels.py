@@ -111,8 +111,11 @@ def test_grouped_ivf_scores_pallas_matches_xla(metric):
     from fastpyvectordb_tpu.kernels.distances import MASKED
     from fastpyvectordb_tpu.kernels.pallas_ivf import grouped_cell_scores
     rng = np.random.default_rng(9)
-    nlist, qcap, cmax, d = 4, 8, 128, 128
-    qblk = rng.standard_normal((nlist, qcap, d)).astype(np.float32)
+    nlist, u, qcap, cmax, d = 6, 4, 8, 128, 128
+    # compact probed-cell list: a strict subset of the cell table, sorted
+    # ascending the way ivf_grouped.py builds it
+    cell_ids = np.array([0, 2, 3, 5], np.int32)
+    qblk = rng.standard_normal((u, qcap, d)).astype(np.float32)
     cells = rng.standard_normal((nlist, cmax, d)).astype(np.float32)
     norms = np.einsum("ncd,ncd->nc", cells, cells).astype(np.float32)
     ok = (rng.random((nlist, cmax)) > 0.2).astype(np.float32)
@@ -122,25 +125,29 @@ def test_grouped_ivf_scores_pallas_matches_xla(metric):
     elif metric == DistanceMetric.L2:
         qstat = np.einsum("nqd,nqd->nq", qblk, qblk).astype(np.float32)
     else:
-        qstat = np.zeros((nlist, qcap), np.float32)
+        qstat = np.zeros((u, qcap), np.float32)
     got = np.asarray(grouped_cell_scores(
-        jnp.asarray(qblk, jnp.bfloat16), jnp.asarray(cells, jnp.bfloat16),
+        jnp.asarray(cell_ids), jnp.asarray(qblk, jnp.bfloat16),
+        jnp.asarray(cells, jnp.bfloat16),
         jnp.asarray(norms), jnp.asarray(ok), jnp.asarray(qstat),
         metric=metric, interpret=True))
+    csel = cells[cell_ids]
+    nsel = norms[cell_ids]
+    oksel = ok[cell_ids]
     cross = np.einsum("nqd,ncd->nqc",
                       np.asarray(jnp.asarray(qblk, jnp.bfloat16),
                                  np.float32),
-                      np.asarray(jnp.asarray(cells, jnp.bfloat16),
+                      np.asarray(jnp.asarray(csel, jnp.bfloat16),
                                  np.float32))
     if metric == DistanceMetric.COSINE:
-        rinv = 1.0 / np.sqrt(np.maximum(norms, 1e-30))
+        rinv = 1.0 / np.sqrt(np.maximum(nsel, 1e-30))
         want = 1.0 - cross * qstat[:, :, None] * rinv[:, None, :]
     elif metric == DistanceMetric.L2:
-        want = np.maximum(qstat[:, :, None] + norms[:, None, :]
+        want = np.maximum(qstat[:, :, None] + nsel[:, None, :]
                           - 2.0 * cross, 0.0)
     else:
         want = -cross
-    want = np.where(ok[:, None, :] > 0.5, want, MASKED)
+    want = np.where(oksel[:, None, :] > 0.5, want, MASKED)
     tol = 2e-2 * max(np.abs(want[want < MASKED / 2]).max(), 1.0)
     m = want < MASKED / 2
     np.testing.assert_allclose(got[m], want[m], atol=tol)
@@ -153,22 +160,24 @@ def test_grouped_ivf_scores_i8_pallas_matches_xla():
     from fastpyvectordb_tpu.kernels.distances import MASKED
     from fastpyvectordb_tpu.kernels.pallas_ivf import grouped_cell_scores_i8
     rng = np.random.default_rng(11)
-    nlist, qcap, cmax, d = 3, 8, 128, 128
-    qblk = rng.integers(-127, 128, (nlist, qcap, d)).astype(np.int8)
+    nlist, u, qcap, cmax, d = 4, 3, 8, 128, 128
+    cell_ids = np.array([0, 1, 3], np.int32)
+    qblk = rng.integers(-127, 128, (u, qcap, d)).astype(np.int8)
     cells = rng.integers(-127, 128, (nlist, cmax, d)).astype(np.int8)
     norms = rng.random((nlist, cmax)).astype(np.float32) * 50 + 1
     ok = np.ones((nlist, cmax), np.float32)
-    sscale = rng.random((nlist, qcap)).astype(np.float32) * 0.01
-    sconst = rng.standard_normal((nlist, qcap)).astype(np.float32)
+    sscale = rng.random((u, qcap)).astype(np.float32) * 0.01
+    sconst = rng.standard_normal((u, qcap)).astype(np.float32)
     qstat = np.einsum("nqd,nqd->nq", qblk.astype(np.float32),
                       qblk.astype(np.float32)).astype(np.float32)
     got = np.asarray(grouped_cell_scores_i8(
-        jnp.asarray(qblk), jnp.asarray(cells), jnp.asarray(norms),
+        jnp.asarray(cell_ids), jnp.asarray(qblk), jnp.asarray(cells),
+        jnp.asarray(norms),
         jnp.asarray(ok), jnp.asarray(sscale), jnp.asarray(sconst),
         jnp.asarray(qstat), metric=DistanceMetric.L2, interpret=True))
     cross = (np.einsum("nqd,ncd->nqc", qblk.astype(np.int64),
-                       cells.astype(np.int64)).astype(np.float32)
+                       cells[cell_ids].astype(np.int64)).astype(np.float32)
              * sscale[:, :, None] + sconst[:, :, None])
-    want = np.maximum(qstat[:, :, None] + norms[:, None, :] - 2.0 * cross,
-                      0.0)
+    want = np.maximum(qstat[:, :, None] + norms[cell_ids][:, None, :]
+                      - 2.0 * cross, 0.0)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
