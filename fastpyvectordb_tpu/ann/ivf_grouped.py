@@ -168,8 +168,12 @@ def grouped_ivf_search_kernel(
         # — the pipeline only re-fetches on an index CHANGE).
         U = min(nlist, m)
         u_idx = (jnp.cumsum(is_start) - 1).astype(jnp.int32)   # (M,)
+        n_uniq = (u_idx[-1] + 1).astype(jnp.int32)
         compact_cells = jnp.zeros((U,), jnp.int32
                                   ).at[u_idx].set(scell, mode="drop")
+        # kernel prefetch layout: [n_uniq, compact->cell ids...] — slots
+        # past n_uniq are skipped inside the kernel (never gathered back)
+        cell_list = jnp.concatenate([n_uniq[None], compact_cells])
         qslot_c = jnp.full((U, qcap), -1, jnp.int32
                            ).at[u_idx, rank].set(squery, mode="drop")
         slot_qc = jnp.maximum(qslot_c, 0)
@@ -188,13 +192,13 @@ def grouped_ivf_search_kernel(
             qblk = jnp.take(qi, slot_qc.reshape(-1), axis=0).reshape(
                 U, qcap, d)
             s = grouped_cell_scores_i8(
-                compact_cells, qblk, cells, cell_norms, okf,
+                cell_list, qblk, cells, cell_norms, okf,
                 jnp.take(qscale[:, 0], slot_qc, axis=0),
                 jnp.take(const, slot_qc, axis=0), qstat, metric=metric)
         else:
             qblk = jnp.take(qf.astype(cd), slot_qc.reshape(-1),
                             axis=0).reshape(U, qcap, d)
-            s = grouped_cell_scores(compact_cells, qblk, cells,
+            s = grouped_cell_scores(cell_list, qblk, cells,
                                     cell_norms, okf, qstat, metric=metric)
         flat_slot = cid_pair * qcap + jnp.minimum(pair_rank, qcap - 1)
         n_slot_rows = U * qcap

@@ -17,10 +17,13 @@ VMEM, and writes the finished (qcap, cmax) score tile.
 **Dynamic cell selection via scalar prefetch.**  The grid walks the
 batch's COMPACT probed-cell list (``cell_ids``, scalar-prefetched), not
 the full cell table: the cells/norms/ok BlockSpec index maps read
-``cell_ids[i]``, so only cells some query actually probes are fetched
-from HBM.  Unused compact slots alias cell 0 — the pipeline only
-re-fetches a block when its index CHANGES between consecutive grid
-steps, so the padding tail costs one fetch plus negligible MXU time.
+``cell_ids[1 + i]``, so only cells some query actually probes are
+fetched from HBM.  ``cell_ids[0]`` carries the batch's TRUE unique-cell
+count: compact slots past it alias cell 0 (the pipeline only re-fetches
+a block when its index CHANGES between consecutive grid steps, so the
+padding tail costs one fetch) and their matmul/epilogue/store is
+skipped entirely via ``pl.when`` — their output tiles are never read
+back (ann/ivf_grouped.py gathers only real pair slots).
 At 4M x 768 / nlist=4096 the undiscriminating grid streamed the whole
 4 GB cell tensor per batch (benchmarks/r3_ivf_grouped_4m.jsonl); with
 clustered queries the unique probed set is a fraction of that.
@@ -60,29 +63,32 @@ def _epilogue(cross, norms, ok, qstat, metric):
 
 def _kernel_f(cids_ref, q_ref, c_ref, norms_ref, ok_ref, qstat_ref,
               out_ref, *, metric: DistanceMetric):
-    del cids_ref  # consumed by the BlockSpec index maps
-    cross = jax.lax.dot_general(
-        q_ref[0], c_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    out_ref[0] = _epilogue(cross, norms_ref[0, 0], ok_ref[0, 0],
-                           qstat_ref[0, 0], metric)
+    @pl.when(pl.program_id(0) < cids_ref[0])  # skip the padding tail
+    def _():
+        cross = jax.lax.dot_general(
+            q_ref[0], c_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[0] = _epilogue(cross, norms_ref[0, 0], ok_ref[0, 0],
+                               qstat_ref[0, 0], metric)
 
 
 def _kernel_i8(cids_ref, q_ref, c_ref, norms_ref, ok_ref, sscale_ref,
                sconst_ref, qstat_ref, out_ref, *, metric: DistanceMetric):
-    del cids_ref
-    cross_i = jax.lax.dot_general(
-        q_ref[0], c_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    cross = (cross_i.astype(jnp.float32) * sscale_ref[0, 0][:, None]
-             + sconst_ref[0, 0][:, None])
-    out_ref[0] = _epilogue(cross, norms_ref[0, 0], ok_ref[0, 0],
-                           qstat_ref[0, 0], metric)
+    @pl.when(pl.program_id(0) < cids_ref[0])
+    def _():
+        cross_i = jax.lax.dot_general(
+            q_ref[0], c_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        cross = (cross_i.astype(jnp.float32) * sscale_ref[0, 0][:, None]
+                 + sconst_ref[0, 0][:, None])
+        out_ref[0] = _epilogue(cross, norms_ref[0, 0], ok_ref[0, 0],
+                               qstat_ref[0, 0], metric)
 
 
 def _cell_spec(shape):
-    """BlockSpec over a full-table input, block chosen by cell_ids[i]."""
-    return pl.BlockSpec(shape, lambda i, cids: (cids[i], 0, 0),
+    """BlockSpec over a full-table input, block chosen by cell_ids[1+i]
+    (slot 0 of the prefetch array carries the unique-cell count)."""
+    return pl.BlockSpec(shape, lambda i, cids: (cids[i + 1], 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -93,7 +99,8 @@ def _slot_spec(shape):
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "interpret"))
-def grouped_cell_scores(cell_ids: jnp.ndarray,  # (U,) int32 compact->cell
+def grouped_cell_scores(cell_ids: jnp.ndarray,  # (U+1,) int32: [n_uniq,
+                        #   compact->cell...]; slots >= n_uniq are skipped
                         qblk: jnp.ndarray,     # (U, qcap, D) bf16/f32
                         cells: jnp.ndarray,    # (nlist, cmax, D) same dtype
                         norms: jnp.ndarray,    # (nlist, cmax) f32 ||x||^2
@@ -133,7 +140,8 @@ def grouped_cell_scores(cell_ids: jnp.ndarray,  # (U,) int32 compact->cell
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "interpret"))
-def grouped_cell_scores_i8(cell_ids: jnp.ndarray,  # (U,) int32
+def grouped_cell_scores_i8(cell_ids: jnp.ndarray,  # (U+1,) int32:
+                           #   [n_uniq, compact->cell...]
                            qblk: jnp.ndarray,    # (U, qcap, D) int8
                            cells: jnp.ndarray,   # (nlist, cmax, D) int8
                            norms: jnp.ndarray,   # (nlist, cmax) f32

@@ -114,7 +114,7 @@ def test_grouped_ivf_scores_pallas_matches_xla(metric):
     nlist, u, qcap, cmax, d = 6, 4, 8, 128, 128
     # compact probed-cell list: a strict subset of the cell table, sorted
     # ascending the way ivf_grouped.py builds it
-    cell_ids = np.array([0, 2, 3, 5], np.int32)
+    cell_ids = np.array([u, 0, 2, 3, 5], np.int32)  # [n_uniq, ids...]
     qblk = rng.standard_normal((u, qcap, d)).astype(np.float32)
     cells = rng.standard_normal((nlist, cmax, d)).astype(np.float32)
     norms = np.einsum("ncd,ncd->nc", cells, cells).astype(np.float32)
@@ -131,9 +131,9 @@ def test_grouped_ivf_scores_pallas_matches_xla(metric):
         jnp.asarray(cells, jnp.bfloat16),
         jnp.asarray(norms), jnp.asarray(ok), jnp.asarray(qstat),
         metric=metric, interpret=True))
-    csel = cells[cell_ids]
-    nsel = norms[cell_ids]
-    oksel = ok[cell_ids]
+    csel = cells[cell_ids[1:]]
+    nsel = norms[cell_ids[1:]]
+    oksel = ok[cell_ids[1:]]
     cross = np.einsum("nqd,ncd->nqc",
                       np.asarray(jnp.asarray(qblk, jnp.bfloat16),
                                  np.float32),
@@ -152,6 +152,16 @@ def test_grouped_ivf_scores_pallas_matches_xla(metric):
     m = want < MASKED / 2
     np.testing.assert_allclose(got[m], want[m], atol=tol)
     assert np.all(got[~m] >= MASKED / 2)
+    # padding-tail skip: dropping n_uniq to u-1 must not disturb the
+    # real tiles (the last tile's contents become unspecified)
+    cut = cell_ids.copy()
+    cut[0] = u - 1
+    got2 = np.asarray(grouped_cell_scores(
+        jnp.asarray(cut), jnp.asarray(qblk, jnp.bfloat16),
+        jnp.asarray(cells, jnp.bfloat16),
+        jnp.asarray(norms), jnp.asarray(ok), jnp.asarray(qstat),
+        metric=metric, interpret=True))
+    np.testing.assert_array_equal(got2[:u - 1], got[:u - 1])
 
 
 def test_grouped_ivf_scores_i8_pallas_matches_xla():
@@ -161,7 +171,7 @@ def test_grouped_ivf_scores_i8_pallas_matches_xla():
     from fastpyvectordb_tpu.kernels.pallas_ivf import grouped_cell_scores_i8
     rng = np.random.default_rng(11)
     nlist, u, qcap, cmax, d = 4, 3, 8, 128, 128
-    cell_ids = np.array([0, 1, 3], np.int32)
+    cell_ids = np.array([u, 0, 1, 3], np.int32)  # [n_uniq, ids...]
     qblk = rng.integers(-127, 128, (u, qcap, d)).astype(np.int8)
     cells = rng.integers(-127, 128, (nlist, cmax, d)).astype(np.int8)
     norms = rng.random((nlist, cmax)).astype(np.float32) * 50 + 1
@@ -176,8 +186,9 @@ def test_grouped_ivf_scores_i8_pallas_matches_xla():
         jnp.asarray(ok), jnp.asarray(sscale), jnp.asarray(sconst),
         jnp.asarray(qstat), metric=DistanceMetric.L2, interpret=True))
     cross = (np.einsum("nqd,ncd->nqc", qblk.astype(np.int64),
-                       cells[cell_ids].astype(np.int64)).astype(np.float32)
+                       cells[cell_ids[1:]].astype(np.int64)
+                       ).astype(np.float32)
              * sscale[:, :, None] + sconst[:, :, None])
-    want = np.maximum(qstat[:, :, None] + norms[cell_ids][:, None, :]
+    want = np.maximum(qstat[:, :, None] + norms[cell_ids[1:]][:, None, :]
                       - 2.0 * cross, 0.0)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
