@@ -64,7 +64,7 @@ def main():
             dd_ = ivf.centroids.shape[1]
             _, r = _ivf_search_kernel(
                 sub, ivf.centroids, ivf.cells, ivf.row_table,
-                ivf.overflow_vecs, ivf.overflow_rows, col._store.valid,
+                ivf.overflow_vecs, ivf.overflow_rows, *ivf._ok_cached(),
                 jnp2.zeros((dd_,), jnp2.float32),
                 jnp2.ones((dd_,), jnp2.float32),
                 jnp2.zeros((1, 1), jnp2.float32),

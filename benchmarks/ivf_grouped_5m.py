@@ -138,6 +138,7 @@ def main():
     from fastpyvectordb_tpu.ann.ivf_grouped import grouped_ivf_search_kernel
     nlist, cmax = idx.row_table.shape
     cnorms = idx._cell_norms_cached()
+    okc, oko = idx._ok_cached()
     for nprobe in nprobes:
         mean_load = B * nprobe / nlist
         qcap = 8
@@ -147,7 +148,7 @@ def main():
         def run(q):
             d_, r_, _ = grouped_ivf_search_kernel(
                 q, idx.centroids, idx.cells, idx.row_table,
-                idx.overflow_vecs, idx.overflow_rows, validmask,
+                idx.overflow_vecs, idx.overflow_rows, okc, oko,
                 idx.quantizer.vmin, idx.quantizer.scale, cnorms,
                 metric=DistanceMetric.COSINE, k=K, nprobe=nprobe,
                 qcap=qcap, compute_dtype="bfloat16")

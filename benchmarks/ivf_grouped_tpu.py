@@ -113,7 +113,7 @@ def main():
         vmin = jnp.zeros((D,), jnp.float32)
         scale = jnp.ones((D,), jnp.float32)
     cnorms = idx._cell_norms_cached()
-    validmask = col._store.valid
+    okc, oko = idx._ok_cached()
     dev_batches = [jnp.asarray(q) for q in qbatches]
 
     for nprobe in nprobes:
@@ -125,7 +125,7 @@ def main():
         def run(q):
             return grouped_ivf_search_kernel(
                 q, idx.centroids, idx.cells, idx.row_table,
-                idx.overflow_vecs, idx.overflow_rows, validmask,
+                idx.overflow_vecs, idx.overflow_rows, okc, oko,
                 vmin, scale, cnorms, metric=DistanceMetric.COSINE,
                 k=K, nprobe=nprobe, qcap=qcap,
                 compute_dtype="bfloat16")

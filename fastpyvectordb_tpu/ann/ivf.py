@@ -78,7 +78,9 @@ def _ivf_search_kernel(
     row_table: jnp.ndarray,    # (nlist, cmax) int32, -1 = padding
     overflow_vecs: jnp.ndarray,  # (O, D) serving dtype (O may be 0)
     overflow_rows: jnp.ndarray,  # (O,) int32
-    validmask: jnp.ndarray,    # (cap,) bool (store validity AND filter mask)
+    ok_cells: jnp.ndarray,     # (nlist, cmax) bool — slot live (padding AND
+                               #   tombstones AND filter pre-applied)
+    ok_overflow: jnp.ndarray,  # (O,) bool — same, for the overflow block
     vmin: jnp.ndarray,         # (D,) f32 — int8 cells only (else zeros)
     scale: jnp.ndarray,        # (D,) f32 — int8 cells only (else ones)
     cell_norms: jnp.ndarray,   # (nlist, cmax) f32 ||x||^2 — int8 cells only
@@ -120,6 +122,11 @@ def _ivf_search_kernel(
     vecs = jnp.take(cells, probe, axis=0)              # (B, nprobe, cmax, D)
     vecs = vecs.reshape(b, nprobe * cmax, d)
     cand = jnp.take(row_table, probe, axis=0).reshape(b, -1)
+    # per-slot validity rides the same contiguous cell-row gather — the
+    # caller precomputes ok_cells ONCE per validity epoch; an element
+    # gather from a (cap,) mask here costs ~8 ns/element on TPU
+    # (benchmarks/ivfg_pallas_lab.py)
+    ok = jnp.take(ok_cells, probe, axis=0).reshape(b, -1)
 
     qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
     qinv = 1.0 / jnp.maximum(jnp.sqrt(qsq[:, None]), 1e-30)
@@ -174,9 +181,10 @@ def _ivf_search_kernel(
         cand = jnp.concatenate(
             [cand, jnp.broadcast_to(overflow_rows[None],
                                     (b, overflow_rows.shape[0]))], axis=1)
+        ok = jnp.concatenate(
+            [ok, jnp.broadcast_to(ok_overflow[None],
+                                  (b, overflow_rows.shape[0]))], axis=1)
 
-    safe = jnp.maximum(cand, 0)
-    ok = (cand >= 0) & jnp.take(validmask, safe, axis=0)
     s = jnp.where(ok, s, MASKED)
     if approx:
         # exact top_k over ~nprobe*cmax+O columns dominates the kernel;
@@ -261,6 +269,39 @@ def _balanced_assignment(topm: np.ndarray, nlist: int, cap: int
         unassigned = (np.concatenate(next_unassigned)
                       if next_unassigned else np.empty(0, dtype=np.int64))
     return table, counts, unassigned.astype(np.int32)
+
+
+def ok_slot_masks(index, extra: Optional[jnp.ndarray] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-slot liveness masks ((nlist, cmax) and (O,)) for a cell-table
+    index (IVFIndex / IVFPQIndex): slot occupied AND row not tombstoned
+    (AND the filter mask when given).
+
+    The base masks are memoized on the IDENTITY of ``store.valid`` /
+    ``row_table`` — every store mutation replaces the validity buffer, and
+    a rebuild replaces the table — because the per-call
+    ``validmask[row_table]`` element gather measured 40 ms of the 43 ms
+    grouped dispatch at 4M x 768 (~8 ns/element random take on TPU) while
+    every other stage totals ~1.4 ms (benchmarks/ivfg_pallas_lab.py s4 vs
+    s6_norowvalid)."""
+    valid = index._collection._store.valid
+    memo = getattr(index, "_ok_memo", None)
+    if (memo is None or memo[0] is not valid
+            or memo[1] is not index.row_table):
+        okc = (index.row_table >= 0) & jnp.take(
+            valid, jnp.maximum(index.row_table, 0), axis=0)
+        oko = (index.overflow_rows >= 0) & jnp.take(
+            valid, jnp.maximum(index.overflow_rows, 0), axis=0)
+        memo = (valid, index.row_table, okc, oko)
+        index._ok_memo = memo
+    okc, oko = memo[2], memo[3]
+    if extra is not None:
+        # filtered searches pay the gather — the filter changes per call;
+        # the unfiltered serving path never does
+        okc = okc & jnp.take(extra, jnp.maximum(index.row_table, 0), axis=0)
+        oko = oko & jnp.take(extra, jnp.maximum(index.overflow_rows, 0),
+                             axis=0)
+    return okc, oko
 
 
 class IVFIndex:
@@ -365,6 +406,11 @@ class IVFIndex:
         return idx
 
     # ------------------------------------------------------------------
+    def _ok_cached(self, extra: Optional[jnp.ndarray] = None
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return ok_slot_masks(self, extra)
+
+    # ------------------------------------------------------------------
     def _cell_norms_cached(self) -> jnp.ndarray:
         """Per-(cell, position) squared row norms, built once and cached.
         int8 builds already store the dequantized norms; serving-dtype
@@ -376,7 +422,7 @@ class IVFIndex:
                            preferred_element_type=jnp.float32), 0.0)
         return self.cell_norms
 
-    def _search_grouped(self, q: np.ndarray, k: int, validmask, nprobe: int,
+    def _search_grouped(self, q: np.ndarray, k: int, okc, oko, nprobe: int,
                         qcap: Optional[int] = None
                         ) -> Tuple[np.ndarray, np.ndarray]:
         """Cell-major batched dispatch (ivf_grouped.py): each probed cell
@@ -418,7 +464,7 @@ class IVFIndex:
             dd, rr, dropped = grouped_ivf_search_kernel(
                 jnp.asarray(subq), self.centroids, self.cells,
                 self.row_table, self.overflow_vecs, self.overflow_rows,
-                validmask, vmin, scale, cnorms,
+                okc, oko, vmin, scale, cnorms,
                 metric=cfg.metric, k=min(k, cmax * nprobe), nprobe=nprobe,
                 qcap=int(sub_qcap), compute_dtype=cfg.compute_dtype)
             self.last_dropped += int(dropped)
@@ -453,11 +499,12 @@ class IVFIndex:
             # so recall under selective filters is recovered by probing
             # more cells (the IVF analogue of over-fetching)
             nprobe = int(min(self.centroids.shape[0], nprobe * overfetch))
-        validmask = store.valid
+        extra = None
         if mask is not None:
             m = np.zeros((store.capacity,), dtype=bool)
             m[: mask.shape[0]] = mask
-            validmask = jnp.logical_and(validmask, jnp.asarray(m))
+            extra = jnp.asarray(m)
+        okc, oko = self._ok_cached(extra)
         cfg = self._collection.config
         # large batches go cell-major: once the per-query gather would
         # move more bytes than the whole cell tensor (b * nprobe >= nlist
@@ -466,7 +513,7 @@ class IVFIndex:
         if grouped is None:
             grouped = q.shape[0] * nprobe >= self.centroids.shape[0]
         if grouped:
-            return self._search_grouped(q, k, validmask, nprobe, qcap=qcap)
+            return self._search_grouped(q, k, okc, oko, nprobe, qcap=qcap)
         outs_d, outs_r = [], []
         # bound per-dispatch gather memory: the probe materializes a
         # (b, nprobe, cmax, D) block, so cap the sub-batch such that the
@@ -501,7 +548,7 @@ class IVFIndex:
                 cnorms = jnp.zeros((1, 1), jnp.float32)
             d, r = _ivf_search_kernel(
                 jnp.asarray(sub), self.centroids, self.cells, self.row_table,
-                self.overflow_vecs, self.overflow_rows, validmask,
+                self.overflow_vecs, self.overflow_rows, okc, oko,
                 vmin, scale, cnorms,
                 metric=cfg.metric, k=min(k, self.row_table.shape[1] * nprobe),
                 nprobe=nprobe, compute_dtype=cfg.compute_dtype,

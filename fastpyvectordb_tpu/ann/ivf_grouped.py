@@ -72,7 +72,9 @@ def grouped_ivf_search_kernel(
     row_table: jnp.ndarray,    # (nlist, cmax) int32, -1 = padding
     overflow_vecs: jnp.ndarray,   # (O, D) serving dtype (O may be 0)
     overflow_rows: jnp.ndarray,   # (O,) int32, -1 = padding
-    validmask: jnp.ndarray,    # (cap,) bool
+    ok_cells: jnp.ndarray,     # (nlist, cmax) bool — slot live (padding
+                               #   AND tombstones AND filter pre-applied)
+    ok_overflow: jnp.ndarray,  # (O,) bool — same, for the overflow block
     vmin: jnp.ndarray,         # (D,) f32 — int8 cells only (else zeros)
     scale: jnp.ndarray,        # (D,) f32 — int8 cells only (else ones)
     cell_norms: jnp.ndarray,   # (nlist, cmax) f32 ||x||^2 (ALL cell dtypes)
@@ -140,9 +142,12 @@ def grouped_ivf_search_kernel(
 
     qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
     qinv = 1.0 / jnp.maximum(jnp.sqrt(qsq), 1e-30)
-    # validity/filter mask is per (cell, position) — shared by every slot
-    okc = (row_table >= 0) & jnp.take(validmask,
-                                      jnp.maximum(row_table, 0), axis=0)
+    # validity mask is per (cell, position), PRECOMPUTED by the caller:
+    # gathering it here from a (cap,) mask per call measured 40 ms of the
+    # 43 ms 4M dispatch — a 5.2M-element random take is ~8 ns/element on
+    # TPU while everything else in this kernel totals 1.4 ms
+    # (benchmarks/ivfg_pallas_lab.py s4 vs s6_norowvalid, 2026-08-18)
+    okc = ok_cells
 
     # ---- stage 3+4: gather query slots, ONE batched cell matmul --------
     # XLA lowers the (nlist)-batched small-M matmul poorly (15+ ms at the
@@ -264,9 +269,7 @@ def grouped_ivf_search_kernel(
                 qsq[:, None] + ovsq[None, :] - 2.0 * ocross, 0.0)
         else:
             os_ = -ocross
-        ook = (overflow_rows >= 0) & jnp.take(
-            validmask, jnp.maximum(overflow_rows, 0), axis=0)
-        os_ = jnp.where(ook[None, :], os_, MASKED)
+        os_ = jnp.where(ok_overflow[None, :], os_, MASKED)
         # pre-reduce the overflow block to k per query BEFORE the merge:
         # a big overflow (69k rows at 4M/factor 1.25) would otherwise
         # widen the final top-k's candidate axis ~8x (nprobe*cmax ~10k

@@ -110,7 +110,9 @@ def _ivfpq_search_kernel(
     row_table: jnp.ndarray,    # (nlist, cmax) int32, -1 = padding
     overflow_vecs: jnp.ndarray,  # (O, D) f32 (O may be 0)
     overflow_rows: jnp.ndarray,  # (O,) int32
-    validmask: jnp.ndarray,    # (cap,) bool
+    ok_cells: jnp.ndarray,     # (nlist, cmax) bool — slot live (padding AND
+                               #   tombstones AND filter pre-applied)
+    ok_overflow: jnp.ndarray,  # (O,) bool — same, for the overflow block
     vectors: jnp.ndarray,      # (cap, D) store vectors (re-rank source)
     *,
     metric: DistanceMetric,
@@ -147,6 +149,11 @@ def _ivfpq_search_kernel(
     codes_g = jnp.take(codes, probe, axis=0)           # (B, P, cmax, M) u8
     norms_g = jnp.take(norms, probe, axis=0).reshape(b, -1)
     cand = jnp.take(row_table, probe, axis=0).reshape(b, -1)
+    # per-slot validity rides the same contiguous cell-row gather; the
+    # caller precomputes ok_cells once per validity epoch (a per-call
+    # (cap,)-mask element gather costs ~8 ns/element on TPU —
+    # benchmarks/ivfg_pallas_lab.py s4)
+    ok = jnp.take(ok_cells, probe, axis=0).reshape(b, -1)
     adc = _adc_sum(lut, codes_g, m, kk, b, nprobe, cmax)
     qc_g = jnp.take_along_axis(
         qc, probe, axis=1)[:, :, None]                 # (B, P, 1) q·centroid
@@ -175,9 +182,11 @@ def _ivfpq_search_kernel(
         cand = jnp.concatenate(
             [cand, jnp.broadcast_to(overflow_rows[None],
                                     (b, overflow_rows.shape[0]))], axis=1)
+        ok = jnp.concatenate(
+            [ok, jnp.broadcast_to(ok_overflow[None],
+                                  (b, overflow_rows.shape[0]))], axis=1)
 
     safe = jnp.maximum(cand, 0)
-    ok = (cand >= 0) & jnp.take(validmask, safe, axis=0)
     s = jnp.where(ok, s, MASKED)
 
     if not do_rerank:
@@ -344,11 +353,13 @@ class IVFPQIndex:
         nprobe = int(min(nprobe or self.nprobe, self.centroids.shape[0]))
         if mask is not None and overfetch > 1:
             nprobe = int(min(self.centroids.shape[0], nprobe * overfetch))
-        validmask = store.valid
+        from .ivf import ok_slot_masks
+        extra = None
         if mask is not None:
             mm = np.zeros((store.capacity,), dtype=bool)
             mm[: mask.shape[0]] = mask
-            validmask = jnp.logical_and(validmask, jnp.asarray(mm))
+            extra = jnp.asarray(mm)
+        okc, oko = ok_slot_masks(self, extra)
         cfg = self._collection.config
         rr = rerank if rerank is not None else self.rerank
         ncand = nprobe * self.row_table.shape[1] + \
@@ -377,7 +388,7 @@ class IVFPQIndex:
             dd, r = _ivfpq_search_kernel(
                 jnp.asarray(sub), self.centroids, self.codebooks, self.codes,
                 self.norms, self.row_table, self.overflow_vecs,
-                self.overflow_rows, validmask, store.vectors,
+                self.overflow_rows, okc, oko, store.vectors,
                 metric=cfg.metric, k=min(k, ncand), c=c, nprobe=nprobe,
                 rerank_dtype=cfg.compute_dtype, do_rerank=rr > 0)
             outs_d.append(np.asarray(dd)[:real])

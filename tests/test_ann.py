@@ -237,9 +237,13 @@ def test_grouped_big_overflow_prereduce(built):
     ovecs = jnp.take(store.vectors, jnp.asarray(
         np.maximum(orows, 0)), axis=0)
     cnorms = idx._cell_norms_cached()
+    okc = (idx.row_table >= 0) & jnp.take(
+        store.valid, jnp.maximum(idx.row_table, 0), axis=0)
+    oko = (jnp.asarray(orows) >= 0) & jnp.take(
+        store.valid, jnp.asarray(np.maximum(orows, 0)), axis=0)
     d_, r_, dropped = grouped_ivf_search_kernel(
         jnp.asarray(v[:8]), idx.centroids, idx.cells, idx.row_table,
-        ovecs, jnp.asarray(orows), store.valid,
+        ovecs, jnp.asarray(orows), okc, oko,
         idx.quantizer.vmin if idx.quantizer else jnp.zeros(v.shape[1]),
         idx.quantizer.scale if idx.quantizer else jnp.ones(v.shape[1]),
         cnorms, metric=DistanceMetric.L2, k=k, nprobe=8, qcap=32)
@@ -275,9 +279,10 @@ def test_grouped_pallas_compaction_matches_xla(monkeypatch):
     assert idx.cells.shape[1] % 128 == 0  # pallas gate precondition
 
     cells_bf = idx.cells.astype(jnp.bfloat16)
+    okc, oko = idx._ok_cached()
     args = (jnp.asarray(v[:8]), idx.centroids, cells_bf, idx.row_table,
             jnp.zeros((0, d), jnp.bfloat16), jnp.zeros((0,), jnp.int32),
-            store.valid, jnp.zeros((d,), jnp.float32),
+            okc, oko[:0], jnp.zeros((d,), jnp.float32),
             jnp.ones((d,), jnp.float32), idx._cell_norms_cached())
     kw = dict(metric=DistanceMetric.L2, k=10, nprobe=4, qcap=32)
 
