@@ -101,7 +101,7 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
     prec = matmul_precision(compute_dtype)
 
     def local(q, centroids, cells, row_table, cent_valid, cent_boost,
-              validmask, vmin, scale, cell_norms):
+              ok_cells, vmin, scale, cell_norms):
         b, d = q.shape
         cmax = cells.shape[1]
         qf = q.astype(jnp.float32)
@@ -132,6 +132,10 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
 
         vecs = jnp.take(cells, probe, axis=0).reshape(b, npl * cmax, d)
         cand = jnp.take(row_table, probe, axis=0).reshape(b, -1)  # global ids
+        # per-slot liveness precomputed at construction (a per-call
+        # validmask[row_table] element gather costs ~8 ns/element on TPU —
+        # benchmarks/ivfg_pallas_lab.py s4); rides the same cell-row gather
+        ok = jnp.take(ok_cells, probe, axis=0).reshape(b, -1)
 
         qsq = jnp.einsum("bd,bd->b", qf, qf,
                          preferred_element_type=jnp.float32)
@@ -160,8 +164,6 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
             s = jnp.sqrt(jnp.maximum(qsq[:, None] + vsq - 2.0 * cross, 0.0))
         else:
             s = -cross
-        safe = jnp.maximum(cand, 0)
-        ok = (cand >= 0) & jnp.take(validmask, safe, axis=0)
         s = jnp.where(ok, s, MASKED)
         kk = min(k, s.shape[1])
         neg, pos = jax.lax.top_k(-s, kk)
@@ -172,8 +174,8 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
         local, mesh=mesh,
         in_specs=(P(None, None), P(DATA_AXIS, None),
                   P(DATA_AXIS, None, None), P(DATA_AXIS, None),
-                  P(DATA_AXIS), P(DATA_AXIS), P(None), P(None), P(None),
-                  P(DATA_AXIS, None)),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS, None), P(None),
+                  P(None), P(DATA_AXIS, None)),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
@@ -210,7 +212,13 @@ class ShardedIVF:
         self.row_table = shard(row_table, 2)
         self.cent_valid = shard(cent_valid, 1)
         self.cent_boost = shard(np.asarray(cent_boost), 1)
-        self.validmask = jax.device_put(validmask, NamedSharding(mesh, P()))
+        # per-slot liveness, precomputed once: the layout is an immutable
+        # snapshot (validity changes require re-sharding), so the
+        # validmask[row_table] gather never belongs in the search dispatch
+        tbl = np.asarray(row_table)
+        vm_h = np.asarray(validmask)
+        self.ok_cells = shard(
+            (tbl >= 0) & vm_h[np.maximum(tbl, 0)], 2)
         rep = lambda a: jax.device_put(np.asarray(a),
                                        NamedSharding(mesh, P()))
         d = centroids.shape[1]
@@ -324,7 +332,7 @@ class ShardedIVF:
                 compute_dtype=self.compute_dtype)
         d, r = self._fns[k](q, self.centroids, self.cells, self.row_table,
                             self.cent_valid, self.cent_boost,
-                            self.validmask, self.vmin,
+                            self.ok_cells, self.vmin,
                             self.scale, self.cell_norms)
         return np.asarray(d), np.asarray(r)
 
@@ -352,7 +360,7 @@ def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
     metric = DistanceMetric.parse(metric)
 
     def local(q, centroids, codebooks, codes, norms, row_table, cent_valid,
-              orow_ids, vectors, validmask):
+              orow_ids, vectors, validmask, ok_cells):
         b, d = q.shape
         nlist_l, cmax, m = codes.shape
         kk_cb = codebooks.shape[1]
@@ -379,6 +387,9 @@ def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
         codes_g = jnp.take(codes, probe, axis=0)
         norms_g = jnp.take(norms, probe, axis=0).reshape(b, -1)
         cand = jnp.take(row_table, probe, axis=0).reshape(b, -1)
+        # per-slot liveness precomputed at construction (the per-call
+        # validmask[row_table] element gather is ~8 ns/element on TPU)
+        ok = jnp.take(ok_cells, probe, axis=0).reshape(b, -1)
         adc = _adc_sum(lut, codes_g, m, kk_cb, b, npl, cmax)
         qc_g = jnp.take_along_axis(qc, probe, axis=1)[:, :, None]
         cross = (qc_g + adc.reshape(b, npl, cmax)).reshape(b, -1)
@@ -394,7 +405,6 @@ def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
         else:
             s = -cross
         safe = jnp.maximum(cand, 0)
-        ok = (cand >= 0) & jnp.take(validmask, safe, axis=0)
         s = jnp.where(ok, s, MASKED)
         cc = min(c, s.shape[1])
         negc, cpos = jax.lax.top_k(-s, cc)
@@ -454,7 +464,7 @@ def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
         in_specs=(P(None, None), P(DATA_AXIS, None), P(None, None, None),
                   P(DATA_AXIS, None, None), P(DATA_AXIS, None),
                   P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
-                  P(DATA_AXIS, None), P(None)),
+                  P(DATA_AXIS, None), P(None), P(DATA_AXIS, None)),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
@@ -493,6 +503,12 @@ class ShardedIVFPQ:
         self.orow_ids = shard(np.asarray(orow_ids, np.int32), 1)
         self.vectors = shard(vectors, 2)
         self.validmask = rep(validmask)
+        # per-slot liveness, precomputed once over the immutable layout
+        # (see ShardedIVF.__init__): phase-1 candidate masking never pays
+        # the per-call validmask[row_table] element gather
+        tbl = np.asarray(row_table)
+        vm_h = np.asarray(validmask)
+        self.ok_cells = shard((tbl >= 0) & vm_h[np.maximum(tbl, 0)], 2)
         self._fns = {}
 
     @classmethod
@@ -553,7 +569,8 @@ class ShardedIVFPQ:
                 rerank_dtype=self.rerank_dtype)
         d, r = self._fns[key](q, self.centroids, self.codebooks, self.codes,
                               self.norms, self.row_table, self.cent_valid,
-                              self.orow_ids, self.vectors, self.validmask)
+                              self.orow_ids, self.vectors, self.validmask,
+                              self.ok_cells)
         return np.asarray(d), np.asarray(r)
 
 
