@@ -136,13 +136,25 @@ def main():
         qa = jax.random.randint(k1, (batch,), 0, n_centers)
         qbatches.append(centers[qa] + 0.5 * jax.random.normal(
             k2, (batch, d), dtype=jnp.float32))
+    def fetch1(o):
+        # true barrier: block_until_ready is unreliable through the axon
+        # tunnel (measured returning before execution — see
+        # benchmarks/ivfg_pallas_lab.py); fetching one element of the LAST
+        # output drains the in-order dispatch queue
+        np.asarray(jax.device_get(
+            jax.tree_util.tree_leaves(o)[0].ravel()[:1]))
+
     results = {}
     for mode, (run, rec) in candidates.items():
-        jax.block_until_ready(run(qbatches[0]))
+        out0 = run(qbatches[0])
+        fetch1(out0)
+        t0 = time.perf_counter()
+        fetch1(out0)
+        rtt = time.perf_counter() - t0      # tunnel round-trip floor
         t0 = time.perf_counter()
         outs = [run(qb) for qb in qbatches[1:]]
-        jax.block_until_ready(outs)
-        dt = time.perf_counter() - t0
+        fetch1(outs[-1])
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9)
         results[mode] = (iters * batch / dt, rec, dt)
 
     best = max(results, key=lambda m: results[m][0])
