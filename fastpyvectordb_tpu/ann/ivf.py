@@ -70,7 +70,7 @@ def _assign_topm(data: jnp.ndarray, centroids: jnp.ndarray, *, m: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("metric", "k", "nprobe", "compute_dtype",
-                                    "approx"))
+                                    "approx", "rerank"))
 def _ivf_search_kernel(
     q: jnp.ndarray,            # (B, D) f32
     centroids: jnp.ndarray,    # (nlist, D) f32
@@ -84,12 +84,17 @@ def _ivf_search_kernel(
     vmin: jnp.ndarray,         # (D,) f32 — int8 cells only (else zeros)
     scale: jnp.ndarray,        # (D,) f32 — int8 cells only (else ones)
     cell_norms: jnp.ndarray,   # (nlist, cmax) f32 ||x||^2 — int8 cells only
+    vectors: Optional[jnp.ndarray] = None,  # (cap, D) store rows — only
+                               #   read when rerank > 0 (exact re-rank src)
     *,
     metric: DistanceMetric,
     k: int,
     nprobe: int,
     compute_dtype: str = "bfloat16",
     approx: bool = False,
+    rerank: int = 0,           # exact re-rank of the top rerank*k (int8
+                               #   cells lose ~5-7 recall points to
+                               #   quantized ordering without it)
 ):
     b, d = q.shape
     cmax = cells.shape[1]
@@ -186,6 +191,17 @@ def _ivf_search_kernel(
                                   (b, overflow_rows.shape[0]))], axis=1)
 
     s = jnp.where(ok, s, MASKED)
+    if rerank > 0 and vectors is not None:
+        # exact-metric re-rank of the quantized top-c (same stage as the
+        # grouped kernel / quant/scan two-stage / ivfpq do_rerank)
+        c = int(min(max(k, k * rerank), s.shape[1]))
+        cneg, cpos = jax.lax.top_k(-s, c)
+        crows = jnp.take_along_axis(cand, cpos, axis=1)
+        cok = (-cneg < MASKED * 0.5) & (crows >= 0)
+        cand_vecs = jnp.take(vectors, jnp.maximum(crows, 0), axis=0)
+        from ..quant.scan import _rerank_body
+        return _rerank_body(qf, cand_vecs, crows, cok, metric,
+                            min(k, c), compute_dtype)
     if approx:
         # exact top_k over ~nprobe*cmax+O columns dominates the kernel;
         # the hardware approximate reduction is ~constant-cost at small k
@@ -317,6 +333,7 @@ class IVFIndex:
         self.overflow_rows = overflow_rows  # (O,) int32, -1 = padding
         self._collection = collection
         self.nprobe = nprobe
+        self.rerank = 0          # exact re-rank factor (int8 builds set 4)
         self.stale = False
         self._built_count = collection._store.count
         self.quantizer = None    # set when cells are int8 codes
@@ -403,6 +420,10 @@ class IVFIndex:
         if quant is not None:
             idx.quantizer = quant
             idx.cell_norms = cell_norms
+            # int8 cell scores scramble ordering near the top-k boundary
+            # (~5-7 recall points on clustered corpora); a 4x exact
+            # re-rank recovers it for ~1.4 ms at B=1024
+            idx.rerank = 4
         return idx
 
     # ------------------------------------------------------------------
@@ -423,7 +444,7 @@ class IVFIndex:
         return self.cell_norms
 
     def _search_grouped(self, q: np.ndarray, k: int, okc, oko, nprobe: int,
-                        qcap: Optional[int] = None
+                        qcap: Optional[int] = None, rerank: int = 0
                         ) -> Tuple[np.ndarray, np.ndarray]:
         """Cell-major batched dispatch (ivf_grouped.py): each probed cell
         is read from HBM once per batch and scored against all queries
@@ -465,8 +486,10 @@ class IVFIndex:
                 jnp.asarray(subq), self.centroids, self.cells,
                 self.row_table, self.overflow_vecs, self.overflow_rows,
                 okc, oko, vmin, scale, cnorms,
+                self._collection._store.vectors if rerank > 0 else None,
                 metric=cfg.metric, k=min(k, cmax * nprobe), nprobe=nprobe,
-                qcap=int(sub_qcap), compute_dtype=cfg.compute_dtype)
+                qcap=int(sub_qcap), compute_dtype=cfg.compute_dtype,
+                rerank=rerank)
             self.last_dropped += int(dropped)
             outs_d.append(np.asarray(dd)[:real])
             outs_r.append(np.asarray(rr)[:real])
@@ -477,7 +500,8 @@ class IVFIndex:
                nprobe: Optional[int] = None,
                max_query_batch: int = 64,
                grouped: Optional[bool] = None,
-               qcap: Optional[int] = None
+               qcap: Optional[int] = None,
+               rerank: Optional[int] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
         if self.stale:
             # reuse the original build parameters; runtime-tuned knobs
@@ -487,8 +511,10 @@ class IVFIndex:
             kw["nprobe"] = self.nprobe
             if self.quantizer is not None:
                 kw.setdefault("cell_dtype", "int8")
+            keep_rerank = self.rerank
             rebuilt = IVFIndex.build(self._collection, **kw)
             self.__dict__.update(rebuilt.__dict__)
+            self.rerank = keep_rerank   # runtime-tuned knob survives
         store = self._collection._store
         q = np.ascontiguousarray(queries, dtype=np.float32)
         if q.ndim == 1:
@@ -510,10 +536,12 @@ class IVFIndex:
         # move more bytes than the whole cell tensor (b * nprobe >= nlist
         # up to the qcap headroom), reading each cell once and batching
         # its queries is strictly less HBM traffic AND one dispatch
+        rr = int(self.rerank if rerank is None else rerank)
         if grouped is None:
             grouped = q.shape[0] * nprobe >= self.centroids.shape[0]
         if grouped:
-            return self._search_grouped(q, k, okc, oko, nprobe, qcap=qcap)
+            return self._search_grouped(q, k, okc, oko, nprobe, qcap=qcap,
+                                        rerank=rr)
         outs_d, outs_r = [], []
         # bound per-dispatch gather memory: the probe materializes a
         # (b, nprobe, cmax, D) block, so cap the sub-batch such that the
@@ -550,9 +578,11 @@ class IVFIndex:
                 jnp.asarray(sub), self.centroids, self.cells, self.row_table,
                 self.overflow_vecs, self.overflow_rows, okc, oko,
                 vmin, scale, cnorms,
+                store.vectors if rr > 0 else None,
                 metric=cfg.metric, k=min(k, self.row_table.shape[1] * nprobe),
                 nprobe=nprobe, compute_dtype=cfg.compute_dtype,
-                approx=pallas_quant.on_tpu() and ncand > 131_072)
+                approx=pallas_quant.on_tpu() and ncand > 131_072,
+                rerank=rr)
             outs_d.append(np.asarray(d)[:real])
             outs_r.append(np.asarray(r)[:real])
         return np.concatenate(outs_d), np.concatenate(outs_r)
@@ -586,7 +616,7 @@ class IVFIndex:
                     "ann_row_table": np.asarray(self.row_table),
                     "ann_overflow_rows": np.asarray(self.overflow_rows)}
         meta = {"kind": "ivf", "nprobe": self.nprobe,
-                "built_count": self._built_count}
+                "rerank": self.rerank, "built_count": self._built_count}
         if self.quantizer is not None:
             sections["ann_sq_vmin"] = np.asarray(self.quantizer.vmin)
             sections["ann_sq_scale"] = np.asarray(self.quantizer.scale)
@@ -634,6 +664,9 @@ class IVFIndex:
         if quant is not None:
             idx.quantizer = quant
             idx.cell_norms = cell_norms
+        # older containers predate the rerank knob: default to the build
+        # default for their cell dtype (int8 -> 4, serving dtype -> 0)
+        idx.rerank = int(meta.get("rerank", 4 if quant is not None else 0))
         idx._built_count = int(meta["built_count"])
         # growth past built_count is served by the collection's tail merge;
         # only an impossible shrink (container mismatch) forces a rebuild

@@ -64,7 +64,7 @@ def _xla_epilogue(cross, cell_norms, qstat_b, slot_q, metric):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "metric", "k", "nprobe", "qcap", "compute_dtype"))
+    "metric", "k", "nprobe", "qcap", "compute_dtype", "rerank"))
 def grouped_ivf_search_kernel(
     q: jnp.ndarray,            # (B, D) f32
     centroids: jnp.ndarray,    # (nlist, D) f32
@@ -78,12 +78,18 @@ def grouped_ivf_search_kernel(
     vmin: jnp.ndarray,         # (D,) f32 — int8 cells only (else zeros)
     scale: jnp.ndarray,        # (D,) f32 — int8 cells only (else ones)
     cell_norms: jnp.ndarray,   # (nlist, cmax) f32 ||x||^2 (ALL cell dtypes)
+    vectors: Optional[jnp.ndarray] = None,  # (cap, D) store rows — only
+                               #   read when rerank > 0 (exact re-rank src)
     *,
     metric: DistanceMetric,
     k: int,
     nprobe: int,
     qcap: int,
     compute_dtype: str = "bfloat16",
+    rerank: int = 0,           # re-rank the top rerank*k candidates
+                               #   exactly against ``vectors`` (int8 cells
+                               #   lose ~5-7 recall points to quantized
+                               #   score ordering without this)
 ):
     """Returns (dists (B, k) f32, rows (B, k) int32, dropped () int32)."""
     b, d = q.shape
@@ -284,6 +290,21 @@ def grouped_ivf_search_kernel(
         cand_vals = jnp.concatenate([cand_vals, os_], axis=1)
         cand_rows = jnp.concatenate([cand_rows, orows_b], axis=1)
 
+    if rerank > 0 and vectors is not None:
+        # exact-metric re-rank of the quantized top-c: the candidate
+        # gather is small ((B, rerank*k, D) bf16 ~ 63 MB at B=1024/c=40)
+        # and recovers the ordering the int8 scores scramble near the
+        # top-10 boundary (same stage as quant/scan's two-stage and
+        # ann/ivfpq.py's do_rerank)
+        c = int(min(max(k, k * rerank), cand_vals.shape[1]))
+        cneg, cpos = jax.lax.top_k(-cand_vals, c)
+        crows = jnp.take_along_axis(cand_rows, cpos, axis=1)
+        cok = (-cneg < MASKED * 0.5) & (crows >= 0)
+        cand_vecs = jnp.take(vectors, jnp.maximum(crows, 0), axis=0)
+        from ..quant.scan import _rerank_body
+        vals, rows = _rerank_body(qf, cand_vecs, crows, cok, metric,
+                                  min(k, c), compute_dtype)
+        return vals, rows, dropped
     kk = min(k, cand_vals.shape[1])
     neg, posk = jax.lax.top_k(-cand_vals, kk)
     vals = -neg

@@ -310,3 +310,40 @@ def test_grouped_pallas_compaction_matches_xla(monkeypatch):
     mism = r_p != r_x
     if mism.any():  # rows may differ only on exact-score ties
         np.testing.assert_allclose(d_p[mism], d_x[mism], atol=1e-2)
+
+
+def test_ivf_rerank_knob_grouped_and_perquery(tmp_path, rng):
+    """int8-cell IVF ships rerank=4 by default (exact re-rank of the
+    quantized top-c recovers ordering the int8 scores scramble); the knob
+    threads through both dispatches, set_search_params, and persistence."""
+    from fastpyvectordb_tpu.core.collection import Collection
+    from fastpyvectordb_tpu.core.types import CollectionConfig
+    n, d = 3000, 24
+    centers = rng.standard_normal((24, d)).astype(np.float32) * 2
+    v = centers[rng.integers(0, 24, n)] + 0.3 * rng.standard_normal(
+        (n, d)).astype(np.float32)
+    col = Collection(CollectionConfig(name="rr", dimensions=d, metric="l2"),
+                     base_path=tmp_path / "rr")
+    col.insert_batch(v, [f"v{i}" for i in range(n)])
+    col.build_ann(nlist=48, nprobe=12, iters=6, cell_dtype="int8")
+    assert col._ann.rerank == 4
+    q = centers[rng.integers(0, 24, 16)] + 0.3 * rng.standard_normal(
+        (16, d)).astype(np.float32)
+    exact = [set(r.tolist()) for r in
+             col._store.search(q, 10, col.config.metric)[1]]
+
+    def recall(rows):
+        return np.mean([len(set(r.tolist()) & e) / 10
+                        for r, e in zip(rows, exact)])
+
+    for grouped in (False, True):
+        _, rows_rr = col._ann.search(q, 10, grouped=grouped)
+        _, rows_raw = col._ann.search(q, 10, grouped=grouped, rerank=0)
+        assert recall(rows_rr) >= recall(rows_raw) - 1e-9, grouped
+    # runtime knob + persistence
+    col.set_search_params(rerank=2)
+    assert col._ann.rerank == 2
+    col.save()
+    col2 = Collection(CollectionConfig(name="rr", dimensions=d),
+                      base_path=tmp_path / "rr")
+    assert col2._ann.rerank == 2
