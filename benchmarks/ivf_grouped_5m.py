@@ -112,12 +112,23 @@ def main():
                 for a, e in zip(rr, g)]))
         return float(np.mean(recs))
 
+    def fetch1(o):
+        # true barrier: block_until_ready is unreliable through the axon
+        # tunnel (measured returning before execution — ivfg_pallas_lab);
+        # fetching one element of the LAST output drains the in-order queue
+        np.asarray(jax.device_get(o[0].ravel()[:1]))
+
     def timed(run):
-        jax.block_until_ready(run(qbatches[0]))
+        out0 = run(qbatches[0])
+        fetch1(out0)
+        t0 = time.perf_counter()
+        fetch1(out0)
+        rtt = time.perf_counter() - t0
         t0 = time.perf_counter()
         outs = [run(q) for q in qbatches[1:]]
-        jax.block_until_ready(outs)
-        return (time.perf_counter() - t0) / (len(qbatches) - 1)
+        fetch1(outs[-1])
+        return max(time.perf_counter() - t0 - rtt, 1e-9) / (
+            len(qbatches) - 1)
 
     if not args.skip_exact:
         def run_exact(q):
@@ -125,7 +136,7 @@ def main():
                                     metric=DistanceMetric.COSINE, k=K,
                                     compute_dtype="bfloat16", approx=True)
         dt = timed(run_exact)
-        emit(exp=f"exact_bf16_5M_b{B}", ms=round(dt * 1e3, 2),
+        emit(exp=f"exact_bf16_{N//1_000_000}M_b{B}", ms=round(dt * 1e3, 2),
              qps=round(B / dt, 1), recall=round(recall_of(run_exact), 4))
 
     t0 = time.perf_counter()
@@ -145,18 +156,21 @@ def main():
         while qcap < min(8 * mean_load, B):
             qcap *= 2
 
-        def run(q):
-            d_, r_, _ = grouped_ivf_search_kernel(
-                q, idx.centroids, idx.cells, idx.row_table,
-                idx.overflow_vecs, idx.overflow_rows, okc, oko,
-                idx.quantizer.vmin, idx.quantizer.scale, cnorms,
-                metric=DistanceMetric.COSINE, k=K, nprobe=nprobe,
-                qcap=qcap, compute_dtype="bfloat16")
-            return d_, r_
-        dt = timed(run)
-        emit(exp=f"grouped_int8_5M_np{nprobe}_q{qcap}_b{B}",
-             ms=round(dt * 1e3, 2), qps=round(B / dt, 1),
-             recall=round(recall_of(run), 4))
+        for rr in (0, 4):
+            def run(q, rr=rr):
+                d_, r_, _ = grouped_ivf_search_kernel(
+                    q, idx.centroids, idx.cells, idx.row_table,
+                    idx.overflow_vecs, idx.overflow_rows, okc, oko,
+                    idx.quantizer.vmin, idx.quantizer.scale, cnorms,
+                    col._store.vectors if rr else None,
+                    metric=DistanceMetric.COSINE, k=K, nprobe=nprobe,
+                    qcap=qcap, compute_dtype="bfloat16", rerank=rr)
+                return d_, r_
+            dt = timed(run)
+            emit(exp=f"grouped_int8_{N//1_000_000}M_np{nprobe}_q{qcap}"
+                     f"_rr{rr}_b{B}",
+                 ms=round(dt * 1e3, 2), qps=round(B / dt, 1),
+                 recall=round(recall_of(run), 4))
 
 
 if __name__ == "__main__":

@@ -130,8 +130,14 @@ def main():
                 k=K, nprobe=nprobe, qcap=qcap,
                 compute_dtype="bfloat16")
 
-        out = run(dev_batches[0])
-        jax.block_until_ready(out)
+        def fetch1(o):
+            # true barrier: block_until_ready is unreliable through the
+            # axon tunnel (measured returning before execution,
+            # benchmarks/ivfg_pallas_lab.py); a host fetch of one element
+            # of the LAST output drains the in-order dispatch queue
+            np.asarray(jax.device_get(o[0].ravel()[:1]))
+
+        fetch1(run(dev_batches[0]))
         # recall on the GT batches
         recs, drops = [], []
         for gi, g in enumerate(gt):
@@ -141,10 +147,18 @@ def main():
             recs.append(np.mean([
                 len(set(a.tolist()) & set(e.tolist())) / K
                 for a, e in zip(rr, g)]))
+        # tunnel round-trip floor, subtracted from the timed wall below
+        t0 = time.perf_counter()
+        fetch1(out0 := run(dev_batches[0]))
+        rtt = 0.0  # fetch above includes one dispatch; measure pure RTT:
+        t0 = time.perf_counter()
+        fetch1(out0)
+        rtt = time.perf_counter() - t0
         t0 = time.perf_counter()
         outs = [run(q) for q in dev_batches[1:]]
-        jax.block_until_ready(outs)
-        dt = (time.perf_counter() - t0) / (len(dev_batches) - 1)
+        fetch1(outs[-1])
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9) / (
+            len(dev_batches) - 1)
         emit(exp=f"grouped_{'int8' if args.int8 else 'bf16'}"
                  f"_np{nprobe}_q{qcap}_b{B}",
              ms=round(dt * 1e3, 2), qps=round(B / dt, 1),
