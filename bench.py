@@ -39,8 +39,11 @@ BASELINE_QPS = 10.04  # reference batch-GEMM BLAS scan, FLOPs-scaled to 1Mx768
 
 
 def main():
+    import os
     platform = jax.devices()[0].platform
     on_accelerator = platform in ("tpu", "axon")
+    # BENCH_ALL=1 exercises every candidate on the CPU fallback (testing)
+    force_all = os.environ.get("BENCH_ALL") == "1"
     n = 1_000_000 if on_accelerator else 100_000
     d = 768
     batch = 1024 if on_accelerator else 256
@@ -101,7 +104,7 @@ def main():
     # a quarter of the bytes of the bf16 scan and measured FASTER than it
     # at every batch size (r2 kernel crossover: 13.2 ms vs 23.0 ms at
     # B=1024 over an f32 store); recall is gated the same way.
-    if on_accelerator and recall >= 0.95:
+    if (on_accelerator or force_all) and recall >= 0.95:
         try:
             from fastpyvectordb_tpu.quant.scalar import ScalarQuantizer
             from fastpyvectordb_tpu.quant.scan import _int8_two_stage
@@ -123,6 +126,67 @@ def main():
                 candidates["int8_2stage"] = (run_int8, recall_i8)
         except Exception as e:  # noqa: BLE001 - degrade to exact, not fail
             print(f"int8 candidate skipped ({type(e).__name__}: {e})",
+                  file=__import__("sys").stderr)
+
+    # third candidate (accelerator only): grouped (cell-major) IVF over
+    # int8 cells with an exact bf16 re-rank — prunes ~nprobe/nlist of the
+    # corpus reads instead of scanning everything.  At 4M x 768 this
+    # measured 3.1x the exact bf16 scan (benchmarks/results_r3_tpu.json
+    # ivf_grouped_4m); the recall gate below decides whether the pruned
+    # candidate set survives on this corpus.
+    if (on_accelerator or force_all) and recall >= 0.95:
+        try:
+            from fastpyvectordb_tpu.ann.ivf import (
+                _assign_topm, _balanced_assignment, _encode_cells,
+                kmeans_fit)
+            from fastpyvectordb_tpu.ann.ivf_grouped import (
+                grouped_ivf_search_kernel)
+            from fastpyvectordb_tpu.quant.scalar import _train
+
+            nlist, nprobe, rr = 2048, 8, 4
+            cents = kmeans_fit(v32, jax.random.PRNGKey(7), k=nlist,
+                               iters=6, chunk=16384, n=n)
+            topm = np.asarray(_assign_topm(v32, cents, m=8, n=n))
+            cap = int(max(128, -(-int(1.25 * n / nlist) // 128) * 128))
+            table, _counts, overflow = _balanced_assignment(topm, nlist, cap)
+            safe = jnp.maximum(jnp.asarray(table), 0)
+            vmin, scale = _train(v32[:: max(1, n // 200_000)][:200_000])
+            blk = max(1, min(nlist, -(-100_000 // cap)))
+            cells_i8, cnorms = _encode_cells(v32, safe, vmin, scale, blk=blk)
+            tbl_d = jnp.asarray(table)
+            cnorms = jnp.where(tbl_d >= 0, cnorms, 0.0)
+            opad = (-overflow.size) % 8
+            orows = (np.concatenate([overflow.astype(np.int32),
+                                     np.full(opad, -1, np.int32)])
+                     if (overflow.size or opad)
+                     else overflow.astype(np.int32))
+            orows_d = jnp.asarray(orows)
+            ovecs = (jnp.take(v16, jnp.maximum(orows_d, 0), axis=0)
+                     if orows.size else jnp.zeros((0, d), jnp.bfloat16))
+            okc = tbl_d >= 0            # bench corpus has no tombstones
+            oko = orows_d >= 0
+            qcap = 8
+            while qcap < min(8 * batch * nprobe / nlist, batch):
+                qcap *= 2
+
+            def run_ivfg(q):
+                return grouped_ivf_search_kernel(
+                    q, cents, cells_i8, tbl_d, ovecs, orows_d, okc, oko,
+                    vmin, scale, cnorms, v16, metric=metric, k=k,
+                    nprobe=nprobe, qcap=qcap, compute_dtype="bfloat16",
+                    rerank=rr)
+
+            _, rows_g, _ = run_ivfg(qchk)
+            recall_g = float(np.mean([
+                len(set(a.tolist()) & set(e.tolist())) / k
+                for a, e in zip(np.asarray(rows_g), rows_exact)]))
+            if recall_g >= 0.95:
+                candidates["ivf_grouped_int8_rr4"] = (run_ivfg, recall_g)
+            else:
+                print(f"ivf_grouped candidate recall {recall_g:.4f} < 0.95;"
+                      " skipped", file=__import__("sys").stderr)
+        except Exception as e:  # noqa: BLE001 - degrade, not fail
+            print(f"ivf_grouped candidate skipped ({type(e).__name__}: {e})",
                   file=__import__("sys").stderr)
 
     del v32  # 3 GB: serving uses the bf16 copy / int8 codes only
