@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from ..core.types import DistanceMetric
 from ..kernels.distances import MASKED, matmul_precision
 
-__all__ = ["grouped_ivf_search_kernel"]
+__all__ = ["grouped_ivf_search_kernel", "grouped_cell_candidates"]
 
 
 def _xla_epilogue(cross, cell_norms, qstat_b, slot_q, metric):
@@ -116,6 +116,98 @@ def grouped_ivf_search_kernel(
         croute = csq[None, :] - 2.0 * jnp.dot(
             qf, centroids.T, preferred_element_type=jnp.float32,
             precision=prec)
+    cand_vals, cand_rows, dropped = grouped_cell_candidates(
+        qf, croute, cells, row_table, ok_cells, vmin, scale, cell_norms,
+        metric=metric, nprobe=nprobe, qcap=qcap,
+        compute_dtype=compute_dtype)
+
+    qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
+    qinv = 1.0 / jnp.maximum(jnp.sqrt(qsq), 1e-30)
+    if overflow_rows.shape[0] > 0:
+        ovsq = jnp.einsum("od,od->o", overflow_vecs, overflow_vecs,
+                          preferred_element_type=jnp.float32)
+        ocross = jax.lax.dot_general(
+            qf.astype(cd), overflow_vecs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        if metric == DistanceMetric.COSINE:
+            orinv = jax.lax.rsqrt(jnp.maximum(ovsq, 1e-30))
+            os_ = 1.0 - ocross * qinv[:, None] * orinv[None, :]
+        elif metric == DistanceMetric.L2:
+            os_ = jnp.maximum(
+                qsq[:, None] + ovsq[None, :] - 2.0 * ocross, 0.0)
+        else:
+            os_ = -ocross
+        os_ = jnp.where(ok_overflow[None, :], os_, MASKED)
+        # pre-reduce the overflow block to k per query BEFORE the merge:
+        # a big overflow (69k rows at 4M/factor 1.25) would otherwise
+        # widen the final top-k's candidate axis ~8x (nprobe*cmax ~10k
+        # -> ~79k), and the merge pays for every column
+        o = overflow_rows.shape[0]
+        if o > 4 * max(k, 1):
+            oneg, opos = jax.lax.top_k(-os_, min(k, o))
+            os_ = -oneg
+            orows_b = jnp.take(overflow_rows, opos, axis=0)  # (B, k)
+        else:
+            orows_b = jnp.broadcast_to(overflow_rows[None], (b, o))
+        cand_vals = jnp.concatenate([cand_vals, os_], axis=1)
+        cand_rows = jnp.concatenate([cand_rows, orows_b], axis=1)
+
+    if rerank > 0 and vectors is not None:
+        # exact-metric re-rank of the quantized top-c: the candidate
+        # gather is small ((B, rerank*k, D) bf16 ~ 63 MB at B=1024/c=40)
+        # and recovers the ordering the int8 scores scramble near the
+        # top-10 boundary (same stage as quant/scan's two-stage and
+        # ann/ivfpq.py's do_rerank)
+        c = int(min(max(k, k * rerank), cand_vals.shape[1]))
+        cneg, cpos = jax.lax.top_k(-cand_vals, c)
+        crows = jnp.take_along_axis(cand_rows, cpos, axis=1)
+        cok = (-cneg < MASKED * 0.5) & (crows >= 0)
+        cand_vecs = jnp.take(vectors, jnp.maximum(crows, 0), axis=0)
+        from ..quant.scan import _rerank_body
+        vals, rows = _rerank_body(qf, cand_vecs, crows, cok, metric,
+                                  min(k, c), compute_dtype)
+        return vals, rows, dropped
+    kk = min(k, cand_vals.shape[1])
+    neg, posk = jax.lax.top_k(-cand_vals, kk)
+    vals = -neg
+    rows = jnp.take_along_axis(cand_rows, posk, axis=1)
+    if metric == DistanceMetric.L2:
+        vals = jnp.where(vals >= MASKED * 0.5, vals,
+                         jnp.sqrt(jnp.maximum(vals, 0.0)))
+    return vals, rows, dropped
+
+
+def grouped_cell_candidates(
+    qf: jnp.ndarray,           # (B, D) f32
+    croute: jnp.ndarray,       # (B, nlist) f32 routing scores, LOWER=better
+                               #   (callers mask invalid cells to +MASKED
+                               #   and force always-probed cells to -MASKED)
+    cells: jnp.ndarray,        # (nlist, cmax, D) serving dtype OR int8
+    row_table: jnp.ndarray,    # (nlist, cmax) int32, -1 = padding
+    ok_cells: jnp.ndarray,     # (nlist, cmax) bool, precomputed liveness
+    vmin: jnp.ndarray,
+    scale: jnp.ndarray,
+    cell_norms: jnp.ndarray,   # (nlist, cmax) f32 ||x||^2
+    *,
+    metric: DistanceMetric,
+    nprobe: int,
+    qcap: int,
+    compute_dtype: str,
+):
+    """Stages 2-5 of the grouped dispatch: probe -> invert -> one batched
+    cell matmul -> regroup.  Returns ``(cand_vals (B, nprobe*cmax) f32
+    lower=better (L2 in the SQUARED domain), cand_rows (B, nprobe*cmax)
+    int32 from row_table, dropped () int32)``.
+
+    Shared by the single-chip kernel above and the sharded grouped
+    dispatch (dist/sharded_ann.py) — inside ``shard_map`` each shard runs
+    this over its local cells with its local routing block."""
+    b, d = qf.shape
+    nlist, cmax = row_table.shape
+    prec = matmul_precision(compute_dtype)
+    cd = jnp.dtype(compute_dtype)
+    int8_cells = cells.dtype == jnp.int8
     _, probe = jax.lax.top_k(-croute, nprobe)           # (B, nprobe) int32
 
     # ---- stage 2: invert (query -> cells) into (cell -> query slots) ---
@@ -259,57 +351,4 @@ def grouped_ivf_search_kernel(
     pv = jnp.where(pair_keep[:, None], pv, MASKED)
     cand_vals = pv.reshape(b, nprobe * cmax)
     cand_rows = pr.reshape(b, nprobe * cmax)
-
-    if overflow_rows.shape[0] > 0:
-        ovsq = jnp.einsum("od,od->o", overflow_vecs, overflow_vecs,
-                          preferred_element_type=jnp.float32)
-        ocross = jax.lax.dot_general(
-            qf.astype(cd), overflow_vecs,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
-        if metric == DistanceMetric.COSINE:
-            orinv = jax.lax.rsqrt(jnp.maximum(ovsq, 1e-30))
-            os_ = 1.0 - ocross * qinv[:, None] * orinv[None, :]
-        elif metric == DistanceMetric.L2:
-            os_ = jnp.maximum(
-                qsq[:, None] + ovsq[None, :] - 2.0 * ocross, 0.0)
-        else:
-            os_ = -ocross
-        os_ = jnp.where(ok_overflow[None, :], os_, MASKED)
-        # pre-reduce the overflow block to k per query BEFORE the merge:
-        # a big overflow (69k rows at 4M/factor 1.25) would otherwise
-        # widen the final top-k's candidate axis ~8x (nprobe*cmax ~10k
-        # -> ~79k), and the merge pays for every column
-        o = overflow_rows.shape[0]
-        if o > 4 * max(k, 1):
-            oneg, opos = jax.lax.top_k(-os_, min(k, o))
-            os_ = -oneg
-            orows_b = jnp.take(overflow_rows, opos, axis=0)  # (B, k)
-        else:
-            orows_b = jnp.broadcast_to(overflow_rows[None], (b, o))
-        cand_vals = jnp.concatenate([cand_vals, os_], axis=1)
-        cand_rows = jnp.concatenate([cand_rows, orows_b], axis=1)
-
-    if rerank > 0 and vectors is not None:
-        # exact-metric re-rank of the quantized top-c: the candidate
-        # gather is small ((B, rerank*k, D) bf16 ~ 63 MB at B=1024/c=40)
-        # and recovers the ordering the int8 scores scramble near the
-        # top-10 boundary (same stage as quant/scan's two-stage and
-        # ann/ivfpq.py's do_rerank)
-        c = int(min(max(k, k * rerank), cand_vals.shape[1]))
-        cneg, cpos = jax.lax.top_k(-cand_vals, c)
-        crows = jnp.take_along_axis(cand_rows, cpos, axis=1)
-        cok = (-cneg < MASKED * 0.5) & (crows >= 0)
-        cand_vecs = jnp.take(vectors, jnp.maximum(crows, 0), axis=0)
-        from ..quant.scan import _rerank_body
-        vals, rows = _rerank_body(qf, cand_vecs, crows, cok, metric,
-                                  min(k, c), compute_dtype)
-        return vals, rows, dropped
-    kk = min(k, cand_vals.shape[1])
-    neg, posk = jax.lax.top_k(-cand_vals, kk)
-    vals = -neg
-    rows = jnp.take_along_axis(cand_rows, posk, axis=1)
-    if metric == DistanceMetric.L2:
-        vals = jnp.where(vals >= MASKED * 0.5, vals,
-                         jnp.sqrt(jnp.maximum(vals, 0.0)))
-    return vals, rows, dropped
+    return cand_vals, cand_rows, dropped

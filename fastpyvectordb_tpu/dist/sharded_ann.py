@@ -90,7 +90,9 @@ def _merge_over_data_axis(vals, gidx, k, *, sqrt_l2=False):
 
 def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
                              nprobe_local: int,
-                             compute_dtype: str = "bfloat16"):
+                             compute_dtype: str = "bfloat16",
+                             allow_grouped: bool = True,
+                             has_boost: bool = False):
     """Compile the sharded IVF search.
 
     Expects (queries replicated, centroids/cells/row_table/cent_valid
@@ -127,7 +129,78 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
         # overflow cells are ALWAYS probed on the shard that owns them
         # (the single-chip index scans overflow exactly on every query)
         croute = jnp.where(cent_boost[None, :], -MASKED, croute)
-        npl = min(nprobe_local, centroids.shape[0])
+        nlist_l = centroids.shape[0]
+        npl = min(nprobe_local, nlist_l)
+
+        # large batches go cell-major within the shard, mirroring the
+        # single-chip auto-dispatch (ann/ivf.py search): each local cell
+        # block is read once per batch instead of once per probing query
+        if allow_grouped and b * npl >= nlist_l:
+            # the per-query path spends one probe slot on the always-
+            # probed boost cell; the grouped branch scans that cell
+            # separately, so it probes one fewer normal cell to keep the
+            # candidate set identical
+            npl_g = max(1, npl - 1) if has_boost else npl
+            qcap = 8
+            while qcap < min(8 * b * npl_g / max(nlist_l, 1), b):
+                qcap *= 2
+            from ..ann.ivf_grouped import grouped_cell_candidates
+            # the always-probed overflow cell would be probed by EVERY
+            # query and saturate qcap (dropping overflow coverage for
+            # most of the batch) — exclude it from routing and scan it
+            # exactly for all queries below.  _interleave_overflow puts
+            # it at the LAST local position (enforced at construction).
+            # inf > MASKED: a boosted cell sorts after even the padding
+            # cells, and the construction-time guard (nprobe_local <
+            # local_cells when boost exists) means it is never probed —
+            # no duplicate rows between the grouped candidates and the
+            # exact boost-block scan below
+            croute_nb = jnp.where(cent_boost[None, :], jnp.inf, croute)
+            cand_vals, cand, _dropped = grouped_cell_candidates(
+                qf, croute_nb, cells, row_table, ok_cells, vmin, scale,
+                cell_norms, metric=metric, nprobe=npl_g, qcap=int(qcap),
+                compute_dtype=compute_dtype)
+            bvec, brows = cells[-1], row_table[-1]       # (cmax, D), (cmax,)
+            if cells.dtype == jnp.int8:
+                rs = scale / 255.0
+                qs2 = qf * rs
+                const = jnp.dot(qf, 128.0 * rs + vmin,
+                                preferred_element_type=jnp.float32)
+                bcross = jnp.einsum(
+                    "bd,cd->bc", qs2.astype(cd), bvec.astype(cd),
+                    preferred_element_type=jnp.float32,
+                    precision=prec) + const[:, None]
+            else:
+                bcross = jnp.einsum(
+                    "bd,cd->bc", qf.astype(cd), bvec,
+                    preferred_element_type=jnp.float32, precision=prec)
+            bsq = cell_norms[-1]
+            qsq_g = jnp.einsum("bd,bd->b", qf, qf,
+                               preferred_element_type=jnp.float32)
+            if metric == DistanceMetric.COSINE:
+                qinv_g = 1.0 / jnp.maximum(jnp.sqrt(qsq_g), 1e-30)
+                bs_ = 1.0 - bcross * qinv_g[:, None] * jax.lax.rsqrt(
+                    jnp.maximum(bsq, 1e-30))[None, :]
+            elif metric == DistanceMetric.L2:  # squared, like cand_vals
+                bs_ = jnp.maximum(
+                    qsq_g[:, None] + bsq[None, :] - 2.0 * bcross, 0.0)
+            else:
+                bs_ = -bcross
+            bok = ok_cells[-1] & cent_boost[-1]
+            bs_ = jnp.where(bok[None, :], bs_, MASKED)
+            cand_vals = jnp.concatenate([cand_vals, bs_], axis=1)
+            cand = jnp.concatenate(
+                [cand, jnp.broadcast_to(brows[None], (b, brows.shape[0]))],
+                axis=1)
+            kk = min(k, cand_vals.shape[1])
+            neg, pos = jax.lax.top_k(-cand_vals, kk)
+            vals = -neg
+            if metric == DistanceMetric.L2:  # candidates are squared
+                vals = jnp.where(vals >= MASKED * 0.5, vals,
+                                 jnp.sqrt(jnp.maximum(vals, 0.0)))
+            return _merge_over_data_axis(
+                vals, jnp.take_along_axis(cand, pos, axis=1), k)
+
         _, probe = jax.lax.top_k(-croute, npl)          # (B, npl) local cells
 
         vecs = jnp.take(cells, probe, axis=0).reshape(b, npl * cmax, d)
@@ -200,11 +273,20 @@ class ShardedIVF:
         self.nprobe_local = max(1, min(-(-nprobe // ndev) * 2, local_cells))
         if cent_boost is None:
             cent_boost = np.zeros(np.asarray(cent_valid).shape, dtype=bool)
-        if np.asarray(cent_boost).any():
+        cb = np.asarray(cent_boost)
+        if cb.any():
             # the always-probed overflow cell eats one probe slot per
             # shard; keep at least one slot for normal routing
             self.nprobe_local = min(local_cells,
                                     max(2, self.nprobe_local))
+        # the grouped (cell-major) large-batch dispatch requires the
+        # interleaved layout invariant (each shard's boost cell is its
+        # LAST local cell) and a free probe slot so the excluded boost
+        # cell can never be picked by the grouped router
+        self._allow_grouped = ((not cb.any())
+                               or (np.flatnonzero(cb) % local_cells
+                                   == local_cells - 1).all()
+                               and self.nprobe_local < local_cells)
         shard = lambda a, nd: jax.device_put(
             a, NamedSharding(mesh, P(DATA_AXIS, *([None] * (nd - 1)))))
         self.centroids = shard(centroids, 2)
@@ -226,9 +308,14 @@ class ShardedIVF:
                         else np.zeros((d,), np.float32))
         self.scale = rep(scale if scale is not None
                          else np.ones((d,), np.float32))
-        self.cell_norms = shard(
-            np.asarray(cell_norms) if cell_norms is not None
-            else np.zeros(cells.shape[:2], np.float32), 2)
+        if cell_norms is None:
+            # real per-slot squared norms (once, host-side): the grouped
+            # dispatch's metric epilogue needs them for every cell dtype
+            cf = np.asarray(cells, dtype=np.float32)
+            cell_norms = np.where(np.asarray(row_table) >= 0,
+                                  np.einsum("ncd,ncd->nc", cf, cf), 0.0)
+            del cf
+        self.cell_norms = shard(np.asarray(cell_norms, np.float32), 2)
         self._fns = {}
 
     @classmethod
@@ -329,7 +416,9 @@ class ShardedIVF:
             self._fns[k] = build_sharded_ivf_search(
                 self.mesh, metric=self.metric, k=k,
                 nprobe_local=self.nprobe_local,
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype,
+                allow_grouped=self._allow_grouped,
+                has_boost=bool(np.asarray(self.cent_boost).any()))
         d, r = self._fns[k](q, self.centroids, self.cells, self.row_table,
                             self.cent_valid, self.cent_boost,
                             self.ok_cells, self.vmin,

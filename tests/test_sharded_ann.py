@@ -210,3 +210,45 @@ def test_sharded_ivfpq_overflow_far_from_mean(mesh):
     _, rows = sh.search(probe, 5, rerank=8)
     for qi, want in enumerate(overflow[:8]):
         assert want in rows[qi].tolist(), (qi, want, rows[qi])
+
+
+def test_sharded_ivf_grouped_matches_perquery(mesh):
+    """The in-shard grouped (cell-major) dispatch must select the same
+    rows as the per-query gather at identical inputs — including the
+    always-probed overflow cell, which the grouped branch excludes from
+    routing and scans exactly instead."""
+    import jax.numpy as jnp
+    from fastpyvectordb_tpu.core.collection import Collection
+    from fastpyvectordb_tpu.core.types import CollectionConfig
+    from fastpyvectordb_tpu.dist.sharded_ann import (
+        ShardedIVF, build_sharded_ivf_search)
+
+    rng = np.random.default_rng(5)
+    col, v = _overflow_collection(seed=5)
+    d = v.shape[1]
+    col.build_ann(nlist=32, nprobe=8, iters=4)
+    # the 128-row cell-capacity floor makes real overflow unreachable at
+    # test scale — plant synthetic overflow entries (rows also present in
+    # cells: both dispatches see the identical candidate multiset, so
+    # parity still holds) to exercise the boost-cell scan in the grouped
+    # branch
+    orows = np.arange(16, dtype=np.int32)
+    col._ann.overflow_rows = jnp.asarray(orows)
+    col._ann.overflow_vecs = jnp.take(
+        col._store.vectors, jnp.asarray(orows), axis=0)
+    sh = ShardedIVF.from_index(mesh, col._ann)
+    assert sh._allow_grouped
+
+    q = np.asarray(v[rng.integers(0, v.shape[0], 64)]
+                   + 0.1 * rng.standard_normal((64, d)), dtype=np.float32)
+    d_g, r_g = sh.search(q, 10)          # b*npl >= nlist_l -> grouped
+    # force the per-query path at the same shapes
+    sh._fns.clear()
+    sh._allow_grouped = False
+    d_p, r_p = sh.search(q, 10)
+    # identical candidate sets; scores differ only by accumulation order
+    # (grouped epilogue vs per-query norm expansion), ~1e-3 in bf16
+    np.testing.assert_allclose(d_g, d_p, atol=2e-3)
+    mism = r_g != r_p
+    if mism.any():  # rows may differ only on near-tied scores
+        np.testing.assert_allclose(d_g[mism], d_p[mism], atol=2e-3)
