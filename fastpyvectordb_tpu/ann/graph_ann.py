@@ -75,7 +75,11 @@ def _beam_search_kernel(
     neighbors: jnp.ndarray,    # (N, R) int32
     centroids: jnp.ndarray,    # (n_e, D) f32 routing centroids
     medoids: jnp.ndarray,      # (n_e,) int32 rows nearest each centroid
-    validmask: jnp.ndarray,    # (cap,) bool — tombstones only (navigation)
+    init_ok: jnp.ndarray,      # (n_e,) bool — medoid row live (callers
+                               #   pre-mask deleted NEIGHBOR targets to -1
+                               #   in the neighbor table itself: a per-call
+                               #   validmask[rows] element gather costs
+                               #   ~8 ns/element on TPU)
     filtermask: Optional[jnp.ndarray],  # (cap,) bool filter, or None
     *,
     metric: DistanceMetric,
@@ -94,8 +98,8 @@ def _beam_search_kernel(
         safe = jnp.maximum(rows, 0)
         vecs = jnp.take(vectors, safe, axis=0)  # native storage dtype
         s = _scores_vs_rows(q, vecs, metric, compute_dtype)
-        ok = (rows >= 0) & jnp.take(validmask, safe, axis=0)
-        return jnp.where(ok, s, MASKED)
+        # tombstoned targets are already -1 in the neighbor table
+        return jnp.where(rows >= 0, s, MASKED)
 
     # ---- route each query to its own entry points ----------------------
     # A flat graph with a handful of global entries can't be navigated in
@@ -123,7 +127,8 @@ def _beam_search_kernel(
     e0 = min(n_init, w, medoids.shape[0])
     _, route = jax.lax.top_k(-croute, e0)               # (B, e0)
     init_ids = jnp.take(medoids, route, axis=0)         # (B, e0)
-    init_scores = gather_scores(init_ids)
+    init_scores = jnp.where(jnp.take(init_ok, route, axis=0),
+                            gather_scores(init_ids), MASKED)
     pad = w - e0
     beam_ids = jnp.pad(init_ids, ((0, 0), (0, pad)), constant_values=-1)
     beam_scores = jnp.pad(init_scores, ((0, 0), (0, pad)),
@@ -352,7 +357,22 @@ class GraphANN:
         b = q.shape[0]
         bp = max(8, 1 << (b - 1).bit_length())
         qp = np.pad(q, ((0, bp - b), (0, 0)))
-        validmask = store.valid  # tombstones only — navigation stays open
+        # tombstone navigation masks, memoized per validity epoch: deleted
+        # neighbor targets become -1 in the table (identical semantics to
+        # the old per-call validmask[rows] gather, which costs
+        # ~8 ns/element on TPU — benchmarks/ivfg_pallas_lab.py)
+        valid = store.valid
+        memo = getattr(self, "_nav_memo", None)
+        if (memo is None or memo[0] is not valid
+                or memo[1] is not self.neighbors):
+            ok_n = (self.neighbors >= 0) & jnp.take(
+                valid, jnp.maximum(self.neighbors, 0), axis=0)
+            nbr_masked = jnp.where(ok_n, self.neighbors, -1)
+            init_ok = (self.medoids >= 0) & jnp.take(
+                valid, jnp.maximum(self.medoids, 0), axis=0)
+            memo = (valid, self.neighbors, nbr_masked, init_ok)
+            self._nav_memo = memo
+        nbr_masked, init_ok = memo[2], memo[3]
         filtermask = None
         w = beam or self.beam
         if mask is not None:
@@ -373,8 +393,8 @@ class GraphANN:
             want = k if filtermask is None else k * max(overfetch, 1)
             w = 1 << (want - 1).bit_length()
         vals, rows = _beam_search_kernel(
-            jnp.asarray(qp), store.vectors, self.neighbors, self.centroids,
-            self.medoids, validmask, filtermask, metric=cfg.metric, k=k,
+            jnp.asarray(qp), store.vectors, nbr_masked, self.centroids,
+            self.medoids, init_ok, filtermask, metric=cfg.metric, k=k,
             beam=w, expand=expand or self.expand,
             iters=iters or self.iters, n_init=self.n_init,
             compute_dtype="bfloat16" if cfg.compute_dtype == "bfloat16"

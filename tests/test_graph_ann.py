@@ -98,3 +98,23 @@ def test_graph_ann_k_larger_than_beam(built):
         assert len(hits) == 40, len(hits)
     finally:
         col.set_search_params(beam=old)
+
+
+def test_deleted_rows_vanish_and_memo_refreshes(rng):
+    """Tombstoned rows must not be returned (deleted neighbor targets are
+    pre-masked to -1 in a memoized navigation table; a delete replaces
+    store.valid, which must invalidate that memo)."""
+    from fastpyvectordb_tpu.core.collection import Collection
+    from fastpyvectordb_tpu.core.types import CollectionConfig
+    n, d = 600, 16
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    col = Collection(CollectionConfig(name="gdel", dimensions=d, metric="l2"))
+    col.insert_batch(v, [f"v{i}" for i in range(n)])
+    col.build_ann(kind="graph", r=8, chunk=256)
+    _, rows = col._ann.search(v[:8], 1)
+    assert (rows[:, 0] == np.arange(8)).all()
+    col.delete_batch([f"v{i}" for i in range(8)])
+    _, rows = col._ann.search(v[:16], 5)
+    assert not (set(rows.ravel().tolist()) & set(range(8))), rows[:, 0]
+    # the survivors must still be reachable through the masked table
+    assert (rows[8:, 0] == np.arange(8, 16)).all()
