@@ -84,7 +84,9 @@ def main():
             v, r = store.search(q, 10, metric,
                                 compute_dtype=col.config.compute_dtype,
                                 topk=col.config.topk, return_device=True)
-            v.block_until_ready()
+            # true barrier: block_until_ready is unreliable through the
+            # axon tunnel (benchmarks/ivfg_pallas_lab.py)
+            np.asarray(jax.device_get(v.ravel()[:1]))
         # warm (compile) then measure
         kernel(dev_batches[0])
         row["kernel_ms"] = round(bench(kernel, dev_batches, args.iters) * 1e3, 2)
@@ -101,7 +103,8 @@ def main():
         wire_batches = [x.astype(wire_dtype) for x in host_batches]
 
         def upload(x):
-            jnp.asarray(x).block_until_ready()
+            d = jnp.asarray(x)
+            np.asarray(jax.device_get(d.ravel()[:1]))
         upload(wire_batches[0])
         row["upload_ms"] = round(
             bench(upload, wire_batches, args.iters) * 1e3, 2)
