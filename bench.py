@@ -165,9 +165,8 @@ def main():
                      if orows.size else jnp.zeros((0, d), jnp.bfloat16))
             okc = tbl_d >= 0            # bench corpus has no tombstones
             oko = orows_d >= 0
-            qcap = 8
-            while qcap < min(8 * batch * nprobe / nlist, batch):
-                qcap *= 2
+            from fastpyvectordb_tpu.ann.ivf_grouped import grouped_qcap
+            qcap = grouped_qcap(batch, nprobe, nlist, cap)
 
             def run_ivfg(q):
                 return grouped_ivf_search_kernel(
@@ -218,7 +217,11 @@ def main():
         t0 = time.perf_counter()
         outs = [run(qb) for qb in qbatches[1:]]
         fetch1(outs[-1])
-        dt = max(time.perf_counter() - t0 - rtt, 1e-9)
+        wall = time.perf_counter() - t0
+        # subtract at most half the wall: if the RTT floor dominates, the
+        # measurement is RTT-bound and a full subtraction would underflow
+        # to absurd QPS and mis-pick the winning mode
+        dt = wall - min(rtt, 0.5 * wall)
         results[mode] = (iters * batch / dt, rec, dt)
 
     best = max(results, key=lambda m: results[m][0])

@@ -127,8 +127,8 @@ def main():
         t0 = time.perf_counter()
         outs = [run(q) for q in qbatches[1:]]
         fetch1(outs[-1])
-        return max(time.perf_counter() - t0 - rtt, 1e-9) / (
-            len(qbatches) - 1)
+        wall = time.perf_counter() - t0
+        return (wall - min(rtt, 0.5 * wall)) / (len(qbatches) - 1)
 
     if not args.skip_exact:
         def run_exact(q):
@@ -150,11 +150,9 @@ def main():
     nlist, cmax = idx.row_table.shape
     cnorms = idx._cell_norms_cached()
     okc, oko = idx._ok_cached()
+    from fastpyvectordb_tpu.ann.ivf_grouped import grouped_qcap
     for nprobe in nprobes:
-        mean_load = B * nprobe / nlist
-        qcap = 8
-        while qcap < min(8 * mean_load, B):
-            qcap *= 2
+        qcap = grouped_qcap(B, nprobe, nlist, cmax)
 
         for rr in (0, 4):
             def run(q, rr=rr):

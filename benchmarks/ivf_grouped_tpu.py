@@ -117,10 +117,8 @@ def main():
     dev_batches = [jnp.asarray(q) for q in qbatches]
 
     for nprobe in nprobes:
-        mean_load = B * nprobe / nlist
-        qcap = 8
-        while qcap < min(8 * mean_load, B):
-            qcap *= 2
+        from fastpyvectordb_tpu.ann.ivf_grouped import grouped_qcap
+        qcap = grouped_qcap(B, nprobe, nlist, cmax)
 
         def run(q):
             return grouped_ivf_search_kernel(
@@ -147,18 +145,18 @@ def main():
             recs.append(np.mean([
                 len(set(a.tolist()) & set(e.tolist())) / K
                 for a, e in zip(rr, g)]))
-        # tunnel round-trip floor, subtracted from the timed wall below
-        t0 = time.perf_counter()
-        fetch1(out0 := run(dev_batches[0]))
-        rtt = 0.0  # fetch above includes one dispatch; measure pure RTT:
+        # tunnel round-trip floor (fetch of an already-computed output),
+        # subtracted from the timed wall below
+        out0 = run(dev_batches[0])
+        fetch1(out0)
         t0 = time.perf_counter()
         fetch1(out0)
         rtt = time.perf_counter() - t0
         t0 = time.perf_counter()
         outs = [run(q) for q in dev_batches[1:]]
         fetch1(outs[-1])
-        dt = max(time.perf_counter() - t0 - rtt, 1e-9) / (
-            len(dev_batches) - 1)
+        wall = time.perf_counter() - t0
+        dt = (wall - min(rtt, 0.5 * wall)) / (len(dev_batches) - 1)
         emit(exp=f"grouped_{'int8' if args.int8 else 'bf16'}"
                  f"_np{nprobe}_q{qcap}_b{B}",
              ms=round(dt * 1e3, 2), qps=round(B / dt, 1),

@@ -193,9 +193,16 @@ def _ivf_search_kernel(
     s = jnp.where(ok, s, MASKED)
     if rerank > 0 and vectors is not None:
         # exact-metric re-rank of the quantized top-c (same stage as the
-        # grouped kernel / quant/scan two-stage / ivfpq do_rerank)
+        # grouped kernel / quant/scan two-stage / ivfpq do_rerank).  The
+        # candidate selection honours the same approx gate as the plain
+        # path: exact top_k over a very wide axis is the cost approx
+        # exists to avoid, and the exact re-rank downstream absorbs the
+        # approximate selection's ordering noise.
         c = int(min(max(k, k * rerank), s.shape[1]))
-        cneg, cpos = jax.lax.top_k(-s, c)
+        if approx:
+            cneg, cpos = jax.lax.approx_max_k(-s, c, recall_target=0.99)
+        else:
+            cneg, cpos = jax.lax.top_k(-s, c)
         crows = jnp.take_along_axis(cand, cpos, axis=1)
         cok = (-cneg < MASKED * 0.5) & (crows >= 0)
         cand_vecs = jnp.take(vectors, jnp.maximum(crows, 0), axis=0)
@@ -303,14 +310,15 @@ def ok_slot_masks(index, extra: Optional[jnp.ndarray] = None
     valid = index._collection._store.valid
     memo = getattr(index, "_ok_memo", None)
     if (memo is None or memo[0] is not valid
-            or memo[1] is not index.row_table):
+            or memo[1] is not index.row_table
+            or memo[2] is not index.overflow_rows):
         okc = (index.row_table >= 0) & jnp.take(
             valid, jnp.maximum(index.row_table, 0), axis=0)
         oko = (index.overflow_rows >= 0) & jnp.take(
             valid, jnp.maximum(index.overflow_rows, 0), axis=0)
-        memo = (valid, index.row_table, okc, oko)
+        memo = (valid, index.row_table, index.overflow_rows, okc, oko)
         index._ok_memo = memo
-    okc, oko = memo[2], memo[3]
+    okc, oko = memo[3], memo[4]
     if extra is not None:
         # filtered searches pay the gather — the filter changes per call;
         # the unfiltered serving path never does
@@ -471,15 +479,12 @@ class IVFIndex:
             pad = (-real) % 8
             if pad:
                 subq = np.pad(subq, ((0, pad), (0, 0)))
-            # 8x mean-load headroom (hot cells under clustered query
-            # skew), pow2 so qcap doesn't churn compiles; callers can
-            # override (tune paths / the no-drop equivalence tests)
+            # shared heuristic (grouped_qcap): 8x mean-load headroom,
+            # pow2, HBM-capped; callers can override (tune paths / the
+            # no-drop equivalence tests)
             if qcap is None:
-                mean_load = subq.shape[0] * nprobe / max(nlist, 1)
-                sub_qcap = 8
-                while sub_qcap < min(8 * mean_load, subq.shape[0],
-                                     qcap_hbm):
-                    sub_qcap *= 2
+                from .ivf_grouped import grouped_qcap
+                sub_qcap = grouped_qcap(subq.shape[0], nprobe, nlist, cmax)
             else:
                 sub_qcap = min(qcap, qcap_hbm)
             dd, rr, dropped = grouped_ivf_search_kernel(

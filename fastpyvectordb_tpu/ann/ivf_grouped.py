@@ -47,7 +47,23 @@ import jax.numpy as jnp
 from ..core.types import DistanceMetric
 from ..kernels.distances import MASKED, matmul_precision
 
-__all__ = ["grouped_ivf_search_kernel", "grouped_cell_candidates"]
+__all__ = ["grouped_ivf_search_kernel", "grouped_cell_candidates",
+           "grouped_qcap"]
+
+
+def grouped_qcap(b: int, nprobe: int, nlist: int, cmax: int,
+                 headroom: int = 8, budget_bytes: int = 2 << 30) -> int:
+    """Per-cell query-slot capacity for the grouped dispatch: pow2 (so it
+    doesn't churn compiles), ``headroom``x the mean cell load (hot cells
+    under clustered query skew), capped so the (nlist, qcap, cmax) f32
+    score tensor stays under ``budget_bytes``.  Shared by the single-chip
+    auto-dispatch, the sharded in-shard dispatch, and bench.py."""
+    qcap_hbm = max(8, int(budget_bytes // max(nlist * cmax * 4, 1))
+                   // 8 * 8)  # pallas gate needs qcap % 8 == 0
+    qcap = 8
+    while qcap < min(headroom * b * nprobe / max(nlist, 1), b, qcap_hbm):
+        qcap *= 2
+    return int(min(qcap, qcap_hbm))
 
 
 def _xla_epilogue(cross, cell_norms, qstat_b, slot_q, metric):

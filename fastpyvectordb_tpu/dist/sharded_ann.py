@@ -141,10 +141,9 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
             # separately, so it probes one fewer normal cell to keep the
             # candidate set identical
             npl_g = max(1, npl - 1) if has_boost else npl
-            qcap = 8
-            while qcap < min(8 * b * npl_g / max(nlist_l, 1), b):
-                qcap *= 2
-            from ..ann.ivf_grouped import grouped_cell_candidates
+            from ..ann.ivf_grouped import (grouped_cell_candidates,
+                                           grouped_qcap)
+            qcap = grouped_qcap(b, npl_g, nlist_l, cmax)
             # the always-probed overflow cell would be probed by EVERY
             # query and saturate qcap (dropping overflow coverage for
             # most of the batch) — exclude it from routing and scan it
@@ -156,10 +155,11 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
             # no duplicate rows between the grouped candidates and the
             # exact boost-block scan below
             croute_nb = jnp.where(cent_boost[None, :], jnp.inf, croute)
-            cand_vals, cand, _dropped = grouped_cell_candidates(
+            cand_vals, cand, dropped = grouped_cell_candidates(
                 qf, croute_nb, cells, row_table, ok_cells, vmin, scale,
                 cell_norms, metric=metric, nprobe=npl_g, qcap=int(qcap),
                 compute_dtype=compute_dtype)
+            dropped = jax.lax.psum(dropped, DATA_AXIS)
             bvec, brows = cells[-1], row_table[-1]       # (cmax, D), (cmax,)
             if cells.dtype == jnp.int8:
                 rs = scale / 255.0
@@ -198,8 +198,9 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
             if metric == DistanceMetric.L2:  # candidates are squared
                 vals = jnp.where(vals >= MASKED * 0.5, vals,
                                  jnp.sqrt(jnp.maximum(vals, 0.0)))
-            return _merge_over_data_axis(
+            dv, dr = _merge_over_data_axis(
                 vals, jnp.take_along_axis(cand, pos, axis=1), k)
+            return dv, dr, dropped
 
         _, probe = jax.lax.top_k(-croute, npl)          # (B, npl) local cells
 
@@ -240,8 +241,9 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
         s = jnp.where(ok, s, MASKED)
         kk = min(k, s.shape[1])
         neg, pos = jax.lax.top_k(-s, kk)
-        return _merge_over_data_axis(-neg, jnp.take_along_axis(cand, pos,
-                                                               axis=1), k)
+        dv, dr = _merge_over_data_axis(-neg, jnp.take_along_axis(cand, pos,
+                                                                 axis=1), k)
+        return dv, dr, jnp.zeros((), jnp.int32)
 
     fn = jax.shard_map(
         local, mesh=mesh,
@@ -249,7 +251,7 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
                   P(DATA_AXIS, None, None), P(DATA_AXIS, None),
                   P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS, None), P(None),
                   P(None), P(DATA_AXIS, None)),
-        out_specs=(P(None, None), P(None, None)),
+        out_specs=(P(None, None), P(None, None), P()),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -283,10 +285,12 @@ class ShardedIVF:
         # interleaved layout invariant (each shard's boost cell is its
         # LAST local cell) and a free probe slot so the excluded boost
         # cell can never be picked by the grouped router
+        bpos = np.flatnonzero(cb)
         self._allow_grouped = ((not cb.any())
-                               or (np.flatnonzero(cb) % local_cells
-                                   == local_cells - 1).all()
-                               and self.nprobe_local < local_cells)
+                               or ((bpos % local_cells
+                                    == local_cells - 1).all()
+                                   and bpos.size == ndev
+                                   and self.nprobe_local < local_cells))
         shard = lambda a, nd: jax.device_put(
             a, NamedSharding(mesh, P(DATA_AXIS, *([None] * (nd - 1)))))
         self.centroids = shard(centroids, 2)
@@ -309,12 +313,21 @@ class ShardedIVF:
         self.scale = rep(scale if scale is not None
                          else np.ones((d,), np.float32))
         if cell_norms is None:
-            # real per-slot squared norms (once, host-side): the grouped
-            # dispatch's metric epilogue needs them for every cell dtype
-            cf = np.asarray(cells, dtype=np.float32)
-            cell_norms = np.where(np.asarray(row_table) >= 0,
-                                  np.einsum("ncd,ncd->nc", cf, cf), 0.0)
-            del cf
+            if np.asarray(cells).dtype == np.int8:
+                # norms of raw codes would silently skew every distance
+                raise ValueError(
+                    "int8 cells require the dequantized cell_norms")
+            # per-slot squared norms (once, blockwise to bound the f32
+            # transient): the grouped dispatch's metric epilogue needs
+            # them for every cell dtype
+            tbl_h = np.asarray(row_table)
+            cell_norms = np.zeros(tbl_h.shape, np.float32)
+            blk = max(1, int((256 << 20) // max(
+                cells.shape[1] * cells.shape[2] * 4, 1)))
+            for i in range(0, cells.shape[0], blk):
+                cf = np.asarray(cells[i:i + blk], dtype=np.float32)
+                cell_norms[i:i + blk] = np.einsum("ncd,ncd->nc", cf, cf)
+            cell_norms = np.where(tbl_h >= 0, cell_norms, 0.0)
         self.cell_norms = shard(np.asarray(cell_norms, np.float32), 2)
         self._fns = {}
 
@@ -333,8 +346,10 @@ class ShardedIVF:
         cells = np.asarray(ivf.cells)
         table = np.asarray(ivf.row_table)
         quantized = ivf.quantizer is not None
-        norms = (np.asarray(ivf.cell_norms) if quantized
-                 else np.zeros(cells.shape[:2], np.float32))
+        # reuse the index's device-computed per-slot norms for every cell
+        # dtype (the grouped in-shard dispatch needs them; recomputing
+        # host-side would copy the full cell tensor to f32)
+        norms = np.asarray(ivf._cell_norms_cached())
         nlist, cmax, d = cells.shape
         pad = (-nlist) % ndev
         orows_all = np.asarray(ivf.overflow_rows)
@@ -363,13 +378,16 @@ class ShardedIVF:
                     jnp.asarray(opart_codes), ivf.quantizer.vmin,
                     ivf.quantizer.scale)
                 onorm_rows = np.asarray(onorm_rows)
+            else:
+                # the grouped in-shard dispatch reads cell_norms for every
+                # cell dtype — zero norms would corrupt the boost-cell scan
+                onorm_rows = np.einsum("od,od->o", ovecs_all, ovecs_all)
             for i in range(extra):
                 sl = slice(i * per, (i + 1) * per)
                 part = orows[sl]
                 ocells[i, :part.size] = (opart_codes[sl] if quantized
                                          else ovecs_all[sl])
-                if quantized:
-                    onorms[i, :part.size] = onorm_rows[sl]
+                onorms[i, :part.size] = onorm_rows[sl]
                 otab[i, :part.size] = part
             if width > cmax:
                 grow = width - cmax
@@ -405,7 +423,7 @@ class ShardedIVF:
                          else None),
                    scale=(np.asarray(ivf.quantizer.scale) if quantized
                           else None),
-                   cell_norms=norms if quantized else None,
+                   cell_norms=norms,
                    cent_boost=cent_boost,
                    metric=cfg.metric, nprobe=ivf.nprobe,
                    compute_dtype=cfg.compute_dtype)
@@ -419,10 +437,12 @@ class ShardedIVF:
                 compute_dtype=self.compute_dtype,
                 allow_grouped=self._allow_grouped,
                 has_boost=bool(np.asarray(self.cent_boost).any()))
-        d, r = self._fns[k](q, self.centroids, self.cells, self.row_table,
-                            self.cent_valid, self.cent_boost,
-                            self.ok_cells, self.vmin,
-                            self.scale, self.cell_norms)
+        d, r, dropped = self._fns[k](
+            q, self.centroids, self.cells, self.row_table,
+            self.cent_valid, self.cent_boost, self.ok_cells, self.vmin,
+            self.scale, self.cell_norms)
+        # qcap saturation observability, matching the single-chip index
+        self.last_dropped = int(dropped)
         return np.asarray(d), np.asarray(r)
 
 

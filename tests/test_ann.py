@@ -347,3 +347,20 @@ def test_ivf_rerank_knob_grouped_and_perquery(tmp_path, rng):
     col2 = Collection(CollectionConfig(name="rr", dimensions=d),
                       base_path=tmp_path / "rr")
     assert col2._ann.rerank == 2
+
+
+def test_ok_memo_tracks_overflow_replacement(built):
+    """ok_slot_masks memoizes on overflow_rows identity too: replacing the
+    overflow block (bench tooling / sharded re-layout does this) must not
+    serve a stale ok_overflow of the wrong shape."""
+    import jax.numpy as jnp
+    col, v, q = built
+    idx = col._ann
+    idx._ok_cached()  # populate the memo
+    orows = jnp.asarray(np.arange(8, dtype=np.int32))
+    idx.overflow_rows = orows
+    idx.overflow_vecs = jnp.take(col._store.vectors, orows, axis=0)
+    okc, oko = idx._ok_cached()
+    assert oko.shape == (8,) and bool(oko.all())
+    _, rows = idx.search(v[:8], 1)
+    assert (rows[:, 0] == np.arange(8)).all()
