@@ -67,3 +67,21 @@ def test_k_larger_than_corpus():
     vals, rows = s.search(v[:2], k=50)
     assert vals.shape == (2, 10)
     assert rows[0, 0] == 0 and rows[1, 0] == 1
+
+
+def test_memmap_backed_corpus_matches(tmp_path, corpus):
+    """A disk-backed np.memmap corpus (the >RAM deployment shape, used by
+    benchmarks/outofcore_20m.py --memmap) must stream identically to the
+    in-RAM array."""
+    v, q = corpus
+    path = tmp_path / "corpus.f32"
+    mm = np.memmap(path, np.float32, "w+", shape=v.shape)
+    mm[:] = v
+    mm.flush()
+    ro = np.memmap(path, np.float32, "r", shape=v.shape)
+    s_ram = OutOfCoreSearcher(v, metric="l2", tile_rows=256)
+    s_mm = OutOfCoreSearcher(ro, metric="l2", tile_rows=256)
+    vr, rr = s_ram.search(q, k=5)
+    vm, rm = s_mm.search(q, k=5)
+    np.testing.assert_allclose(vm, vr, atol=1e-5)
+    np.testing.assert_array_equal(rm, rr)
