@@ -92,18 +92,62 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
                              nprobe_local: int,
                              compute_dtype: str = "bfloat16",
                              allow_grouped: bool = True,
-                             has_boost: bool = False):
+                             has_boost: bool = False,
+                             rerank: int = 0,
+                             shard_rows: int = 1):
     """Compile the sharded IVF search.
 
     Expects (queries replicated, centroids/cells/row_table/cent_valid
-    sharded on DATA along the cell axis, validmask replicated).
+    sharded on DATA along the cell axis, vectors row-sharded).  With
+    ``rerank > 0`` the merged quantized top-``rerank*k`` is re-scored
+    exactly against the row-sharded store (the ShardedIVFPQ phase-2
+    pattern): each shard scores the candidates it owns, everyone else
+    reports MASKED, and a ``pmin`` assembles the exact score matrix —
+    int8 cell scores scramble top-k ordering without this (~5-7 recall
+    points on clustered corpora, same as the single-chip index).
     """
     metric = DistanceMetric.parse(metric)
     cd = jnp.dtype(compute_dtype)
     prec = matmul_precision(compute_dtype)
+    # local candidates kept per shard before the merge
+    c_sel = k if rerank <= 0 else max(k, k * rerank)
+
+    def finish(vals, rows, dropped, qf, vectors):
+        """Merge per-shard candidates; optionally re-rank exactly."""
+        if rerank <= 0:
+            dv, dr = _merge_over_data_axis(vals, rows, k)
+            return dv, dr, dropped
+        gv, grows = _merge_over_data_axis(vals, rows, c_sel)  # (B, cg)
+        b2 = qf.shape[0]
+        lo = jax.lax.axis_index(DATA_AXIS) * shard_rows
+        own = (grows >= lo) & (grows < lo + shard_rows)
+        lrow = jnp.clip(grows - lo, 0, shard_rows - 1)
+        cv = jnp.take(vectors, lrow, axis=0)              # (B, cg, D)
+        vsq2 = jnp.einsum("bcd,bcd->bc", cv, cv,
+                          preferred_element_type=jnp.float32)
+        cross2 = jnp.einsum("bd,bcd->bc", qf.astype(cd), cv.astype(cd),
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
+        qsq2 = jnp.einsum("bd,bd->b", qf, qf,
+                          preferred_element_type=jnp.float32)
+        if metric == DistanceMetric.COSINE:
+            qinv2 = 1.0 / jnp.maximum(jnp.sqrt(qsq2[:, None]), 1e-30)
+            es = 1.0 - cross2 * qinv2 * jax.lax.rsqrt(
+                jnp.maximum(vsq2, 1e-30))
+        elif metric == DistanceMetric.L2:
+            es = jnp.sqrt(jnp.maximum(
+                qsq2[:, None] + vsq2 - 2.0 * cross2, 0.0))
+        else:
+            es = -cross2
+        es = jnp.where(own & (grows >= 0) & (gv < MASKED * 0.5), es,
+                       MASKED)
+        es = jax.lax.pmin(es, DATA_AXIS)                  # assemble exact
+        kk = min(k, grows.shape[1])
+        neg, pos = jax.lax.top_k(-es, kk)
+        return -neg, jnp.take_along_axis(grows, pos, axis=1), dropped
 
     def local(q, centroids, cells, row_table, cent_valid, cent_boost,
-              ok_cells, vmin, scale, cell_norms):
+              ok_cells, vmin, scale, cell_norms, vectors):
         b, d = q.shape
         cmax = cells.shape[1]
         qf = q.astype(jnp.float32)
@@ -192,15 +236,14 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
             cand = jnp.concatenate(
                 [cand, jnp.broadcast_to(brows[None], (b, brows.shape[0]))],
                 axis=1)
-            kk = min(k, cand_vals.shape[1])
+            kk = min(c_sel, cand_vals.shape[1])
             neg, pos = jax.lax.top_k(-cand_vals, kk)
             vals = -neg
             if metric == DistanceMetric.L2:  # candidates are squared
                 vals = jnp.where(vals >= MASKED * 0.5, vals,
                                  jnp.sqrt(jnp.maximum(vals, 0.0)))
-            dv, dr = _merge_over_data_axis(
-                vals, jnp.take_along_axis(cand, pos, axis=1), k)
-            return dv, dr, dropped
+            return finish(vals, jnp.take_along_axis(cand, pos, axis=1),
+                          dropped, qf, vectors)
 
         _, probe = jax.lax.top_k(-croute, npl)          # (B, npl) local cells
 
@@ -239,18 +282,17 @@ def build_sharded_ivf_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
         else:
             s = -cross
         s = jnp.where(ok, s, MASKED)
-        kk = min(k, s.shape[1])
+        kk = min(c_sel, s.shape[1])
         neg, pos = jax.lax.top_k(-s, kk)
-        dv, dr = _merge_over_data_axis(-neg, jnp.take_along_axis(cand, pos,
-                                                                 axis=1), k)
-        return dv, dr, jnp.zeros((), jnp.int32)
+        return finish(-neg, jnp.take_along_axis(cand, pos, axis=1),
+                      jnp.zeros((), jnp.int32), qf, vectors)
 
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(None, None), P(DATA_AXIS, None),
                   P(DATA_AXIS, None, None), P(DATA_AXIS, None),
                   P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS, None), P(None),
-                  P(None), P(DATA_AXIS, None)),
+                  P(None), P(DATA_AXIS, None), P(DATA_AXIS, None)),
         out_specs=(P(None, None), P(None, None), P()),
         check_vma=False,
     )
@@ -262,9 +304,9 @@ class ShardedIVF:
 
     def __init__(self, mesh: Mesh, centroids, cells, row_table, cent_valid,
                  validmask, vmin=None, scale=None, cell_norms=None,
-                 cent_boost=None, *,
+                 cent_boost=None, vectors=None, *,
                  metric: DistanceMetric, nprobe: int,
-                 compute_dtype: str = "bfloat16"):
+                 compute_dtype: str = "bfloat16", rerank: int = 0):
         self.mesh = mesh
         self.metric = DistanceMetric.parse(metric)
         self.nprobe = nprobe
@@ -329,6 +371,23 @@ class ShardedIVF:
                 cell_norms[i:i + blk] = np.einsum("ncd,ncd->nc", cf, cf)
             cell_norms = np.where(tbl_h >= 0, cell_norms, 0.0)
         self.cell_norms = shard(np.asarray(cell_norms, np.float32), 2)
+        # exact re-rank corpus, row-sharded (int8 cells: quantized scores
+        # scramble top-k ordering without it).  rerank > 0 requires it.
+        if rerank > 0 and vectors is None:
+            raise ValueError("rerank > 0 requires the re-rank corpus")
+        self.rerank = int(rerank)
+        if vectors is not None:
+            vectors = np.asarray(vectors)
+            pad = (-vectors.shape[0]) % ndev
+            if pad:
+                vectors = np.pad(vectors, ((0, pad), (0, 0)))
+            self.shard_rows = vectors.shape[0] // ndev
+            self.vectors = shard(vectors, 2)
+        else:
+            self.shard_rows = 1
+            # unused placeholder (rerank == 0 never reads it)
+            self.vectors = shard(
+                np.zeros((ndev, centroids.shape[1]), np.float32), 2)
         self._fns = {}
 
     @classmethod
@@ -418,6 +477,7 @@ class ShardedIVF:
         vm = (np.asarray(store.valid) if validmask is None
               else np.asarray(validmask))
         cfg = ivf._collection.config
+        rr = int(getattr(ivf, "rerank", 0))
         return cls(mesh, centroids, cells, table, cent_valid, vm,
                    vmin=(np.asarray(ivf.quantizer.vmin) if quantized
                          else None),
@@ -425,8 +485,9 @@ class ShardedIVF:
                           else None),
                    cell_norms=norms,
                    cent_boost=cent_boost,
+                   vectors=(np.asarray(store.vectors) if rr > 0 else None),
                    metric=cfg.metric, nprobe=ivf.nprobe,
-                   compute_dtype=cfg.compute_dtype)
+                   compute_dtype=cfg.compute_dtype, rerank=rr)
 
     def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
         q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
@@ -436,11 +497,12 @@ class ShardedIVF:
                 nprobe_local=self.nprobe_local,
                 compute_dtype=self.compute_dtype,
                 allow_grouped=self._allow_grouped,
-                has_boost=bool(np.asarray(self.cent_boost).any()))
+                has_boost=bool(np.asarray(self.cent_boost).any()),
+                rerank=self.rerank, shard_rows=self.shard_rows)
         d, r, dropped = self._fns[k](
             q, self.centroids, self.cells, self.row_table,
             self.cent_valid, self.cent_boost, self.ok_cells, self.vmin,
-            self.scale, self.cell_norms)
+            self.scale, self.cell_norms, self.vectors)
         # qcap saturation observability, matching the single-chip index
         self.last_dropped = int(dropped)
         return np.asarray(d), np.asarray(r)

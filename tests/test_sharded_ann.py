@@ -153,12 +153,19 @@ def test_sharded_ivf_int8_cells(built, mesh):
                   cell_dtype="int8")
     assert col._ann.cells.dtype == np.int8
     sh = ShardedIVF.from_index(mesh, col._ann)
+    assert sh.rerank == col._ann.rerank == 4  # exact re-rank rides along
     d, rows = sh.search(q, 10)
     assert rows.shape == (8, 10)
     recall = np.mean([len(set(r.tolist()) & e) / 10
                       for r, e in zip(rows, exact)])
     assert recall >= 0.85, f"sharded int8-cell IVF recall {recall:.3f}"
     assert all(np.all(np.diff(row) >= -1e-4) for row in d)
+    # the re-ranked sharded path must match the single-chip index's rows
+    # (both select the quantized top-c then exact-score the same rows)
+    _, rows_1c = col._ann.search(q, 10)
+    agree = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                     for a, b in zip(rows, rows_1c)])
+    assert agree >= 0.85, agree
 
 
 def _overflow_collection(seed=11, n=1024, shift=6.0):
