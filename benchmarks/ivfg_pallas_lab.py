@@ -1,6 +1,12 @@
 """Stage decomposition of the PALLAS grouped-IVF dispatch on synthetic
 tensors shaped like the 4M x 768 build (nlist=4096, cmax=1280, qcap=8).
 
+HISTORICAL RECORD (2026-08-18): the ``staged`` copy below reproduces the
+PRE-FIX pipeline that computed ``validmask[row_table]`` per call — the
+decomposition it produced (s4 = 40 of 43 ms; everything else 1.4 ms) is
+the evidence behind ann/ivf.py:ok_slot_masks.  The shipped kernel now
+takes the precomputed mask (full_kernel row: 2.65 ms at this shape).
+
 The 4M/B=256 run measured 51 ms for a pipeline whose roofline is ~4 ms;
 an isolated-inputs probe put the pallas score stage at 6.5 ms and the
 route/invert/gather prologue at 0.05 ms, so ~44 ms hides in what's left:
