@@ -257,6 +257,7 @@ class GraphANN:
         self.n_init = n_init
         self.stale = False
         self._built_count = collection._store.count
+        self._built_n_valid = collection._store.n_valid
 
     # ------------------------------------------------------------------
     @classmethod

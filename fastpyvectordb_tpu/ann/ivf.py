@@ -344,6 +344,7 @@ class IVFIndex:
         self.rerank = 0          # exact re-rank factor (int8 builds set 4)
         self.stale = False
         self._built_count = collection._store.count
+        self._built_n_valid = collection._store.n_valid
         self.quantizer = None    # set when cells are int8 codes
         self.cell_norms = None   # (nlist, cmax) f32, int8 cells only
 

@@ -224,6 +224,7 @@ class IVFPQIndex:
         self.rerank = rerank                # candidate factor c = rerank*k
         self.stale = False
         self._built_count = collection._store.count
+        self._built_n_valid = collection._store.n_valid
 
     # ------------------------------------------------------------------
     @classmethod

@@ -118,6 +118,8 @@ class BigCollection:
             raise ValueError(f"got {len(ids)} ids for {n} vectors")
         if metadatas is not None and len(metadatas) != n:
             raise ValueError(f"got {len(metadatas)} metadatas for {n} vectors")
+        if len(set(ids)) != n:
+            raise ValueError("duplicate ids within the batch")
         with self._lock:
             dup = [i for i in ids if i in self._id_to_row]
             if dup:
@@ -125,8 +127,19 @@ class BigCollection:
                                  + ("..." if len(dup) > 5 else ""))
             self._grow_host(self._count + n)
             self._vectors[self._count:self._count + n] = v
+            total = self._count + n
             if self._qz is None:
-                self._train(v)
+                self._train(self._vectors[:total])
+                self._trained_rows = total
+            elif (total >= 8 * getattr(self, "_trained_rows", total)
+                  and getattr(self, "_trained_rows", 0) < self.train_rows):
+                # the codec was trained on a much smaller prefix (e.g. a
+                # single first row -> degenerate scale/thresholds and
+                # near-random coarse ordering); retrain on the grown
+                # corpus and re-encode.  Triggers O(log N) times total.
+                self._train(self._vectors[:total])
+                self._trained_rows = total
+                self._rebuild_codes(self._count)
             self._append_codes(v)
             start = self._count
             self._count += n
@@ -138,7 +151,15 @@ class BigCollection:
             self._metadata.extend(metadatas if metadatas is not None
                                   else [None] * n)
             self._columns = None
-            self._sync_dvalid()
+            # incremental device-validity update: a full capacity-sized
+            # rebuild + upload per mutation is O(cap) bytes (20 MB at the
+            # 20M scale) — only capacity changes force it
+            if (self._dvalid is None
+                    or self._dvalid.shape[0] != self._code_cap):
+                self._sync_dvalid()
+            else:
+                self._dvalid = jax.lax.dynamic_update_slice(
+                    self._dvalid, jnp.ones((n,), bool), (start,))
         return ids
 
     def insert(self, vector, id: Optional[str] = None,
@@ -160,7 +181,12 @@ class BigCollection:
                 self._metadata[r] = None
             if rows:
                 self._columns = None
-                self._sync_dvalid()
+                if (self._dvalid is None
+                        or self._dvalid.shape[0] != self._code_cap):
+                    self._sync_dvalid()
+                else:  # point tombstones, O(len(rows)) not O(capacity)
+                    self._dvalid = self._dvalid.at[
+                        jnp.asarray(np.asarray(rows))].set(False)
             return len(rows)
 
     def get(self, id: str, include_vector: bool = False) -> Optional[dict]:
@@ -187,18 +213,24 @@ class BigCollection:
         with self._lock:
             if self.count() == 0:
                 return [[] for _ in range(q.shape[0])]
+            fmask = (filter.mask(self._column_view())
+                     if filter is not None else None)
             c = min(max(k * (rerank or self.rerank), k),
                     int(self._valid.sum()))
-            mask = self._device_mask(filter)
-            crows = self._coarse(q, c, mask)               # (B, C) host int
+            mask = self._device_mask(fmask)
+            cvals, crows = self._coarse(q, c, mask)        # (B, C) host
             # host gather + exact re-rank (C rows x 3 KB — the only
             # full-precision bytes a query ever touches)
             safe = np.clip(crows, 0, self._count - 1)
             cand = self._vectors[safe.reshape(-1)].reshape(
                 q.shape[0], -1, self.dims)                  # (B, C, D) f32
-            ok = np.take(self._valid, safe)
-            if filter is not None:
-                fmask = filter.mask(self._column_view())
+            # a selective filter can match fewer rows than c: the coarse
+            # top-c then contains MASKED picks whose clipped indices are
+            # arbitrary rows — screen them by coarse value, not just by
+            # validity (quant/scan.py's cand_ok contract)
+            from ..kernels.distances import MASKED
+            ok = (cvals < MASKED * 0.5) & np.take(self._valid, safe)
+            if fmask is not None:
                 ok &= np.take(fmask, safe)
             dists = self._exact_host(q, cand)               # (B, C)
             dists = np.where(ok, dists, np.inf)
@@ -258,9 +290,28 @@ class BigCollection:
     def _train(self, sample: np.ndarray) -> None:
         from ..quant.binary import BinaryQuantizer
         from ..quant.scalar import ScalarQuantizer
-        s = sample[:self.train_rows]
+        # strided sample (not the prefix): an ingestion-ordered corpus
+        # would otherwise train on one drifted slice
+        step = max(1, sample.shape[0] // self.train_rows)
+        s = sample[::step][:self.train_rows]
         self._qz = (BinaryQuantizer().train(s) if self.codec == "binary"
                     else ScalarQuantizer().train(s))
+
+    def _rebuild_codes(self, rows: int) -> None:
+        """Re-encode the first ``rows`` host rows through the current
+        codec (after a retrain), chunked like _load."""
+        saved = rows
+        self._codes, self._code_cap, self._sq_stats = None, 0, None
+        count_bak = self._count
+        self._count = 0
+        chunk = 1_000_000
+        for st in range(0, saved, chunk):
+            self._append_codes(np.asarray(
+                self._vectors[st:min(st + chunk, saved)],
+                dtype=np.float32))
+            self._count += min(chunk, saved - st)
+        self._count = count_bak
+        self._dvalid = None  # capacity may have changed; rebuild lazily
 
     def _append_codes(self, v: np.ndarray) -> None:
         """Encode new rows on device into the pre-allocated code buffer."""
@@ -310,10 +361,11 @@ class BigCollection:
         m[:self._count] = self._valid[:self._count]
         self._dvalid = jnp.asarray(m)
 
-    def _device_mask(self, filter: Optional[Filter]):
-        if filter is None:
+    def _device_mask(self, fmask: Optional[np.ndarray]):
+        if self._dvalid is None:
+            self._sync_dvalid()
+        if fmask is None:
             return self._dvalid
-        fmask = filter.mask(self._column_view())
         m = np.zeros(self._code_cap, dtype=bool)
         m[:self._count] = self._valid[:self._count] & fmask[:self._count]
         return jnp.asarray(m)
@@ -343,22 +395,23 @@ class BigCollection:
                     qpm = np.pad(qpm, ((0, bp), (0, 0)))
                 s = hamming_mxu_scores(jnp.asarray(qpm, jnp.bfloat16),
                                        codes_t)
-                _, rows = _masked_candidates(s, mk, c=c)
-                return np.asarray(rows)[:q.shape[0]]
+                vals, rows = _masked_candidates(s, mk, c=c)
+                return (np.asarray(vals)[:q.shape[0]],
+                        np.asarray(rows)[:q.shape[0]])
             from ..quant.scan import _hamming_coarse_topk, _pow2ge
             qcodes = self._qz.encode(q)                    # (B, W)
-            _, rows = _hamming_coarse_topk(
+            vals, rows = _hamming_coarse_topk(
                 qcodes.T, self._codes, mask, k=c,
                 chunk=int(min(262_144, _pow2ge(self._code_cap))))
-            return np.asarray(rows)
+            return np.asarray(vals), np.asarray(rows)
         # int8 coarse
         from ..quant.scan import _int8_coarse_topk
         vsq, rinv = self._sq_stats
-        _, rows = _int8_coarse_topk(
+        vals, rows = _int8_coarse_topk(
             jnp.asarray(q), self._codes, self._qz.vmin, self._qz.scale,
             vsq, rinv, mask, metric=self.metric, k=c,
             approx=pallas_quant.on_tpu())
-        return np.asarray(rows)
+        return np.asarray(vals), np.asarray(rows)
 
     def _exact_host(self, q: np.ndarray, cand: np.ndarray) -> np.ndarray:
         """Exact metric on gathered candidates, host BLAS ((B,C,D) tiny)."""

@@ -324,7 +324,7 @@ class Collection:
             # filtered-ANN failure mode; hnswlib has the same issue).
             use_ann = False
         if use_ann and self._ann is not None:
-            if self._index_rebuild_due(self._ann._built_count):
+            if self._index_rebuild_due(self._ann):
                 self._ann.mark_stale()  # rebuilt inside .search()
             if not isinstance(q, np.ndarray):
                 q = np.asarray(q)  # ANN routing runs host-side numpy
@@ -488,13 +488,24 @@ class Collection:
         if self._quantized is not None:
             self._quantized = None
 
-    def _index_rebuild_due(self, built_count: int) -> bool:
-        """True when an index built over ``built_count`` rows has drifted
-        enough (tail growth or mass deletes) that a rebuild beats serving
-        through the merge path."""
+    def _index_rebuild_due(self, snapshot) -> bool:
+        """True when an index built over ``snapshot._built_count`` rows has
+        drifted enough (tail growth or mass deletes) that a rebuild beats
+        serving through the merge path.
+
+        The mass-delete clause compares against the LIVE row count at
+        build time: comparing against built_count (which includes
+        tombstones) never resets after a rebuild — the condition stayed
+        true forever and every subsequent query paid a full rebuild until
+        compact().)"""
+        built_count = getattr(snapshot, "_built_count",
+                              getattr(snapshot, "built_count", 0))
+        built_live = getattr(snapshot, "_built_n_valid",
+                             getattr(snapshot, "built_n_valid",
+                                     built_count))
         tail = self._store.count - built_count
         return (tail > max(built_count // 4, 4096)
-                or self._store.n_valid * 2 < built_count)
+                or self._store.n_valid * 2 < built_live)
 
     def _tail_exact(self, q: np.ndarray, k: int,
                     mask: Optional[np.ndarray], start: int
@@ -651,7 +662,7 @@ class Collection:
         lock and has handled the empty-store case."""
         if self._quantized is None:
             self.enable_quantized_scan()
-        elif self._index_rebuild_due(self._quantized.built_count):
+        elif self._index_rebuild_due(self._quantized):
             # a threshold rebuild must not silently discard the tuned
             # candidate depth (tune_rerank) — recall would collapse
             # back to the untuned default on clustered corpora

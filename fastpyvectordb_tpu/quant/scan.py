@@ -47,17 +47,6 @@ def _int8_coarse_topk(q, codes, vmin, scale, vsq, rinv, mask, *,
     return -neg, rows
 
 
-@functools.partial(jax.jit, static_argnames=("k", "approx"))
-def _masked_topk(s, mask, *, k: int, approx: bool):
-    if mask is not None:
-        s = jnp.where(mask[None, :], s, MASKED)
-    if approx:
-        neg, rows = jax.lax.approx_max_k(-s, k, recall_target=0.99)
-    else:
-        neg, rows = jax.lax.top_k(-s, k)
-    return -neg, rows
-
-
 def _masked_candidates(s, mask, *, c: int):
     """Masked approximate candidate selection, directly on the (B, N)
     scores with the TPU's hardware approx top-k.
@@ -231,6 +220,7 @@ class QuantizedScan:
         # rows covered by this snapshot; rows appended later are served by
         # the collection's exact tail merge (collection.search_quantized)
         self.built_count = int(codes.shape[0])
+        self.built_n_valid = int(codes.shape[0])
 
     @classmethod
     def build(cls, collection, kind: str = "int8", **kwargs) -> "QuantizedScan":
@@ -243,18 +233,24 @@ class QuantizedScan:
         # built_count stays at the build-time row count and the search
         # mask excludes every row beyond it.
         dev = store.vectors
+        # train on a bounded strided sample of the LIVE rows only: the
+        # capacity buffer tail is all-zero padding (up to ~33% of a ladder
+        # bucket) which would drag int8 vmin / binary medians toward zero
+        # and waste PQ centroids on a phantom cluster.  A strided take of
+        # row indices < n is a small device gather — no [:n] slice copy.
+        t_cap = 262_144
+        t_step = max(1, -(-max(n, 1) // t_cap))
+        t_idx = jnp.asarray(np.arange(0, max(n, 1), t_step,
+                                      dtype=np.int64)[:t_cap])
         if kind in ("int8", "sq", "scalar"):
-            qz = ScalarQuantizer().train(dev)
+            qz = ScalarQuantizer().train(
+                jnp.take(dev, t_idx, axis=0).astype(jnp.float32))
             codes = qz.encode(dev)
             kind = "int8"
         elif kind in ("binary", "bq", "hamming"):
-            # thresholds are per-dim medians (host numpy); a bounded
-            # STRIDED sample avoids pulling the whole corpus back while
-            # staying representative — a prefix would fit only the first
-            # ingest cluster on ordered corpora
-            cap = 262_144
-            stride = max(1, -(-max(n, 1) // cap))
-            sample = np.asarray(dev[::stride][:cap], dtype=np.float32)
+            # thresholds are per-dim medians (host numpy)
+            sample = np.asarray(jnp.take(dev, t_idx, axis=0),
+                                dtype=np.float32)
             qz = BinaryQuantizer().train(sample, **kwargs)
             codes = qz.encode(dev)
             kind = "binary"
@@ -277,7 +273,7 @@ class QuantizedScan:
                     np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
             qz = ProductQuantizer(m=kwargs.pop("m", 8),
                                   k=kwargs.pop("k", 256))
-            qz.train(vecs, **kwargs)
+            qz.train(vecs[np.asarray(t_idx)], **kwargs)  # live rows only
             codes = qz.encode(vecs)
             kind = "pq"
         else:
@@ -287,6 +283,7 @@ class QuantizedScan:
         # capacity buffer, but only the first n rows were real at build
         # (later appends overwrite padding rows with vectors the stale
         # codes do not represent — the exact tail merge serves those)
+        scan.built_n_valid = collection._store.n_valid
         # re-rank in the collection's serving dtype (bf16 on TPU configs)
         scan.compute_dtype = collection.config.compute_dtype
         return scan

@@ -142,3 +142,23 @@ def test_compact_still_invalidates():
     assert col._ann.stale  # rows were remapped: rebuild required
     hits = col.search(v[500], k=1, exact=False)
     assert hits[0].id == "v500"
+
+
+def test_mass_delete_rebuilds_once_not_every_search(rng):
+    """After a >50% mass delete, the drift trigger must fire ONE rebuild;
+    comparing against built_count (which includes tombstones) kept the
+    condition true forever and every query paid a full rebuild."""
+    from fastpyvectordb_tpu.core.collection import Collection
+    from fastpyvectordb_tpu.core.types import CollectionConfig
+    n, d = 600, 16
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    col = Collection(CollectionConfig(name="md", dimensions=d, metric="l2"))
+    col.insert_batch(v, [f"v{i}" for i in range(n)])
+    col.build_ann(nlist=16, nprobe=8, iters=3)
+    col.delete_batch([f"v{i}" for i in range(400)])  # 66% tombstones
+    col.search(v[500], k=3, exact=False)             # triggers the rebuild
+    assert not col._ann.stale
+    built_table = col._ann.row_table
+    col.search(v[501], k=3, exact=False)
+    col.search(v[502], k=3, exact=False)
+    assert col._ann.row_table is built_table  # no second rebuild
