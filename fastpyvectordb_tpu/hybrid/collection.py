@@ -102,22 +102,35 @@ class HybridCollection(Collection):
         return " ".join(parts)
 
     def insert_batch(self, vectors, ids=None, metadatas=None) -> List[str]:
-        out_ids = super().insert_batch(vectors, ids, metadatas)
-        metas = metadatas if metadatas is not None else [None] * len(out_ids)
-        for rid, meta in zip(out_ids, metas):
-            text = self._indexable_text(meta)
-            if text:
-                self._bm25.add_document(rid, text)
+        # the BM25 update rides under the SAME lock as the vector insert:
+        # the core Collection serializes all CRUD, and callers (the
+        # server's executor threads) rely on that — unlocked BM25 dict
+        # mutations race (lost _total_len updates, dict-changed-size
+        # during a concurrent remove's iteration)
+        with self._lock:
+            out_ids = super().insert_batch(vectors, ids, metadatas)
+            metas = (metadatas if metadatas is not None
+                     else [None] * len(out_ids))
+            for rid, meta in zip(out_ids, metas):
+                text = self._indexable_text(meta)
+                if text:
+                    self._bm25.add_document(rid, text)
         return out_ids
 
     def delete_batch(self, ids: Sequence[str]) -> int:
-        n = super().delete_batch(ids)
-        for rid in ids:
-            self._bm25.remove_document(str(rid))
+        with self._lock:
+            n = super().delete_batch(ids)
+            for rid in ids:
+                self._bm25.remove_document(str(rid))
         return n
 
     def update_metadata(self, id: str, metadata: dict, merge: bool = True
                         ) -> bool:
+        with self._lock:
+            return self._update_metadata_locked(id, metadata, merge)
+
+    def _update_metadata_locked(self, id: str, metadata: dict,
+                                merge: bool) -> bool:
         ok = super().update_metadata(id, metadata, merge)
         if ok:
             row = self._id_to_row[str(id)]
@@ -169,7 +182,10 @@ class HybridCollection(Collection):
         q = as_f32_matrix(query_vector, self.config.dimensions)
 
         fetch = max(k * fetch_factor, k)
-        vec_hits = self.search_batch(q, k=fetch)[0]
+        # push the filter into the vector stage (fused mask): a selective
+        # filter would otherwise eat nearly the whole global top-fetch in
+        # the post-filter below and leave the fusion BM25-only
+        vec_hits = self.search_batch(q, k=fetch, filter=filter)[0]
         kw_hits = self._bm25.search(query_text, fetch)
 
         # normalize vector distances -> similarity in [0, 1]
@@ -223,7 +239,16 @@ class HybridCollection(Collection):
 
     # ------------------------------------------------------------------
     def save(self) -> None:
+        # BM25 sidecar FIRST: Collection.save() truncates the WAL, and a
+        # crash between the truncate and this write would lose the
+        # keyword index for every WAL-covered document (replay would have
+        # nothing to rebuild it from).  Written before, a crash during
+        # super().save() leaves the old snapshot + full WAL: replay
+        # re-adds the documents and add_document is idempotent.
+        self._save_bm25()
         super().save()
+
+    def _save_bm25(self) -> None:
         import numpy as _np
         from .. import native
         if isinstance(self._bm25, getattr(native, "NativeBM25", ())):

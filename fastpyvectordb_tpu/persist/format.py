@@ -77,7 +77,15 @@ def save_container(path: Union[str, Path], sections: Dict[str, SectionValue],
     for name, value in sections.items():
         if isinstance(value, np.ndarray):
             arr = np.ascontiguousarray(value)
-            raw = arr.tobytes()
+            # zero-copy buffer view where the dtype allows it: tobytes()
+            # duplicates the full array, doubling peak RSS on snapshot
+            # save (a 47 GB corpus section would allocate another 47 GB).
+            # Custom dtypes (ml_dtypes bfloat16) reject the buffer
+            # protocol — only those pay the copy.
+            try:
+                raw = memoryview(arr).cast("B")
+            except (TypeError, ValueError):
+                raw = arr.tobytes()
             entry = {"kind": "array", "dtype": str(arr.dtype),
                      "shape": list(arr.shape)}
         elif isinstance(value, (bytes, bytearray)):
@@ -222,14 +230,20 @@ class StreamingVectorWriter:
                     f"{path}: dims mismatch (file {dims_on_disk}, "
                     f"requested {self.dims})")
             self.n_rows = int(n_rows)
-            self.ids = _read_jsonl_sidecar(self._ids_path, self.n_rows)
-            self.metadata = _read_jsonl_sidecar(self._meta_path, self.n_rows)
+            self.ids, ids_keep = _read_jsonl_sidecar(
+                self._ids_path, self.n_rows)
+            self.metadata, meta_keep = _read_jsonl_sidecar(
+                self._meta_path, self.n_rows)
         else:
             self._f = open(self.path, "w+b")
             self._write_header()
+            ids_keep = meta_keep = None
         # sidecar handles: truncate any crash-orphaned lines past n_rows
-        self._ids_f = _open_jsonl_sidecar(self._ids_path, self.ids)
-        self._meta_f = _open_jsonl_sidecar(self._meta_path, self.metadata)
+        # (O(1) when the committed prefix is intact; rewrite otherwise)
+        self._ids_f = _open_jsonl_sidecar(self._ids_path, self.ids,
+                                          keep_bytes=ids_keep)
+        self._meta_f = _open_jsonl_sidecar(self._meta_path, self.metadata,
+                                           keep_bytes=meta_keep)
 
     @property
     def _ids_path(self) -> Path:
@@ -291,30 +305,47 @@ class StreamingVectorWriter:
         self.close()
 
 
-def _read_jsonl_sidecar(path: Path, n_rows: int) -> list:
+def _read_jsonl_sidecar(path: Path, n_rows: int):
     """First ``n_rows`` JSONL lines (crash-orphaned suffix lines ignored),
     padded with None up to ``n_rows``.  Falls back to the round-1 whole-list
-    ``.json`` sidecar if the JSONL file does not exist."""
+    ``.json`` sidecar if the JSONL file does not exist.
+
+    Returns ``(rows, keep_bytes)`` where keep_bytes is the byte offset just
+    past the last kept line (None when the file must be rewritten — legacy
+    format or missing): truncating there trims a crash-orphaned suffix in
+    O(1) instead of re-serializing every committed line on reopen."""
     out: list = []
+    keep_bytes = None
     if path.exists():
-        with open(path, "r", encoding="utf-8") as f:
-            for line in f:
+        keep_bytes = 0
+        with open(path, "rb") as f:
+            for raw in f:
                 if len(out) >= n_rows:
                     break
-                line = line.strip()
+                line = raw.strip()
                 if line:
                     out.append(json.loads(line))
+                    keep_bytes = f.tell()
     else:
         legacy = Path(str(path)[: -len(".jsonl")] + ".json")
         if legacy.exists():
             out = json.loads(legacy.read_text())[:n_rows]
+    if len(out) < n_rows:        # short sidecar: pad + full rewrite
+        keep_bytes = None
     out.extend([None] * (n_rows - len(out)))
-    return out
+    return out, keep_bytes
 
 
-def _open_jsonl_sidecar(path: Path, rows: list):
-    """(Re)open a sidecar for appending: rewritten from the committed rows
-    so crash-orphaned or legacy-format content can never misalign lines."""
+def _open_jsonl_sidecar(path: Path, rows: list, keep_bytes=None):
+    """(Re)open a sidecar for appending.  With ``keep_bytes`` (the byte
+    offset past the last committed line) the crash-orphaned suffix is
+    trimmed with one truncate; otherwise the file is rewritten from the
+    committed rows so legacy-format content can never misalign lines."""
+    if keep_bytes is not None and path.exists():
+        f = open(path, "r+", encoding="utf-8")
+        f.truncate(keep_bytes)
+        f.seek(0, os.SEEK_END)
+        return f
     f = open(path, "w", encoding="utf-8")
     if rows:
         f.write("".join(json.dumps(v, default=_json_default) + "\n" for v in rows))
@@ -340,12 +371,13 @@ class StreamingVectorReader:
                              shape=(self.n_rows, self.dims))
         ids_jsonl = Path(str(self.path) + ".ids.jsonl")
         ids_json = Path(str(self.path) + ".ids.json")
-        self.ids = (_read_jsonl_sidecar(ids_jsonl, self.n_rows)
+        self.ids = (_read_jsonl_sidecar(ids_jsonl, self.n_rows)[0]
                     if ids_jsonl.exists() or ids_json.exists() else None)
         meta_jsonl = Path(str(self.path) + ".meta.jsonl")
         meta_json = Path(str(self.path) + ".meta.json")
-        self.metadata = (_read_jsonl_sidecar(meta_jsonl, self.n_rows)
-                         if meta_jsonl.exists() or meta_json.exists() else None)
+        self.metadata = (_read_jsonl_sidecar(meta_jsonl, self.n_rows)[0]
+                         if meta_jsonl.exists() or meta_json.exists()
+                         else None)
 
     def load_batch(self, start: int, count: int) -> np.ndarray:
         return np.array(self._mm[start: start + count])

@@ -301,7 +301,14 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
     # ------------------------------------------------------------------
     # search
     # ------------------------------------------------------------------
-    def _query_vector(req, c):
+    async def _embed_off(fn, *args):
+        """Run an embedder call on an executor thread: sync embedding
+        (incl. the lazy first-use model load) on the event loop stalls
+        every concurrent request and the batcher's flush scheduling."""
+        return await asyncio.get_running_loop().run_in_executor(
+            None, lambda: fn(*args))
+
+    async def _query_vector(req, c):
         if req.vector is not None:
             v = np.asarray(req.vector, dtype=np.float32)
             if v.shape != (c.config.dimensions,):
@@ -320,7 +327,7 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
                     text=json.dumps(
                         {"detail": "text search requires the full server"}),
                     content_type=JSON)
-            return embedder().embed(req.text)
+            return await _embed_off(embedder().embed, req.text)
         raise web.HTTPBadRequest(
             text=json.dumps({"detail": "vector or text required"}),
             content_type=JSON)
@@ -392,7 +399,7 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         req = _parse(S.SearchRequest, await _body(request))
         t0 = time.perf_counter()
         try:
-            q = _query_vector(req, c)
+            q = await _query_vector(req, c)
             if req.mode == "quantized":
                 loop = asyncio.get_running_loop()
                 filt = _filter_of(req)
@@ -451,7 +458,7 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         if req.vectors is not None:
             q = np.asarray(req.vectors, dtype=np.float32)
         elif req.texts is not None and state["full"]:
-            q = embedder().embed_batch(req.texts)
+            q = await _embed_off(embedder().embed_batch, req.texts)
         else:
             return _json_error(400, "vectors or texts required")
         t0 = time.perf_counter()
@@ -469,7 +476,7 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         name = request.match_info["name"]
         c = collection_or_404(name)
         req = _parse(S.InsertTextRequest, await _body(request))
-        vec = embedder().embed(req.text)
+        vec = await _embed_off(embedder().embed, req.text)
         meta = dict(req.metadata or {})
         meta["_text"] = req.text
         try:
@@ -612,14 +619,14 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
     # ------------------------------------------------------------------
     async def embed_one(request):
         req = _parse(S.EmbedRequest, await _body(request))
-        vec = embedder().embed(req.text)
+        vec = await _embed_off(embedder().embed, req.text)
         return web.json_response({"embedding": vec.tolist(),
                                   "model": embedder().model_name,
                                   "dimensions": embedder().dimensions})
 
     async def embed_batch(request):
         req = _parse(S.EmbedBatchRequest, await _body(request))
-        vecs = embedder().embed_batch(req.texts)
+        vecs = await _embed_off(embedder().embed_batch, req.texts)
         return web.json_response({"embeddings": vecs.tolist(),
                                   "model": embedder().model_name})
 

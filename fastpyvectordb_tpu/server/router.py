@@ -69,6 +69,21 @@ def create_router_app(shards: List[str],
 
     app.on_cleanup.append(_close)
 
+    async def _json_body(request):
+        """Parse the JSON body or raise a clean 400 (app.py _body parity:
+        malformed JSON / non-dict bodies must not surface as 500s)."""
+        try:
+            body = await request.json()
+        except Exception:
+            raise web.HTTPBadRequest(
+                text='{"detail": "invalid JSON body"}',
+                content_type="application/json")
+        if not isinstance(body, dict):
+            raise web.HTTPBadRequest(
+                text='{"detail": "JSON body must be an object"}',
+                content_type="application/json")
+        return body
+
     def _err(status: int, detail: str):
         return web.json_response({"detail": detail}, status=status)
 
@@ -129,7 +144,7 @@ def create_router_app(shards: List[str],
              "role": "shard-router", "n_shards": n, "shards": per})
 
     async def create_collection(request):
-        body = await request.json()
+        body = await _json_body(request)
         outs = await _fanout_post("/collections", body)
         worst = max(outs, key=lambda o: o[0])
         # report the worst shard's own body with its status (success body
@@ -154,12 +169,28 @@ def create_router_app(shards: List[str],
         return web.json_response(payload, status=worst)
 
     async def list_collections(request):
-        # any reachable shard can answer (DDL fans out to all of them)
-        for u in shards:
-            st, out = await _call("GET", u + "/collections")
-            if st == 200:
-                return web.json_response(out)
-        return _err(503, "no shard reachable")
+        """Aggregate per-shard counts (a single shard's local counts
+        would understate every collection by ~n_shards and contradict
+        GET /collections/{name})."""
+        outs = await asyncio.gather(
+            *[_call("GET", u + "/collections") for u in shards])
+        oks = [o[1] for o in outs if o[0] == 200]
+        if not oks:
+            return _err(503, "no shard reachable")
+        per_name = {}
+        for out in oks:
+            items = out.get("collections", out) if isinstance(out, dict)                 else out
+            for info in items:
+                cur = per_name.setdefault(info.get("name"), dict(info))
+                if cur is not info and "count" in cur:
+                    cur["count"] = (cur.get("count", 0)
+                                    + info.get("count", 0))
+        listing = sorted(per_name.values(),
+                         key=lambda i: i.get("name") or "")
+        shaped = ({"collections": listing}
+                  if isinstance(oks[0], dict) and "collections" in oks[0]
+                  else listing)
+        return web.json_response(shaped)
 
     async def get_collection(request):
         """Aggregate per-shard counts into one logical collection view."""
@@ -181,7 +212,7 @@ def create_router_app(shards: List[str],
     # -- writes: hash-route by id --------------------------------------
     async def insert(request):
         name = request.match_info["name"]
-        body = await request.json()
+        body = await _json_body(request)
         if not body.get("id"):
             # assign the id here so routing stays deterministic
             body["id"] = str(uuid.uuid4())
@@ -192,7 +223,7 @@ def create_router_app(shards: List[str],
 
     async def upsert(request):
         name = request.match_info["name"]
-        body = await request.json()
+        body = await _json_body(request)
         if not body.get("id"):
             return _err(400, "upsert requires an id")
         u = shards[_shard_of(body["id"], n)]
@@ -204,7 +235,7 @@ def create_router_app(shards: List[str],
         name = request.match_info["name"]
         if request.content_type in wire.MSGPACK_TYPES:
             return await _insert_batch_binary(request, name)
-        body = await request.json()
+        body = await _json_body(request)
         vectors = body.get("vectors") or []
         ids = body.get("ids") or [str(uuid.uuid4()) for _ in vectors]
         metas = body.get("metadatas")
@@ -520,14 +551,18 @@ def create_router_app(shards: List[str],
             if with_meta:
                 resp["metadata"] = md
             return _bin_resp(resp)
-        body = await request.json()
+        body = await _json_body(request)
         k = int(body.get("k", 10))
         if body.get("vector") is not None and not body.get("include_vectors"):
             # coalesce JSON singles through the binary shard path too:
             # metadata rides along so the response keeps its hit shape
-            mode = body.get("mode") or (
-                "exact" if body.get("exact") is True
-                else "ann" if body.get("exact") is False else "auto")
+            # an explicit boolean `exact` must survive even when mode is
+            # the (truthy) default string "auto" — `or` short-circuited
+            # on it and silently downgraded exact:true to an auto search
+            mode = body.get("mode")
+            if mode in (None, "auto"):
+                mode = ("exact" if body.get("exact") is True
+                        else "ann" if body.get("exact") is False else "auto")
             v = np.asarray(body["vector"], dtype=np.float32).tobytes()
             key = (name, k, mode, _filter_json(body), True, len(v))
             try:
@@ -561,7 +596,7 @@ def create_router_app(shards: List[str],
         name = request.match_info["name"]
         if request.content_type in wire.MSGPACK_TYPES:
             return await _search_binary(request, single=False)
-        body = await request.json()
+        body = await _json_body(request)
         k = int(body.get("k", 10))
         t0 = time.perf_counter()
         outs = await _fanout_post(f"/collections/{name}/search/batch", body)
@@ -579,7 +614,7 @@ def create_router_app(shards: List[str],
 
     async def build_index(request):
         name = request.match_info["name"]
-        body = await request.json()
+        body = await _json_body(request)
         outs = await _fanout_post(f"/collections/{name}/index", body)
         worst = max(o[0] for o in outs)
         return web.json_response(
