@@ -100,6 +100,26 @@ class Collection:
                metadatas: Optional[Sequence[dict]] = None) -> List[str]:
         if ids is None:
             return self.add(documents, embeddings, None, metadatas)
+        # validate and EMBED before deleting anything: delete-then-add
+        # with a failing add (length mismatch, wrong dims, embedder
+        # error) would permanently destroy the pre-existing documents
+        # (the same data-loss shape update() was fixed for)
+        if documents is None and embeddings is None:
+            raise ValueError(
+                "Either documents or embeddings must be provided")
+        n = len(documents) if documents is not None else len(embeddings)
+        if len(ids) != n:
+            raise ValueError(
+                f"Number of IDs ({len(ids)}) must match number of items "
+                f"({n})")
+        if embeddings is None:
+            embeddings = self._embedder.embed_batch(list(documents))
+        else:
+            embeddings = np.asarray(embeddings, dtype=np.float32)
+            if embeddings.reshape(n, -1).shape[1] !=                     self._collection.config.dimensions:
+                raise ValueError(
+                    f"expected {self._collection.config.dimensions}-d "
+                    "embeddings")
         existing = [i for i in ids if self._collection.get(str(i)) is not None]
         if existing:
             self._collection.delete_batch(existing)
@@ -158,7 +178,8 @@ class Collection:
         else:
             all_ids = (self._collection.ids_matching(filt)
                        if filt is not None else self._collection.all_ids())
-            all_ids = all_ids[offset: offset + limit if limit else None]
+            all_ids = all_ids[offset: offset + limit
+                              if limit is not None else None]
             rows = self._collection.get_batch(all_ids,
                                               include_vectors=want_emb)
             rows = [r for r in rows if r is not None]

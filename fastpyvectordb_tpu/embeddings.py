@@ -411,6 +411,8 @@ class CachedEmbedder(Embedder):
         self._path = self.cache_dir / f"{base.model_name.replace('/', '_')}.json"
         self._cache: dict = {}
         self._lock = threading.Lock()
+        self._dirty = 0          # misses since the last disk flush
+        self._flush_every = 2048
         if self._path.exists():
             try:
                 self._cache = json.loads(self._path.read_text())
@@ -436,21 +438,51 @@ class CachedEmbedder(Embedder):
                     ) -> np.ndarray:
         keys = [self._key(t) for t in texts]
         out = np.empty((len(texts), self.dimensions), dtype=np.float32)
-        missing_idx = [i for i, k in enumerate(keys) if k not in self._cache]
+        with self._lock:  # membership must be read under the lock too
+            missing_idx = [i for i, k in enumerate(keys)
+                           if k not in self._cache]
         if missing_idx:
             fresh = self.base.embed_batch([texts[i] for i in missing_idx],
                                           batch_size)
             with self._lock:
                 for j, i in enumerate(missing_idx):
                     self._cache[keys[i]] = fresh[j].tolist()
-                self._path.write_text(json.dumps(self._cache))
-        for i, k in enumerate(keys):
-            out[i] = np.asarray(self._cache[k], dtype=np.float32)
+                # rewriting the whole JSON file per batch is O(cache)
+                # disk I/O — quadratic over a large ingest.  Small caches
+                # keep write-through (cross-instance visibility, cheap);
+                # large ones flush every _flush_every misses and on
+                # flush()/clear()/__del__.
+                self._dirty += len(missing_idx)
+                if (self._dirty >= self._flush_every
+                        or len(self._cache) <= 4096):
+                    self._flush_locked()
+        with self._lock:
+            for i, k in enumerate(keys):
+                out[i] = np.asarray(self._cache[k], dtype=np.float32)
         return out
+
+    def _flush_locked(self) -> None:
+        tmp = self._path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(self._cache))
+        os.replace(tmp, self._path)
+        self._dirty = 0
+
+    def flush(self) -> None:
+        """Persist pending cache entries (also called by __del__)."""
+        with self._lock:
+            if self._dirty:
+                self._flush_locked()
+
+    def __del__(self):  # best-effort final flush
+        try:
+            self.flush()
+        except Exception:
+            pass
 
     def clear(self) -> None:
         with self._lock:
             self._cache = {}
+            self._dirty = 0
             if self._path.exists():
                 self._path.unlink()
 

@@ -128,6 +128,14 @@ class CypherQuery:
         nodes = list(_NODE_RE.finditer(pattern))
         if not nodes:
             raise CypherError(f"no node pattern in {pattern!r}")
+        if len(nodes) > 2:
+            # the mini-Cypher supports ONE hop (reference parity,
+            # graph.py:950-1120); silently binding only the first two
+            # nodes returned wrong rows for (a)-[..]->(b)-[..]->(c)
+            raise CypherError(
+                "patterns with more than two nodes are not supported "
+                f"(got {len(nodes)} in {pattern!r}); use variable-length "
+                "[:T*1..n] for multi-hop reachability")
         self.anchor = {
             "var": nodes[0].group("var") or "_a",
             "label": nodes[0].group("label"),

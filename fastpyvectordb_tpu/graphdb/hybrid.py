@@ -87,6 +87,31 @@ class HybridGraphVectorDB:
                                      edge.id, meta)
         return edge
 
+    def update_node(self, node_id: str, properties=None, add_labels=None,
+                    remove_labels=None, merge: bool = True):
+        """Update the graph node AND re-mirror its labels/properties into
+        the vector-store metadata — graph.update_node alone leaves the
+        mirror stale, so filtered vector_search would keep matching the
+        old labels/properties."""
+        node = self.graph.update_node(node_id, properties=properties,
+                                      add_labels=add_labels,
+                                      remove_labels=remove_labels,
+                                      merge=merge)
+        self.refresh_node_metadata(node_id)
+        return node
+
+    def refresh_node_metadata(self, node_id: str) -> bool:
+        """Re-mirror a node's current labels/properties into the vector
+        store (no re-embedding).  Returns False when the node has no
+        embedding."""
+        node = self.graph.get_node(node_id)
+        if node is None or self.node_vectors.get(node_id) is None:
+            return False
+        meta = dict(node.properties)
+        meta["_labels"] = _labels_token(node.labels)
+        self.node_vectors.update_metadata(node_id, meta, merge=False)
+        return True
+
     def set_node_embedding(self, node_id: str, embedding) -> None:
         if self.graph.get_node(node_id) is None:
             raise ValueError(f"node {node_id!r} does not exist")
@@ -180,20 +205,61 @@ class HybridGraphVectorDB:
                 seed_id=s.node.id)
 
         frontier = [(s.node.id, s.vector_score, s.node.id) for s in seeds]
-        for hop in range(1, expand_hops + 1):
-            nxt = []
-            for node_id, seed_sim, seed_id in frontier:
-                for nb in self.graph.neighbors(node_id, "both", edge_type):
-                    v = vector_weight * seed_sim / (1.0 + hop)
-                    gscore = graph_weight / hop
-                    score = v + gscore
-                    cur = best.get(nb.id)
-                    if cur is None or score > cur.score:
-                        best[nb.id] = ScoredNode(
-                            node=nb, score=score, vector_score=v,
-                            graph_score=gscore, hops=hop, seed_id=seed_id)
-                        nxt.append((nb.id, seed_sim, seed_id))
-            frontier = nxt
+        from .graph import NATIVE_TRAVERSAL_THRESHOLD
+        snap = (self.graph._csr("both", edge_type)
+                if (expand_hops > 0 and frontier and
+                    len(self.graph._edges) >= NATIVE_TRAVERSAL_THRESHOLD)
+                else None)
+        if snap is not None:
+            # native attributed multi-source BFS (native/graph.cpp): one
+            # C traversal replaces O(frontier) Python dict/set work per
+            # hop.  Seeds are passed best-similarity-first so equal-hop
+            # first-reach attribution prefers the higher-scoring seed
+            # (the Python loop takes an exact max over reachers; the
+            # difference is bounded by the seed-sim gap at that hop).
+            # Seeds always keep their hop-0 vector score here — the
+            # Python loop can re-score a weak seed as another seed's
+            # hop-1 neighbor when that combined score is higher.
+            csr, node_ids, idx = snap
+            order = sorted(range(len(seeds)),
+                           key=lambda i: -seeds[i].vector_score)
+            kept = [seeds[i] for i in order if seeds[i].node.id in idx]
+            seed_rows = np.asarray([idx[s.node.id] for s in kept],
+                                   dtype=np.int32)
+            nodes_r, hops_r, seed_r = csr.bfs_attributed(
+                seed_rows, expand_hops)
+            for nrow, hop, si in zip(nodes_r.tolist(), hops_r.tolist(),
+                                     seed_r.tolist()):
+                if hop == 0:
+                    continue  # seeds already carry their full score
+                sd = kept[si]
+                v = vector_weight * sd.vector_score / (1.0 + hop)
+                gscore = graph_weight / hop
+                score = v + gscore
+                nb_id = node_ids[nrow]
+                cur = best.get(nb_id)
+                if cur is None or score > cur.score:
+                    best[nb_id] = ScoredNode(
+                        node=self.graph.get_node(nb_id), score=score,
+                        vector_score=v, graph_score=gscore, hops=hop,
+                        seed_id=sd.node.id)
+        else:
+            for hop in range(1, expand_hops + 1):
+                nxt = []
+                for node_id, seed_sim, seed_id in frontier:
+                    for nb in self.graph.neighbors(node_id, "both",
+                                                   edge_type):
+                        v = vector_weight * seed_sim / (1.0 + hop)
+                        gscore = graph_weight / hop
+                        score = v + gscore
+                        cur = best.get(nb.id)
+                        if cur is None or score > cur.score:
+                            best[nb.id] = ScoredNode(
+                                node=nb, score=score, vector_score=v,
+                                graph_score=gscore, hops=hop,
+                                seed_id=seed_id)
+                            nxt.append((nb.id, seed_sim, seed_id))
+                frontier = nxt
 
         out = list(best.values())
         if labels:
@@ -217,18 +283,17 @@ class HybridGraphVectorDB:
         reachable.discard(start_id)
         if not reachable:
             return []
-        ids = [i for i in reachable
-               if self.node_vectors.get(i) is not None]
-        if not ids:
-            return []
-        rows = self.node_vectors.get_batch(ids, include_vectors=True)
+        # get_batch tolerates ids without embeddings (None rows) — no
+        # per-id pre-filter lookups needed
+        rows = self.node_vectors.get_batch(list(reachable),
+                                           include_vectors=True)
         q = np.asarray(query, dtype=np.float32)
+        qn = q / max(np.linalg.norm(q), 1e-30)
         out = []
         for r in rows:
             if r is None:
                 continue
             v = r["vector"]
-            qn = q / max(np.linalg.norm(q), 1e-30)
             vn = v / max(np.linalg.norm(v), 1e-30)
             sim = float(qn @ vn)
             out.append(ScoredNode(node=self.graph.get_node(r["id"]),

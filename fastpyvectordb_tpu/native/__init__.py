@@ -171,7 +171,11 @@ class NativeBM25:
         return bool(self._lib.bm25_remove_document(self._h, u))
 
     def idf(self, term: str) -> float:
-        return float(self._lib.bm25_idf(self._h, self._norm(term)))
+        # RAW postings-key lookup, exactly like the Python BM25Index.idf
+        # (which does not tokenize): normalizing here made the two
+        # backends return different values for the same call
+        return float(self._lib.bm25_idf(self._h,
+                                        term.encode("utf-8")))
 
     def score(self, query: str, doc_id: str) -> float:
         u = self._id_to_u32.get(doc_id)
@@ -337,8 +341,11 @@ def load_graph_library() -> Optional[ctypes.CDLL]:
     with _lock:
         if _graph_lib is not None or _graph_build_failed:
             return _graph_lib
-        if not _GRAPH_SO.exists() or \
-                _GRAPH_SO.stat().st_mtime < _GRAPH_SRC.stat().st_mtime:
+        if not _GRAPH_SO.exists() or (
+                _GRAPH_SRC.exists()
+                and _GRAPH_SO.stat().st_mtime < _GRAPH_SRC.stat().st_mtime):
+            # a shipped .so without sources must load as-is (same guard
+            # as load_library); only rebuild when the source is newer
             if not _compile(_GRAPH_SRC, _GRAPH_SO):
                 _graph_build_failed = True
                 return None

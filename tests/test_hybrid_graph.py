@@ -116,3 +116,47 @@ def test_persistence_roundtrip(db, tmp_path):
     assert hits[0].node.id == "p_ml"
     res = db2.semantic_graph_search(unit([1, 0, 0, 0, 0, 0, 0, 0]), k=5)
     assert res[0].node.id == "p_ml"
+
+
+def test_semantic_search_native_bfs_matches_python(monkeypatch):
+    """The native attributed-BFS fast path must produce the same node set
+    and hop counts as the Python expansion (seed attribution may differ
+    only between equal-hop reachers)."""
+    import numpy as np
+    import fastpyvectordb_tpu.graphdb.hybrid as hybrid_mod
+    from fastpyvectordb_tpu import native
+    from fastpyvectordb_tpu.graphdb.hybrid import HybridGraphVectorDB
+    if not native.graph_available():
+        import pytest
+        pytest.skip("native graph library unavailable")
+
+    rng = np.random.default_rng(7)
+    db = HybridGraphVectorDB(dimensions=8)
+    n = 60
+    for i in range(n):
+        db.add_node_with_embedding(labels=["N"], properties={},
+                                   embedding=rng.standard_normal(8),
+                                   id=f"n{i}")
+    for i in range(n):
+        for j in rng.integers(0, n, 3):
+            if int(j) != i:
+                try:
+                    db.graph.create_edge(f"n{i}", f"n{int(j)}", "L")
+                except ValueError:
+                    pass
+    q = rng.standard_normal(8)
+    py = db.semantic_graph_search(q, k=n + 1, expand_hops=2)
+    monkeypatch.setattr(hybrid_mod, "NATIVE_TRAVERSAL_THRESHOLD", 0,
+                        raising=False)
+    import fastpyvectordb_tpu.graphdb.graph as graph_mod
+    monkeypatch.setattr(graph_mod, "NATIVE_TRAVERSAL_THRESHOLD", 0)
+    nat = db.semantic_graph_search(q, k=n + 1, expand_hops=2)
+    py_hops = {r.node.id: r.hops for r in py}
+    nat_hops = {r.node.id: r.hops for r in nat}
+    assert set(py_hops) == set(nat_hops)     # identical coverage
+    # hop parity for non-seed nodes (seeds keep hop 0 in the native path;
+    # the Python loop may re-score a weak seed as a hop-1 neighbor)
+    seeds = {r.node.id for r in nat if r.hops == 0}
+    for nid in py_hops:
+        if nid not in seeds:
+            assert py_hops[nid] == nat_hops[nid], nid
