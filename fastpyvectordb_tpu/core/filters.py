@@ -85,6 +85,7 @@ class ColumnView:
         self._built_len = len(rows)
         self._obj: Dict[str, np.ndarray] = {}
         self._num: Dict[str, np.ndarray] = {}
+        self._num_lossy: Dict[str, bool] = {}
         self._nonnull: Dict[str, np.ndarray] = {}
         self._present: Dict[str, np.ndarray] = {}
         # typed (non-object) column cache: enables vectorized ==/isin for
@@ -114,10 +115,14 @@ class ColumnView:
                 if r is None:
                     continue
                 v = r.get(key, _MISSING)
-                if isinstance(v, bool):
+                if isinstance(v, (bool, np.bool_)):
                     ext[i] = float(v)
-                elif isinstance(v, (int, float)):
-                    ext[i] = v
+                elif isinstance(v, (int, np.integer)):
+                    if abs(int(v)) > 2**53:
+                        self._num_lossy[key] = True
+                    ext[i] = float(v)
+                elif isinstance(v, (float, np.floating)):
+                    ext[i] = float(v)
             self._num[key] = np.concatenate([self._num[key], ext])
         # typed arrays can be invalidated by new value types; recompute
         # lazily rather than risk silent coercion
@@ -141,10 +146,14 @@ class ColumnView:
                 col[i] = r.get(key, _MISSING) if r is not None else _MISSING
             for key, col in self._num.items():
                 v = r.get(key, _MISSING) if r is not None else _MISSING
-                if isinstance(v, bool):
+                if isinstance(v, (bool, np.bool_)):
                     col[i] = float(v)
-                elif isinstance(v, (int, float)):
-                    col[i] = v
+                elif isinstance(v, (int, np.integer)):
+                    if abs(int(v)) > 2**53:
+                        self._num_lossy[key] = True
+                    col[i] = float(v)
+                elif isinstance(v, (float, np.floating)):
+                    col[i] = float(v)
                 else:
                     col[i] = np.nan
             for key in list(self._typed):
@@ -210,8 +219,14 @@ class ColumnView:
                     arr = np.asarray([v if v is not None else "" for v in
                                       values], dtype=np.str_)
                 elif kinds and kinds <= {int, float} and bool not in kinds:
-                    arr = np.asarray([v if v is not None else np.nan
-                                      for v in values], dtype=np.float64)
+                    # float64 rounds ints past 2**53: a lossy column makes
+                    # EQ/IN match neighbors evaluate() rejects — exact
+                    # object path instead
+                    if not any(isinstance(v, int) and abs(v) > 2**53
+                               for v in values):
+                        arr = np.asarray([v if v is not None else np.nan
+                                          for v in values],
+                                         dtype=np.float64)
             except (TypeError, ValueError):
                 arr = None
             self._typed[key] = arr
@@ -227,19 +242,34 @@ class ColumnView:
         return self._nonnull[key]
 
     def numeric(self, key: str) -> np.ndarray:
-        """float64 view of a column; non-numeric / missing entries are NaN."""
+        """float64 view of a column; non-numeric / missing entries are NaN.
+        Accepts numpy scalars (np.int64 metadata is common when values
+        come from arrays); ints beyond 2**53 mark the column lossy so
+        comparisons fall back to the exact object path."""
         if key not in self._num:
             out = np.full(len(self._rows), np.nan, dtype=np.float64)
+            lossy = False
             for i, r in enumerate(self._rows):
                 if r is None:
                     continue
                 v = r.get(key, _MISSING)
-                if isinstance(v, bool):
+                if isinstance(v, (bool, np.bool_)):
                     out[i] = float(v)
-                elif isinstance(v, (int, float)):
-                    out[i] = v
+                elif isinstance(v, (int, np.integer)):
+                    if abs(int(v)) > 2**53:
+                        lossy = True
+                    out[i] = float(v)
+                elif isinstance(v, (float, np.floating)):
+                    out[i] = float(v)
             self._num[key] = out
+            self._num_lossy[key] = lossy
         return self._num[key]
+
+    def numeric_lossy(self, key: str) -> bool:
+        """True when the float64 column rounded an int value (>2**53) —
+        mask() must not trust its comparisons then."""
+        self.numeric(key)
+        return self._num_lossy.get(key, False)
 
 
 class Filter:
@@ -370,7 +400,9 @@ class Condition(Filter):
             val, (int, float)
         ) and not isinstance(val, bool) and not (
             isinstance(val, int) and abs(val) > 2**53
-        ):  # giant ints are lossy in the float64 column; exact path below
+        ) and not cols.numeric_lossy(self.field):
+            # giant ints (in the value OR the stored column) are lossy in
+            # the float64 column; exact object path below handles those
             col = cols.numeric(self.field)
             with np.errstate(invalid="ignore"):
                 if op == FilterOp.GT:
@@ -429,7 +461,10 @@ class Condition(Filter):
                         pass  # incomparable literal: object path below
         if op in (FilterOp.CONTAINS, FilterOp.REGEX):
             typed = cols.typed(self.field)
-            if typed is not None:  # homogeneous str column: C-speed paths
+            # the C-speed paths are string kernels: a homogeneous NUMERIC
+            # column must fall through to the object path (evaluate()
+            # returns False row-wise there), not TypeError
+            if typed is not None and typed.dtype.kind == "U":
                 if op == FilterOp.CONTAINS:
                     m = np.char.find(typed, str(val)) >= 0
                 else:

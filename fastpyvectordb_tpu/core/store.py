@@ -198,11 +198,8 @@ class DeviceVectorStore:
         mask = self._combined_mask(extra_mask)
         kk = min(k, self.capacity)
         if topk == "auto":
-            try:
-                on_tpu = jax.devices()[0].platform == "tpu"
-            except Exception:
-                on_tpu = False
-            approx = on_tpu and self.capacity >= 131_072
+            from ..kernels import pallas_quant
+            approx = pallas_quant.on_tpu() and self.capacity >= 131_072
         else:
             approx = topk == "approx"
         vals, rows = K.search_kernel(

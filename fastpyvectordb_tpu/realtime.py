@@ -93,6 +93,19 @@ class AsyncConnectionManager:
         self._history: Deque[Event] = deque(maxlen=history_size)
         self._replay = replay
         self._lock = asyncio.Lock()
+        self._lock_loop = None
+
+    def _locked(self) -> asyncio.Lock:
+        """The manager lock, rebound if the running loop changed: an
+        asyncio.Lock binds to the first loop that awaits it, and emit()
+        may legitimately route broadcasts onto a later loop (server
+        restart, asyncio.run fallback) — awaiting the stale lock raises
+        and silently drops the event inside the fire-and-forget task."""
+        loop = asyncio.get_running_loop()
+        if self._lock_loop is not loop:
+            self._lock = asyncio.Lock()
+            self._lock_loop = loop
+        return self._lock
 
     @property
     def connection_count(self) -> int:
@@ -102,7 +115,7 @@ class AsyncConnectionManager:
                       subscription: Optional[Subscription] = None) -> None:
         sub = subscription or Subscription()
         self._loop = asyncio.get_running_loop()  # emit() routes here
-        async with self._lock:
+        async with self._locked():
             self._subs[socket] = sub
             matching = [e for e in self._history if sub.matches(e)]
         for e in matching[-self._replay:]:
@@ -112,18 +125,18 @@ class AsyncConnectionManager:
                 break
 
     async def disconnect(self, socket: Any) -> None:
-        async with self._lock:
+        async with self._locked():
             self._subs.pop(socket, None)
 
     async def update_subscription(self, socket: Any,
                                   subscription: Subscription) -> None:
-        async with self._lock:
+        async with self._locked():
             if socket in self._subs:
                 self._subs[socket] = subscription
 
     async def broadcast(self, event: Event) -> int:
         """Send to matching live sockets; returns delivery count."""
-        async with self._lock:
+        async with self._locked():
             self._history.append(event)
             targets = [(s, sub) for s, sub in self._subs.items()
                        if sub.matches(event)]
@@ -136,7 +149,7 @@ class AsyncConnectionManager:
             except Exception:
                 dead.append(sock)
         if dead:
-            async with self._lock:
+            async with self._locked():
                 for s in dead:
                     self._subs.pop(s, None)
         return sent
@@ -150,7 +163,15 @@ class AsyncConnectionManager:
             running = None
         if running is not None:
             self._loop = running
-            running.create_task(self.broadcast(event))
+            # keep a strong reference: asyncio only weakly references
+            # scheduled tasks, so a fire-and-forget broadcast could be
+            # garbage-collected before it runs (silently dropped event)
+            tasks = getattr(self, "_bg_tasks", None)
+            if tasks is None:
+                tasks = self._bg_tasks = set()
+            t = running.create_task(self.broadcast(event))
+            tasks.add(t)
+            t.add_done_callback(tasks.discard)
             return
         loop = loop or getattr(self, "_loop", None)
         if loop is not None and loop.is_running():
@@ -195,7 +216,13 @@ class EventBus:
         if not self._running:
             return
         self._running = False
-        self._q.put(None)
+        try:
+            # non-blocking: on a FULL queue the dispatcher may already
+            # have observed _running=False and exited — a blocking put
+            # would hang stop() forever; the join below suffices then
+            self._q.put_nowait(None)
+        except queue.Full:
+            pass
         if self._thread:
             self._thread.join(timeout)
 
@@ -205,10 +232,16 @@ class EventBus:
         except queue.Full:
             try:
                 self._q.get_nowait()  # drop oldest
-                self._dropped += 1
             except queue.Empty:
                 pass
-            self._q.put_nowait(event)
+            try:
+                self._q.put_nowait(event)
+            except queue.Full:
+                # concurrent producers refilled the slot: drop THIS event
+                # (bounded-queue semantics) rather than raise into a sync
+                # mutation path that treats publish as never-failing
+                pass
+            self._dropped += 1
 
     def _dispatch_loop(self) -> None:
         while self._running:
@@ -321,10 +354,18 @@ def install_websocket_routes(app, manager: AsyncConnectionManager,
                         continue
                     if payload.get("action") == "subscribe":
                         types = payload.get("event_types")
+                        try:
+                            etypes = ([EventType(t) for t in types]
+                                      if types else None)
+                        except ValueError as e:
+                            # a typo'd event type must not tear down an
+                            # otherwise healthy realtime connection
+                            await ws.send_str(_json.dumps(
+                                {"subscribed": False, "error": str(e)}))
+                            continue
                         await manager.update_subscription(ws, Subscription(
                             collection=payload.get("collection", collection),
-                            event_types=[EventType(t) for t in types]
-                            if types else None,
+                            event_types=etypes,
                             metadata_filter=payload.get("metadata_filter")))
                         await ws.send_str(_json.dumps({"subscribed": True}))
                 elif msg.type in (WSMsgType.CLOSE, WSMsgType.ERROR):

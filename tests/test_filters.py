@@ -214,3 +214,19 @@ def test_from_dict_logical_combinators():
     assert f.evaluate({"a": 1, "b": 9}) and not f.evaluate({"a": 1, "b": 2})
     f = Filter.from_dict({"$not": {"lang": "en"}})
     assert f.evaluate({"lang": "fr"}) and not f.evaluate({"lang": "en"})
+
+
+def test_mask_matches_evaluate_numpy_scalars_and_lossy_ints():
+    """mask() fast paths must agree with evaluate() for numpy-scalar
+    metadata values and for ints beyond float64's exact range."""
+    import numpy as np
+    from fastpyvectordb_tpu.core.filters import ColumnView, Filter
+    rows = [{"score": np.int64(7)}, {"score": 3}, {"score": np.float32(9.5)},
+            {"x": 2**53}, {"x": 2**53 + 1}, {"price": 9.5}]
+    cols = ColumnView(rows)
+    for f in (Filter.gt("score", 5), Filter.lte("score", 3),
+              Filter.eq("x", 2**53), Filter.gt("x", 2**53),
+              Filter.contains("price", "9"), Filter.regex("price", "9.*")):
+        want = np.array([f.evaluate(r) for r in rows])
+        got = f.mask(cols)
+        np.testing.assert_array_equal(got, want, err_msg=f.to_dict())
