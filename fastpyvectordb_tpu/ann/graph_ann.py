@@ -340,7 +340,8 @@ class GraphANN:
     def search(self, queries: np.ndarray, k: int,
                mask: Optional[np.ndarray] = None, overfetch: int = 1,
                beam: Optional[int] = None, iters: Optional[int] = None,
-               expand: Optional[int] = None
+               expand: Optional[int] = None, n_init: Optional[int] = None,
+               device_out: bool = False
                ) -> Tuple[np.ndarray, np.ndarray]:
         if self.stale:
             kw = dict(getattr(self, "_build_kwargs", {}))
@@ -397,9 +398,13 @@ class GraphANN:
             jnp.asarray(qp), store.vectors, nbr_masked, self.centroids,
             self.medoids, init_ok, filtermask, metric=cfg.metric, k=k,
             beam=w, expand=expand or self.expand,
-            iters=iters or self.iters, n_init=self.n_init,
+            iters=iters or self.iters, n_init=n_init or self.n_init,
             compute_dtype="bfloat16" if cfg.compute_dtype == "bfloat16"
             else "float32")
+        if device_out:
+            # keep results on device: a remote-attached chip pays a full
+            # RTT per host fetch, which dominates small-batch latency
+            return vals[:b], rows[:b]
         return np.asarray(vals)[:b], np.asarray(rows)[:b]
 
     def mark_stale(self) -> None:
