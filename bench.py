@@ -250,11 +250,48 @@ def main():
     }))
 
 
+def _wait_for_device(max_wait_s: float) -> None:
+    """Block until the backend answers a tiny dispatch, up to max_wait_s.
+
+    Probes in a SUBPROCESS so a dead tunnel cannot poison this process's
+    backend state (the round-1/2 MULTICHIP artifacts died to exactly that).
+    The round-3 outage showed the tunnel can stay down for hours — a single
+    120 s retry is not enough insurance for the recorded run.
+    """
+    import subprocess
+    import sys
+    import time as _t
+
+    if max_wait_s <= 0:
+        return
+    probe = ("import jax, numpy as np; "
+             "np.asarray(jax.device_get(jax.numpy.ones((8, 8)).sum()))")
+    deadline = _t.monotonic() + max_wait_s
+    while True:
+        try:
+            rc = subprocess.run([sys.executable, "-c", probe],
+                                capture_output=True, timeout=120).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return
+        if _t.monotonic() >= deadline:
+            print("device probe still failing at deadline; "
+                  "running anyway", file=sys.stderr)
+            return
+        print("device down; re-probing in 120s", file=sys.stderr)
+        _t.sleep(120)
+
+
 if __name__ == "__main__":
+    import os as _os
     import time as _time
 
     # the TPU tunnel occasionally drops mid-compile ("broken pipe") and
-    # recovers within a couple of minutes; one retry saves the recorded run
+    # recovers within minutes — or, once observed, hours.  Wait (bounded)
+    # for the device before burning the recorded attempt, then keep the
+    # one-retry policy for mid-run drops.
+    _wait_for_device(float(_os.environ.get("BENCH_DEVICE_WAIT_S", 1800)))
     try:
         main()
     except Exception as e:  # noqa: BLE001 - transient backend errors vary
