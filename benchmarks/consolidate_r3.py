@@ -38,12 +38,16 @@ CAMPAIGNS = [
     ("ivf_grouped_4m", "r3_ivf_grouped_4m.jsonl",
      "grouped IVF at 4M x 768 int8 cells — the HBM-bound regime where "
      "pruning beats the exact scan (round-2 verdict #3 via pruning)"),
+    ("ivf_grouped_5m", "r3_ivf_grouped_5m.jsonl",
+     "grouped IVF at 5M x 768 int8 cells vs the exact bf16 scan "
+     "(round-2 config5 regime)"),
     ("graph_sweep", "r3_graph_sweep.jsonl",
      "graph ANN wider-expand/fewer-iters sweep at 1M x 768 "
      "(round-2 verdict #9)"),
     ("outofcore_20m", "r3_outofcore_20m.jsonl",
-     "20M x 768 (57 GB, 3.6x HBM) memmap-backed streamed exact search: "
-     "steady-state QPS + RSS slope (round-2 verdict #7)"),
+     "memmap-backed out-of-core streamed exact search at >HBM scale "
+     "(16M x 768 = 45.8 GB, 2.9x HBM): steady-state QPS + RSS slope "
+     "(round-2 verdict #7)"),
 ]
 
 
