@@ -118,3 +118,19 @@ def test_deleted_rows_vanish_and_memo_refreshes(rng):
     assert not (set(rows.ravel().tolist()) & set(range(8))), rows[:, 0]
     # the survivors must still be reachable through the masked table
     assert (rows[8:, 0] == np.arange(8, 16)).all()
+
+
+def test_n_init_and_device_out_overrides(built):
+    """Per-call n_init (entry-point count) and device_out (skip the host
+    fetch) must not change result semantics (ROADMAP #22 sweep surface)."""
+    col, v, q = built
+    ann = col._ann
+    vals, rows = ann.search(q[:4], 5, n_init=4)
+    assert isinstance(rows, np.ndarray) and rows.shape == (4, 5)
+    dvals, drows = ann.search(q[:4], 5, n_init=4, device_out=True)
+    assert not isinstance(drows, np.ndarray)  # stays on device
+    assert np.array_equal(np.asarray(drows), rows)
+    assert np.allclose(np.asarray(dvals), vals)
+    # a generous n_init can only help recall vs a starved one
+    _, wide = ann.search(q[:4], 5, n_init=ann.medoids.shape[0])
+    assert wide.shape == (4, 5)
