@@ -42,6 +42,13 @@ def main():
                          "corpus in host RAM")
     ap.add_argument("--scans", type=int, default=4,
                     help="warm timed scans (first is warmup)")
+    ap.add_argument("--codec", default="",
+                    help="stream QUANTIZED codes instead of f32/bf16 tiles "
+                         "(int8 = 4x less transfer, binary = 32x) with an "
+                         "exact host re-rank — QuantizedOutOfCoreSearcher")
+    ap.add_argument("--rerank", type=int, default=32)
+    ap.add_argument("--recall-vs-exact", action="store_true",
+                    help="also run one exact streamed pass for recall@k")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (handled pre-init above)")
     args = ap.parse_args()
@@ -79,9 +86,26 @@ def main():
             corpus[s:e] = x / np.linalg.norm(x, axis=1, keepdims=True)
         emit(exp="corpus_built", s=round(time.perf_counter() - t0, 1))
 
-    searcher = OutOfCoreSearcher(corpus, metric="cosine",
-                                 tile_rows=args.tile,
-                                 compute_dtype="bfloat16")
+    if args.codec:
+        from fastpyvectordb_tpu.core.outofcore import (
+            QuantizedOutOfCoreSearcher,
+        )
+        codes_path = (args.memmap + f".{args.codec}.npy"
+                      if args.memmap else None)
+        t0 = time.perf_counter()
+        searcher = QuantizedOutOfCoreSearcher(
+            corpus, metric="cosine", codec=args.codec,
+            tile_rows=args.tile, rerank=args.rerank,
+            codes_path=codes_path, codes_reuse=True)
+        bytes_per_row = d if args.codec == "int8" else (d + 7) // 8
+        emit(exp="codes_encoded", s=round(time.perf_counter() - t0, 1),
+             codec=args.codec,
+             codes_gb=round(n * bytes_per_row / 2**30, 2),
+             stream_ratio_vs_f32=round(4 * d / bytes_per_row, 1))
+    else:
+        searcher = OutOfCoreSearcher(corpus, metric="cosine",
+                                     tile_rows=args.tile,
+                                     compute_dtype="bfloat16")
 
     # correctness: plant queries equal to rows spread across tiles
     planted = np.linspace(0, n - 1, b, dtype=np.int64)
@@ -123,11 +147,27 @@ def main():
             dts.append(dt)
     dt = sum(dts) / len(dts)
     rows_per_s = n / dt
-    emit(exp=f"outofcore_search_{n // 1_000_000}Mx{d}",
+    tag = f"_{args.codec}" if args.codec else ""
+    stream_bytes = (n * d if args.codec == "int8"
+                    else n * ((d + 7) // 8) if args.codec == "binary"
+                    else n * d * 2)  # bf16 wire
+    emit(exp=f"outofcore_search{tag}_{n // 1_000_000}Mx{d}",
          s_per_batch=round(dt, 2),
          qps=round(b / dt, 2),
-         host_to_device_gbps=round(n * d * 2 / dt / 2**30, 2),
+         host_to_device_gbps=round(stream_bytes / dt / 2**30, 2),
          rows_per_s=round(rows_per_s / 1e6, 1))
+
+    if args.codec and args.recall_vs_exact:
+        q = batches[-1]
+        vals, rows = searcher.search(q, k=args.k)
+        ex = OutOfCoreSearcher(corpus, metric="cosine",
+                               tile_rows=args.tile,
+                               compute_dtype="bfloat16")
+        _, erows = ex.search(q, k=args.k)
+        rec = np.mean([len(set(a) & set(bb)) / args.k
+                       for a, bb in zip(rows.tolist(), erows.tolist())])
+        emit(exp=f"outofcore_recall{tag}", recall_at_k=round(float(rec), 4),
+             k=args.k, rerank=args.rerank)
 
 
 

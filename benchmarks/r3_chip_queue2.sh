@@ -35,5 +35,15 @@ run api_overhead 3600 python benchmarks/api_overhead.py --bf16
 # warm QPS + flat RSS over >=3 scans (VERDICT r2 item 7 / ROADMAP #20)
 run ooc16m 14400 python benchmarks/outofcore_20m.py --rows 16000000 \
     --memmap /tmp/ooc_corpus.f32 --scans 4
-rm -f /tmp/ooc_corpus.f32
+# quantized streamed tiers over the SAME 16M corpus (codes memmapped to
+# disk): int8 moves 2x fewer wire bytes than the bf16 exact stream,
+# binary 16x fewer — the transfer-bound regime's codec ratio IS the QPS
+# ratio; --recall-vs-exact records the quality cost
+run ooc16m_int8 10800 python benchmarks/outofcore_20m.py --rows 16000000 \
+    --memmap /tmp/ooc_corpus.f32 --scans 3 --codec int8 --rerank 16 \
+    --recall-vs-exact
+run ooc16m_binary 10800 python benchmarks/outofcore_20m.py --rows 16000000 \
+    --memmap /tmp/ooc_corpus.f32 --scans 3 --codec binary --rerank 96 \
+    --recall-vs-exact
+rm -f /tmp/ooc_corpus.f32 /tmp/ooc_corpus.f32.*.npy /tmp/ooc_corpus.f32.*.npz
 echo "$(date +%H:%M:%S) QUEUE2 COMPLETE" >&2

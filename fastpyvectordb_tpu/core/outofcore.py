@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.types import DistanceMetric
-from ..kernels.distances import MASKED, matmul_precision
+from ..kernels.distances import MASKED, host_exact_scores, matmul_precision
 
 
 @functools.partial(jax.jit,
@@ -136,3 +136,263 @@ class OutOfCoreSearcher:
             good = vals < MASKED / 2
             vals = np.where(good, np.sqrt(np.maximum(vals, 0.0)), vals)
         return vals, np.asarray(best_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "c"))
+def _int8_tile_step(q, tile_codes, vmin, scale, tile_vsq, tile_rinv,
+                    tile_mask, row_offset, best_vals, best_rows, *,
+                    metric: DistanceMetric, c: int):
+    """Int8 coarse scores for one streamed tile, folded into running top-c."""
+    from ..quant.scalar import _distances_int8_matmul
+    s = _distances_int8_matmul(q, tile_codes, vmin, scale, tile_vsq,
+                               tile_rinv, metric=metric)
+    s = jnp.where(tile_mask[None, :], s, MASKED)
+    neg, idx = jax.lax.top_k(-s, min(c, s.shape[1]))
+    all_vals = jnp.concatenate([best_vals, -neg], axis=1)
+    all_rows = jnp.concatenate([best_rows, idx + row_offset], axis=1)
+    neg, pos = jax.lax.top_k(-all_vals, c)
+    return -neg, jnp.take_along_axis(all_rows, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("c",))
+def _binary_tile_step(qcodes, tile_codes, tile_mask, row_offset,
+                      best_vals, best_rows, *, c: int):
+    """Hamming coarse scores for one streamed tile + running top-c merge."""
+    from ..quant.binary import _hamming
+    s = _hamming(qcodes, tile_codes, chunk=min(32768, tile_codes.shape[0]))
+    s = jnp.where(tile_mask[None, :], s.astype(jnp.float32), MASKED)
+    neg, idx = jax.lax.top_k(-s, min(c, s.shape[1]))
+    all_vals = jnp.concatenate([best_vals, -neg], axis=1)
+    all_rows = jnp.concatenate([best_rows, idx + row_offset], axis=1)
+    neg, pos = jax.lax.top_k(-all_vals, c)
+    return -neg, jnp.take_along_axis(all_rows, pos, axis=1)
+
+
+class QuantizedOutOfCoreSearcher:
+    """Streamed *quantized* coarse scan + exact re-rank over a host corpus.
+
+    The tier above BigCollection on the reference's scale ladder
+    (README.md:571-578 ">10M: mmap + binary codes + candidate re-rank",
+    parallel_search.py:895-947 search_hybrid): BigCollection keeps the
+    codes resident in HBM, which caps corpus size at HBM/codes-byte; here
+    even the codes live on the host and stream tile-by-tile, so corpus
+    size is bounded only by host storage.  Per search the link moves
+    N x D bytes (int8, 4x less than the exact streamer) or N x D/8 bytes
+    (binary, 32x less) for the coarse pass, plus B x C full-precision
+    candidate rows for the exact re-rank — in the transfer-bound streamed
+    regime the codec ratio is the speedup.
+
+    One full-precision pass over the corpus at build time trains the
+    quantizer (block-sampled) and encodes the host codes array; pass
+    ``codes_path`` to memmap the codes to disk so repeated sessions (and
+    corpora whose *codes* exceed host RAM) skip re-encoding via
+    ``codes_reuse=True`` when the file already matches.
+    """
+
+    def __init__(self, corpus, metric: "DistanceMetric | str" = "cosine",
+                 codec: str = "int8", tile_rows: int = 262_144,
+                 train_rows: int = 262_144, rerank: int = 16,
+                 codes_path: Optional[str] = None,
+                 codes_reuse: bool = False):
+        if codec not in ("int8", "binary"):
+            raise ValueError(f"unknown codec {codec!r}")
+        self.corpus = corpus
+        self.n = int(corpus.shape[0])
+        self.dims = int(corpus.shape[1])
+        self.metric = DistanceMetric.parse(metric)
+        self.codec = codec
+        self.tile_rows = int(tile_rows)
+        self.rerank = int(rerank)
+        if codes_path is not None and codes_reuse \
+                and self._try_reuse(codes_path):
+            return  # codes + quantizer stats loaded; no corpus pass needed
+        self._train(min(int(train_rows), self.n))
+        self._encode_all(codes_path)
+
+    # ------------------------------------------------------------------
+    def _train(self, train_rows: int) -> None:
+        # contiguous block sampling spread over the file: memmap-friendly
+        # (16 sequential reads) yet covers the corpus distribution — a
+        # single head slice would mis-train on row-ordered corpora.
+        blocks = min(16, max(1, self.n // max(train_rows, 1)))
+        per = max(1, train_rows // blocks)
+        starts = np.linspace(0, max(self.n - per, 0), blocks).astype(np.int64)
+        sample = np.concatenate([
+            np.asarray(self.corpus[int(s):int(s) + per], dtype=np.float32)
+            for s in starts], axis=0)
+        if self.codec == "int8":
+            from ..quant.scalar import ScalarQuantizer
+            self._qz = ScalarQuantizer().train(sample)
+        else:
+            from ..quant.binary import BinaryQuantizer
+            self._qz = BinaryQuantizer().train(sample)
+
+    def _try_reuse(self, codes_path: str) -> bool:
+        """Adopt an on-disk codes file + quantizer stats written by an
+        earlier session over the same corpus; True on success."""
+        import os
+        if not (os.path.exists(codes_path)
+                and os.path.exists(self._stats_path(codes_path))):
+            return False
+        codes = np.lib.format.open_memmap(codes_path, mode="r")
+        want_dtype = np.int8 if self.codec == "int8" else np.uint32
+        if (codes.ndim != 2 or codes.shape[0] != self.n
+                or codes.dtype != np.dtype(want_dtype)):
+            return False
+        if self.codec == "int8":
+            from ..quant.scalar import ScalarQuantizer
+            self._qz = ScalarQuantizer(self.dims)
+            if codes.shape[1] != self.dims:
+                return False
+        else:
+            from ..quant.binary import BinaryQuantizer
+            self._qz = BinaryQuantizer(self.dims)
+            if codes.shape[1] != self._qz.n_words:
+                return False
+        if not self._load_stats(codes_path):
+            return False
+        self._codes = codes
+        return True
+
+    def _encode_all(self, codes_path: Optional[str]) -> None:
+        if self.codec == "int8":
+            shape, dtype = (self.n, self.dims), np.int8
+        else:
+            shape, dtype = (self.n, self._qz.n_words), np.uint32
+        if codes_path is not None:
+            codes = np.lib.format.open_memmap(
+                codes_path, mode="w+", dtype=dtype, shape=shape)
+        else:
+            codes = np.empty(shape, dtype=dtype)
+        # int8 re-rank stats: ||dequant(c)||^2 and 1/||.|| per row (tiny:
+        # 8 host bytes/row) — required by the folded int8 MXU kernel
+        self._vsq = (np.empty((self.n,), np.float32)
+                     if self.codec == "int8" else None)
+        self._rinv = (np.empty((self.n,), np.float32)
+                      if self.codec == "int8" else None)
+        t = self.tile_rows
+        for start in range(0, self.n, t):
+            stop = min(start + t, self.n)
+            tile = jnp.asarray(np.asarray(self.corpus[start:stop],
+                                          dtype=np.float32))
+            enc = self._qz.encode(tile)
+            codes[start:stop] = np.asarray(enc)
+            if self.codec == "int8":
+                from ..quant.scalar import _dequant_row_stats
+                vsq, rinv = _dequant_row_stats(enc, self._qz.vmin,
+                                               self._qz.scale)
+                self._vsq[start:stop] = np.asarray(vsq)
+                self._rinv[start:stop] = np.asarray(rinv)
+            tile.delete()
+            enc.delete()
+        if codes_path is not None:
+            if hasattr(codes, "flush"):
+                codes.flush()
+            self._save_stats(codes_path)
+        self._codes = codes
+
+    def _stats_path(self, codes_path: str) -> str:
+        return codes_path + ".stats.npz"
+
+    def _save_stats(self, codes_path: str) -> None:
+        payload = {"codec": self.codec}
+        if self.codec == "int8":
+            payload.update(vmin=np.asarray(self._qz.vmin),
+                           scale=np.asarray(self._qz.scale),
+                           vsq=self._vsq, rinv=self._rinv)
+        else:
+            payload.update(thresholds=np.asarray(self._qz.thresholds))
+        np.savez(self._stats_path(codes_path), **payload)
+
+    def _load_stats(self, codes_path: str) -> bool:
+        self._vsq = self._rinv = None
+        z = np.load(self._stats_path(codes_path))
+        if str(z["codec"]) != self.codec:
+            return False
+        if self.codec == "int8":
+            if z["vsq"].shape != (self.n,):
+                return False
+            self._qz.vmin = jnp.asarray(z["vmin"])
+            self._qz.scale = jnp.asarray(z["scale"])
+            self._qz.dims = self.dims
+            self._vsq = np.ascontiguousarray(z["vsq"])
+            self._rinv = np.ascontiguousarray(z["rinv"])
+        else:
+            if z["thresholds"].shape != (self.dims,):
+                return False
+            self._qz.thresholds = jnp.asarray(z["thresholds"])
+            self._qz.dims = self.dims
+        return True
+
+    # ------------------------------------------------------------------
+    def search(self, queries: np.ndarray, k: int = 10,
+               rerank: Optional[int] = None,
+               mask: Optional[np.ndarray] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (dists (B, k), rows (B, k)); exact re-ranked top-k."""
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        b = q.shape[0]
+        kk = min(k, self.n)
+        c = min(max(kk * (rerank or self.rerank), kk), self.n)
+        qd = jnp.asarray(q)
+        if self.codec == "binary":
+            qcd = self._qz.encode(q)
+        best_vals = jnp.full((b, c), MASKED, dtype=jnp.float32)
+        best_rows = jnp.zeros((b, c), dtype=jnp.int32)
+        t = self.tile_rows
+        pending = []
+        for ti, start in enumerate(range(0, self.n, t)):
+            stop = min(start + t, self.n)
+            rows = stop - start
+            tile_np = np.asarray(self._codes[start:stop])
+            tile_mask = np.zeros((t,), dtype=bool)
+            tile_mask[:rows] = (mask[start:stop] if mask is not None
+                                else True)
+            if rows < t:
+                tile_np = np.pad(tile_np, ((0, t - rows), (0, 0)))
+            tile_dev = jnp.asarray(tile_np)
+            pending.append(tile_dev)
+            if self.codec == "int8":
+                vsq = np.zeros((t,), np.float32)
+                rinv = np.zeros((t,), np.float32)
+                vsq[:rows] = self._vsq[start:stop]
+                rinv[:rows] = self._rinv[start:stop]
+                best_vals, best_rows = _int8_tile_step(
+                    qd, tile_dev, self._qz.vmin, self._qz.scale,
+                    jnp.asarray(vsq), jnp.asarray(rinv),
+                    jnp.asarray(tile_mask), jnp.int32(start),
+                    best_vals, best_rows, metric=self.metric, c=c)
+            else:
+                best_vals, best_rows = _binary_tile_step(
+                    qcd, tile_dev, jnp.asarray(tile_mask), jnp.int32(start),
+                    best_vals, best_rows, c=c)
+            if ti % 2 == 1:  # bound in-flight tiles (see OutOfCoreSearcher)
+                jax.block_until_ready(best_vals)
+                for td in pending:
+                    try:
+                        td.delete()
+                    except Exception:
+                        pass
+                pending = []
+        cvals = np.asarray(best_vals)
+        crows = np.asarray(best_rows)
+        # exact re-rank: gather candidate f32 rows from the host corpus.
+        # Rows are fetched in sorted order (one ascending pass — memmaps
+        # reward locality) then scattered back per query.
+        safe = np.clip(crows, 0, self.n - 1)
+        flat = safe.reshape(-1)
+        order = np.argsort(flat, kind="stable")
+        gathered = np.asarray(self.corpus[flat[order]], dtype=np.float32)
+        cand = np.empty_like(gathered)
+        cand[order] = gathered
+        cand = cand.reshape(b, c, self.dims)
+        ok = cvals < MASKED * 0.5  # masked coarse picks: clipped rows lie
+        if mask is not None:
+            ok &= np.take(mask, safe)
+        dists = host_exact_scores(q, cand, self.metric)
+        dists = np.where(ok, dists, np.inf)
+        top = np.argsort(dists, axis=1)[:, :kk]
+        return (np.take_along_axis(dists, top, axis=1),
+                np.take_along_axis(safe, top, axis=1))

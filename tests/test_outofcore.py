@@ -85,3 +85,99 @@ def test_memmap_backed_corpus_matches(tmp_path, corpus):
     vm, rm = s_mm.search(q, k=5)
     np.testing.assert_allclose(vm, vr, atol=1e-5)
     np.testing.assert_array_equal(rm, rr)
+
+
+# ---------------------------------------------------------------------------
+# QuantizedOutOfCoreSearcher: streamed codes coarse scan + exact re-rank
+# (parity tier: reference README.md:571-578 ">10M mmap + BQ + candidates",
+# parallel_search.py:895-947 search_hybrid)
+
+from fastpyvectordb_tpu.core.outofcore import QuantizedOutOfCoreSearcher
+
+
+@pytest.fixture(scope="module")
+def qcorpus():
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((3000, 32)).astype(np.float32)
+    q = rng.standard_normal((5, 32)).astype(np.float32)
+    # plant exact copies of the queries so top-1 is unambiguous
+    plant = np.array([17, 503, 1024, 2047, 2999])
+    v[plant] = q
+    return v, q, plant
+
+
+@pytest.mark.parametrize("codec", ["int8", "binary"])
+def test_quantized_planted_top1(qcorpus, codec):
+    v, q, plant = qcorpus
+    s = QuantizedOutOfCoreSearcher(v, metric="cosine", codec=codec,
+                                   tile_rows=512, rerank=32)
+    vals, rows = s.search(q, k=3)
+    np.testing.assert_array_equal(rows[:, 0], plant)
+    np.testing.assert_allclose(vals[:, 0], 0.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_quantized_int8_metrics_match_exact(qcorpus, metric):
+    """int8 coarse + exact re-rank should recover the exact top-1 and
+    high top-10 overlap on every metric."""
+    v, q, _ = qcorpus
+    s = QuantizedOutOfCoreSearcher(v, metric=metric, codec="int8",
+                                   tile_rows=1024, rerank=16)
+    vals, rows = s.search(q, k=10)
+    ex = OutOfCoreSearcher(v, metric=metric, tile_rows=1024)
+    evals, erows = ex.search(q, k=10)
+    assert (rows[:, 0] == erows[:, 0]).all()
+    overlap = np.mean([len(set(a) & set(b)) / 10.0
+                       for a, b in zip(rows.tolist(), erows.tolist())])
+    assert overlap >= 0.9
+    np.testing.assert_allclose(vals[:, 0], evals[:, 0], atol=1e-3)
+
+
+def test_quantized_mask(qcorpus):
+    v, q, _ = qcorpus
+    mask = np.zeros(len(v), dtype=bool)
+    mask[1000:1500] = True
+    s = QuantizedOutOfCoreSearcher(v, metric="l2", codec="int8",
+                                   tile_rows=512, rerank=8)
+    vals, rows = s.search(q, k=15, mask=mask)
+    assert ((rows >= 1000) & (rows < 1500)).all()
+    assert np.isfinite(vals).all()
+
+
+def test_quantized_codes_memmap_reuse(qcorpus, tmp_path):
+    """codes_path persists the encoded codes + quantizer stats; a second
+    searcher with codes_reuse=True must skip re-encoding and search
+    identically."""
+    v, q, plant = qcorpus
+    cp = str(tmp_path / "codes.npy")
+    s1 = QuantizedOutOfCoreSearcher(v, metric="cosine", codec="int8",
+                                    tile_rows=512, rerank=32, codes_path=cp)
+    v1, r1 = s1.search(q, k=5)
+
+    class Guard:
+        """Corpus proxy that forbids contiguous tile reads (the train /
+        re-encode access pattern); candidate gathers use fancy indexing."""
+        def __init__(self, arr):
+            self._arr = arr
+            self.shape = arr.shape
+        def __getitem__(self, idx):
+            if isinstance(idx, slice):
+                raise AssertionError("re-encoded despite codes_reuse")
+            return self._arr[idx]
+
+    s2 = QuantizedOutOfCoreSearcher(Guard(v), metric="cosine", codec="int8",
+                                    tile_rows=512, rerank=32,
+                                    codes_path=cp, codes_reuse=True)
+    v2, r2 = s2.search(q, k=5)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(v1, v2, atol=1e-6)
+
+
+def test_quantized_k_larger_than_corpus():
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((12, 8)).astype(np.float32)
+    s = QuantizedOutOfCoreSearcher(v, metric="l2", codec="int8",
+                                   tile_rows=8, rerank=4, train_rows=12)
+    vals, rows = s.search(v[:2], k=40)
+    assert vals.shape == (2, 12)
+    assert rows[0, 0] == 0 and rows[1, 0] == 1
