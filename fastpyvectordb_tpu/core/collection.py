@@ -344,6 +344,52 @@ class Collection:
             compute_dtype=self.config.compute_dtype,
             topk=self.config.topk)
 
+    def prewarm(self, max_batch: int = 1024, k: int = 10,
+                modes: Optional[Sequence[str]] = None) -> Dict[str, float]:
+        """Compile the serving dispatch for every power-of-two query batch
+        size up to ``max_batch``, populating XLA's persistent compile cache.
+
+        The query batch is padded to a power of two (store.search), so the
+        compile set is finite and enumerable; first compiles on a fresh
+        machine cost minutes each through a remote-attached chip, while a
+        primed cache (``jax_compilation_cache_dir``) makes every later
+        process start in seconds.  Call once at deployment startup — the
+        serving benches showed a 132 s first-dispatch stall on an unprimed
+        path (benchmarks/results_r3_tpu.json prewarm_b1).
+
+        modes: subset of {"exact", "quantized", "ann"}; defaults to the
+        paths this collection has enabled.  Returns {mode_bN: seconds}.
+        """
+        import time as _time
+        if self._store.n_valid == 0:
+            return {}
+        want = set(modes) if modes is not None else None
+
+        def on(name: str, enabled: bool) -> bool:
+            return enabled if want is None else (name in want)
+
+        rng = np.random.default_rng(0)
+        timings: Dict[str, float] = {}
+        b = 1
+        while b <= max_batch:
+            q = rng.standard_normal(
+                (b, self.config.dimensions)).astype(np.float32)
+            if on("exact", True):
+                t0 = _time.perf_counter()
+                self.search_arrays(q, k=k, exact=True)
+                timings[f"exact_b{b}"] = round(_time.perf_counter() - t0, 3)
+            if on("quantized", self._quantized is not None):
+                t0 = _time.perf_counter()
+                self.search_quantized_arrays(q, k=k)
+                timings[f"quantized_b{b}"] = round(
+                    _time.perf_counter() - t0, 3)
+            if on("ann", self._ann is not None):
+                t0 = _time.perf_counter()
+                self.search_arrays(q, k=k, exact=False)
+                timings[f"ann_b{b}"] = round(_time.perf_counter() - t0, 3)
+            b <<= 1
+        return timings
+
     def brute_force_search(self, query, k: int = 10,
                            filter: Optional[Filter] = None,
                            include_vectors: bool = False

@@ -96,7 +96,7 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
                embedding_provider: str = "auto",
                graph_path: Optional[str] = None,
                batch_window_ms: float = 2.0, batch_max: int = 256,
-               cors: bool = True) -> "web.Application":
+               cors: bool = True, prewarm: int = 0) -> "web.Application":
     if not HAS_AIOHTTP:
         raise RuntimeError("aiohttp is required for the server")
 
@@ -730,6 +730,24 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
                 raise resp
             return resp
         app.middlewares.append(cors_mw)
+
+    if prewarm:
+        async def on_startup(app):
+            # compile the serving dispatch for every pow2 batch size up to
+            # `prewarm` BEFORE the first request: an unprimed first
+            # dispatch stalls ~minutes through a remote-attached chip
+            # (Collection.prewarm; results_r3_tpu.json prewarm_b1 132 s)
+            import asyncio
+            loop = asyncio.get_running_loop()
+            for name in db().list_collections():
+                col = db().get_collection(name)
+                t = await loop.run_in_executor(
+                    None, lambda c=col: c.prewarm(max_batch=prewarm))
+                if t:
+                    print(f"prewarmed {name}: {sum(t.values()):.1f}s "
+                          f"over {len(t)} shapes", flush=True)
+
+        app.on_startup.append(on_startup)
 
     async def on_shutdown(app):
         db().save()

@@ -263,3 +263,26 @@ def test_ann_drift_rebuild_keeps_build_params():
     col._ann.stale = True
     col.search(rng.standard_normal(8).astype(np.float32), k=3, exact=False)
     assert col._ann._build_kwargs["spill_choices"] == 4
+
+
+def test_prewarm_compiles_enabled_paths():
+    """prewarm() dispatches every pow2 batch size for each enabled mode
+    (the deployment-startup compile-cache priming hook, ROADMAP #11)."""
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    rng = np.random.default_rng(9)
+    col = Collection(CollectionConfig(name="pw", dimensions=8, metric="l2"))
+    assert col.prewarm() == {}  # empty collection: nothing to compile
+    col.insert_batch(rng.standard_normal((300, 8)).astype(np.float32),
+                     [f"v{i}" for i in range(300)])
+    t = col.prewarm(max_batch=4)
+    assert set(t) == {"exact_b1", "exact_b2", "exact_b4"}
+    assert all(v >= 0 for v in t.values())
+    # enabling quantized + ANN paths widens the prewarm set
+    col.enable_quantized_scan("int8", tune=False)
+    col.build_ann(kind="ivf", nlist=4, nprobe=2, iters=2)
+    t = col.prewarm(max_batch=2)
+    assert set(t) == {"exact_b1", "exact_b2", "quantized_b1",
+                      "quantized_b2", "ann_b1", "ann_b2"}
+    # modes filter restricts it
+    t = col.prewarm(max_batch=1, modes=("exact",))
+    assert set(t) == {"exact_b1"}

@@ -468,3 +468,27 @@ def test_client_ids_with_special_chars_roundtrip(client):
     assert client.delete("sp", "a#1") is True
     # 'a' must NOT have been deleted by a fragment-truncated path
     assert client.get("sp", "a") is not None
+
+
+def test_prewarm_flag_compiles_at_startup(tmp_path, capsys):
+    """create_app(prewarm=N) compiles the serving shapes during app
+    startup, before the first request (ROADMAP #11)."""
+    from aiohttp import web
+    from fastpyvectordb_tpu import VectorDB
+    path = tmp_path / "pw_srv"
+    db = VectorDB(str(path))
+    col = db.create_collection("warm", dimensions=8, metric="l2")
+    rng = np.random.default_rng(2)
+    col.insert_batch(rng.standard_normal((64, 8)).astype(np.float32),
+                     [f"v{i}" for i in range(64)])
+    db.save()
+
+    app = create_app(db_path=str(path), full=False, prewarm=2)
+    loop = asyncio.new_event_loop()
+    try:
+        runner = web.AppRunner(app)
+        loop.run_until_complete(runner.setup())  # fires on_startup
+        loop.run_until_complete(runner.cleanup())
+    finally:
+        loop.close()
+    assert "prewarmed warm" in capsys.readouterr().out
