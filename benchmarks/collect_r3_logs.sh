@@ -16,6 +16,8 @@ fold /tmp/r3q/ivfg1m_rr.log    r3_ivf_grouped.jsonl
 fold /tmp/r3q/ivfg5m_rr.log    r3_ivf_grouped_5m.jsonl
 fold /tmp/r3q2/api_overhead.log r3_api_overhead_bf16.jsonl
 fold /tmp/r3q2/ooc16m.log      r3_outofcore_20m.jsonl
+fold /tmp/r3q2/ooc16m_int8.log   r3_outofcore_int8.jsonl
+fold /tmp/r3q2/ooc16m_binary.log r3_outofcore_binary.jsonl
 fold /tmp/r3q3/graph_sweep.log r3_graph_sweep.jsonl
 
 python consolidate_r3.py

@@ -48,6 +48,13 @@ CAMPAIGNS = [
      "memmap-backed out-of-core streamed exact search at >HBM scale "
      "(16M x 768 = 45.8 GB, 2.9x HBM): steady-state QPS + RSS slope "
      "(round-2 verdict #7)"),
+    ("outofcore_int8", "r3_outofcore_int8.jsonl",
+     "QuantizedOutOfCoreSearcher int8 over the same 16M corpus: streamed "
+     "code tiles (4x less transfer than f32, 2x less than bf16 wire) + "
+     "exact re-rank, recall vs the exact stream"),
+    ("outofcore_binary", "r3_outofcore_binary.jsonl",
+     "QuantizedOutOfCoreSearcher binary over the same 16M corpus: packed "
+     "1-bit tiles (32x less transfer) + exact re-rank at rerank=96"),
 ]
 
 
