@@ -18,6 +18,7 @@ fold /tmp/r3q2/api_overhead.log r3_api_overhead_bf16.jsonl
 fold /tmp/r3q2/ooc16m.log      r3_outofcore_20m.jsonl
 fold /tmp/r3q2/ooc16m_int8.log   r3_outofcore_int8.jsonl
 fold /tmp/r3q2/ooc16m_binary.log r3_outofcore_binary.jsonl
+fold /tmp/r3q2/ooc16m_pq.log     r3_outofcore_pq.jsonl
 fold /tmp/r3q3/graph_sweep.log r3_graph_sweep.jsonl
 
 python consolidate_r3.py

@@ -55,6 +55,9 @@ CAMPAIGNS = [
     ("outofcore_binary", "r3_outofcore_binary.jsonl",
      "QuantizedOutOfCoreSearcher binary over the same 16M corpus: packed "
      "1-bit tiles (32x less transfer) + exact re-rank at rerank=96"),
+    ("outofcore_pq", "r3_outofcore_pq.jsonl",
+     "QuantizedOutOfCoreSearcher pq (m=192, 4-bit one-hot MXU ADC) over "
+     "the same 16M corpus: 16x less transfer with near-int8 recall"),
 ]
 
 

@@ -97,7 +97,9 @@ def main():
             corpus, metric="cosine", codec=args.codec,
             tile_rows=args.tile, rerank=args.rerank,
             codes_path=codes_path, codes_reuse=True)
-        bytes_per_row = d if args.codec == "int8" else (d + 7) // 8
+        bytes_per_row = (d if args.codec == "int8"
+                         else searcher._pq_m if args.codec == "pq"
+                         else (d + 7) // 8)
         emit(exp="codes_encoded", s=round(time.perf_counter() - t0, 1),
              codec=args.codec,
              codes_gb=round(n * bytes_per_row / 2**30, 2),
@@ -150,6 +152,7 @@ def main():
     tag = f"_{args.codec}" if args.codec else ""
     stream_bytes = (n * d if args.codec == "int8"
                     else n * ((d + 7) // 8) if args.codec == "binary"
+                    else n * searcher._pq_m if args.codec == "pq"
                     else n * d * 2)  # bf16 wire
     emit(exp=f"outofcore_search{tag}_{n // 1_000_000}Mx{d}",
          s_per_batch=round(dt, 2),

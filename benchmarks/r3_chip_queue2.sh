@@ -45,5 +45,8 @@ run ooc16m_int8 10800 python benchmarks/outofcore_20m.py --rows 16000000 \
 run ooc16m_binary 10800 python benchmarks/outofcore_20m.py --rows 16000000 \
     --memmap /tmp/ooc_corpus.f32 --scans 3 --codec binary --rerank 96 \
     --recall-vs-exact
+run ooc16m_pq 10800 python benchmarks/outofcore_20m.py --rows 16000000 \
+    --memmap /tmp/ooc_corpus.f32 --scans 3 --codec pq --rerank 16 \
+    --recall-vs-exact
 rm -f /tmp/ooc_corpus.f32 /tmp/ooc_corpus.f32.*.npy /tmp/ooc_corpus.f32.*.npz
 echo "$(date +%H:%M:%S) QUEUE2 COMPLETE" >&2

@@ -168,6 +168,34 @@ def _binary_tile_step(qcodes, tile_codes, tile_mask, row_offset,
     return -neg, jnp.take_along_axis(all_rows, pos, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("c", "kk"))
+def _pq_tile_step(lut, tile_codes, tile_mask, row_offset,
+                  best_vals, best_rows, *, c: int, kk: int):
+    """PQ ADC coarse scores for one streamed tile + running top-c merge.
+
+    For kk <= 32 (the 4-bit serving default) the LUT sum contracts on the
+    MXU via a one-hot matmul — the gather form lowers to a serial
+    per-element take on TPU (~100x slower; ann/ivfpq.py:_adc_sum note).
+    """
+    t, m = tile_codes.shape
+    b = lut.shape[0]
+    if kk <= 32:
+        iota = jnp.arange(kk, dtype=tile_codes.dtype)
+        onehot = (tile_codes[..., None] == iota).astype(
+            jnp.bfloat16).reshape(t, m * kk)
+        s = jnp.dot(lut.astype(jnp.bfloat16).reshape(b, m * kk), onehot.T,
+                    preferred_element_type=jnp.float32)
+    else:
+        from ..quant.product import _adc
+        s = _adc(lut, tile_codes, chunk=min(16384, t))
+    s = jnp.where(tile_mask[None, :], s, MASKED)
+    neg, idx = jax.lax.top_k(-s, min(c, s.shape[1]))
+    all_vals = jnp.concatenate([best_vals, -neg], axis=1)
+    all_rows = jnp.concatenate([best_rows, idx + row_offset], axis=1)
+    neg, pos = jax.lax.top_k(-all_vals, c)
+    return -neg, jnp.take_along_axis(all_rows, pos, axis=1)
+
+
 class QuantizedOutOfCoreSearcher:
     """Streamed *quantized* coarse scan + exact re-rank over a host corpus.
 
@@ -177,10 +205,14 @@ class QuantizedOutOfCoreSearcher:
     codes resident in HBM, which caps corpus size at HBM/codes-byte; here
     even the codes live on the host and stream tile-by-tile, so corpus
     size is bounded only by host storage.  Per search the link moves
-    N x D bytes (int8, 4x less than the exact streamer) or N x D/8 bytes
-    (binary, 32x less) for the coarse pass, plus B x C full-precision
-    candidate rows for the exact re-rank — in the transfer-bound streamed
-    regime the codec ratio is the speedup.
+    N x D bytes (int8, 4x less than the exact streamer), N x M bytes
+    (pq, 16x at the m=D/4 default — ADC scored by a one-hot MXU matmul,
+    with cosine riding the normalized-L2 equivalence so the coarse order
+    matches the metric exactly), or N x D/8 bytes (binary, 32x) for the
+    coarse pass, plus B x C full-precision candidate rows for the exact
+    re-rank — in the transfer-bound streamed regime the codec ratio is
+    the speedup, and pq holds far more of binary's recall at comparable
+    compression.
 
     One full-precision pass over the corpus at build time trains the
     quantizer (block-sampled) and encodes the host codes array; pass
@@ -193,8 +225,9 @@ class QuantizedOutOfCoreSearcher:
                  codec: str = "int8", tile_rows: int = 262_144,
                  train_rows: int = 262_144, rerank: int = 16,
                  codes_path: Optional[str] = None,
-                 codes_reuse: bool = False):
-        if codec not in ("int8", "binary"):
+                 codes_reuse: bool = False,
+                 pq_m: Optional[int] = None, pq_k: int = 16):
+        if codec not in ("int8", "binary", "pq"):
             raise ValueError(f"unknown codec {codec!r}")
         self.corpus = corpus
         self.n = int(corpus.shape[0])
@@ -203,6 +236,22 @@ class QuantizedOutOfCoreSearcher:
         self.codec = codec
         self.tile_rows = int(tile_rows)
         self.rerank = int(rerank)
+        if codec == "pq":
+            # 4 dims/subspace with 16 centroids by default: 4-bit-class
+            # codes the one-hot MXU ADC handles (kk <= 32); uint8 storage
+            # => dims/4 bytes/row (16x vs f32)
+            if pq_m is None:
+                pq_m = (self.dims // 4 if self.dims % 4 == 0
+                        else self.dims // 2 if self.dims % 2 == 0
+                        else self.dims)
+            if self.dims % pq_m != 0:
+                raise ValueError(f"dims {self.dims} not divisible by "
+                                 f"pq_m={pq_m}")
+            self._pq_m, self._pq_k = int(pq_m), int(pq_k)
+            # cosine rides the normalized-L2 equivalence (1 - cos =
+            # ||qn - vn||^2 / 2): train/encode/query all normalize, so the
+            # ADC coarse ordering matches the metric exactly
+            self._pq_normalize = self.metric == DistanceMetric.COSINE
         if codes_path is not None and codes_reuse \
                 and self._try_reuse(codes_path):
             return  # codes + quantizer stats loaded; no corpus pass needed
@@ -223,6 +272,13 @@ class QuantizedOutOfCoreSearcher:
         if self.codec == "int8":
             from ..quant.scalar import ScalarQuantizer
             self._qz = ScalarQuantizer().train(sample)
+        elif self.codec == "pq":
+            from ..quant.product import ProductQuantizer
+            if self._pq_normalize:
+                sample = sample / np.maximum(
+                    np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+            self._qz = ProductQuantizer(m=self._pq_m, k=self._pq_k)
+            self._qz.train(sample)
         else:
             from ..quant.binary import BinaryQuantizer
             self._qz = BinaryQuantizer().train(sample)
@@ -235,7 +291,8 @@ class QuantizedOutOfCoreSearcher:
                 and os.path.exists(self._stats_path(codes_path))):
             return False
         codes = np.lib.format.open_memmap(codes_path, mode="r")
-        want_dtype = np.int8 if self.codec == "int8" else np.uint32
+        want_dtype = (np.int8 if self.codec == "int8"
+                      else np.uint8 if self.codec == "pq" else np.uint32)
         if (codes.ndim != 2 or codes.shape[0] != self.n
                 or codes.dtype != np.dtype(want_dtype)):
             return False
@@ -244,6 +301,12 @@ class QuantizedOutOfCoreSearcher:
             self._qz = ScalarQuantizer(self.dims)
             if codes.shape[1] != self.dims:
                 return False
+        elif self.codec == "pq":
+            from ..quant.product import ProductQuantizer
+            if codes.shape[1] != self._pq_m:
+                return False
+            self._qz = ProductQuantizer(self.dims, m=self._pq_m,
+                                        k=self._pq_k)
         else:
             from ..quant.binary import BinaryQuantizer
             self._qz = BinaryQuantizer(self.dims)
@@ -257,6 +320,8 @@ class QuantizedOutOfCoreSearcher:
     def _encode_all(self, codes_path: Optional[str]) -> None:
         if self.codec == "int8":
             shape, dtype = (self.n, self.dims), np.int8
+        elif self.codec == "pq":
+            shape, dtype = (self.n, self._pq_m), np.uint8
         else:
             shape, dtype = (self.n, self._qz.n_words), np.uint32
         if codes_path is not None:
@@ -273,8 +338,16 @@ class QuantizedOutOfCoreSearcher:
         t = self.tile_rows
         for start in range(0, self.n, t):
             stop = min(start + t, self.n)
-            tile = jnp.asarray(np.asarray(self.corpus[start:stop],
-                                          dtype=np.float32))
+            tile_np = np.asarray(self.corpus[start:stop], dtype=np.float32)
+            if self.codec == "pq":
+                if self._pq_normalize:
+                    tile_np = tile_np / np.maximum(np.linalg.norm(
+                        tile_np, axis=1, keepdims=True), 1e-30)
+                enc = self._qz.encode(tile_np)
+                codes[start:stop] = np.asarray(enc)
+                enc.delete()
+                continue
+            tile = jnp.asarray(tile_np)
             enc = self._qz.encode(tile)
             codes[start:stop] = np.asarray(enc)
             if self.codec == "int8":
@@ -300,6 +373,8 @@ class QuantizedOutOfCoreSearcher:
             payload.update(vmin=np.asarray(self._qz.vmin),
                            scale=np.asarray(self._qz.scale),
                            vsq=self._vsq, rinv=self._rinv)
+        elif self.codec == "pq":
+            payload.update(codebooks=np.asarray(self._qz.codebooks))
         else:
             payload.update(thresholds=np.asarray(self._qz.thresholds))
         np.savez(self._stats_path(codes_path), **payload)
@@ -317,6 +392,13 @@ class QuantizedOutOfCoreSearcher:
             self._qz.dims = self.dims
             self._vsq = np.ascontiguousarray(z["vsq"])
             self._rinv = np.ascontiguousarray(z["rinv"])
+        elif self.codec == "pq":
+            cb = z["codebooks"]
+            if cb.shape != (self._pq_m, self._pq_k,
+                            self.dims // self._pq_m):
+                return False
+            self._qz.codebooks = jnp.asarray(cb)
+            self._qz.dims = self.dims
         else:
             if z["thresholds"].shape != (self.dims,):
                 return False
@@ -339,6 +421,13 @@ class QuantizedOutOfCoreSearcher:
         qd = jnp.asarray(q)
         if self.codec == "binary":
             qcd = self._qz.encode(q)
+        elif self.codec == "pq":
+            from ..quant.product import _lut
+            qn = q
+            if self._pq_normalize:
+                qn = q / np.maximum(
+                    np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+            lut = _lut(jnp.asarray(qn), self._qz.codebooks)  # (B, M, K)
         best_vals = jnp.full((b, c), MASKED, dtype=jnp.float32)
         best_rows = jnp.zeros((b, c), dtype=jnp.int32)
         t = self.tile_rows
@@ -364,6 +453,10 @@ class QuantizedOutOfCoreSearcher:
                     jnp.asarray(vsq), jnp.asarray(rinv),
                     jnp.asarray(tile_mask), jnp.int32(start),
                     best_vals, best_rows, metric=self.metric, c=c)
+            elif self.codec == "pq":
+                best_vals, best_rows = _pq_tile_step(
+                    lut, tile_dev, jnp.asarray(tile_mask), jnp.int32(start),
+                    best_vals, best_rows, c=c, kk=self._pq_k)
             else:
                 best_vals, best_rows = _binary_tile_step(
                     qcd, tile_dev, jnp.asarray(tile_mask), jnp.int32(start),
