@@ -10,6 +10,8 @@ the capabilities *beyond* the reference's quickstart surface
   3. IVF-PQ               — ~30x smaller index for large corpora, tuned
   4. tune_rerank          — data-driven recall for quantized serving
   5. shard router         — two engine processes behind one front
+  6. >HBM corpora         — streamed exact + quantized-code tiers
+  7. compile warmup       — prewarm the serving shapes before traffic
 
 Runs offline on the CPU backend in ~1 minute: python examples/production_ops.py
 """
@@ -178,6 +180,62 @@ def demo_router():
         assert hits[0]["id"] == "v17"
 
 
+def demo_beyond_hbm():
+    banner("6. >HBM corpora: streamed exact + quantized-code tiers")
+    # the scale ladder (reference README.md:571-578 ">10M: mmap + binary
+    # codes + candidates"): OutOfCoreSearcher streams every byte exactly;
+    # QuantizedOutOfCoreSearcher streams int8/pq/binary CODE tiles
+    # (4x/16x/32x less transfer) and exact-re-ranks gathered candidates
+    from fastpyvectordb_tpu.parallel import (
+        OutOfCoreSearcher,
+        QuantizedOutOfCoreSearcher,
+    )
+    v, q = make_corpus(n=20_000)
+    corpus = np.lib.format.open_memmap(   # disk-backed, like a real >RAM set
+        BASE / "ooc_corpus.npy", mode="w+", dtype=np.float32, shape=v.shape)
+    corpus[:] = v
+    exact = OutOfCoreSearcher(corpus, metric="cosine", tile_rows=4096)
+    evals, erows = exact.search(q, k=10)
+    s = QuantizedOutOfCoreSearcher(
+        corpus, metric="cosine", codec="pq", tile_rows=4096, rerank=16,
+        codes_path=str(BASE / "ooc_codes.npy"))
+
+    def recall(rows):
+        return np.mean([len(set(a) & set(b)) / 10
+                        for a, b in zip(rows.tolist(), erows.tolist())])
+
+    _, rows0 = s.search(q, k=10)
+    # tightly clustered corpora collapse coarse code orderings (the
+    # quantized-scan story): tune the candidate depth against the exact
+    # stream instead of serving the untuned default
+    rr = s.tune_rerank(q, k=10)
+    vals, rows = s.search(q, k=10)
+    print(f"  pq recall@10 untuned rr=16: {recall(rows0):.3f} -> "
+          f"tuned rr={rr}: {recall(rows):.3f} (still 16x less transfer)")
+    assert recall(rows) >= 0.95
+    # second open reuses the persisted codes — no re-encode pass
+    s2 = QuantizedOutOfCoreSearcher(
+        corpus, metric="cosine", codec="pq", tile_rows=4096, rerank=rr,
+        codes_path=str(BASE / "ooc_codes.npy"), codes_reuse=True)
+    v2, r2 = s2.search(q, k=10)
+    assert (r2 == rows).all()
+    print("  reopen with codes_reuse=True: identical results, no encode")
+
+
+def demo_prewarm():
+    banner("7. Compile warmup: prewarm serving shapes before traffic")
+    v, q = make_corpus(n=4000)
+    col = Collection(CollectionConfig(name="warm", dimensions=v.shape[1],
+                                      metric="cosine"))
+    col.insert_batch(v, [f"v{i}" for i in range(len(v))])
+    col.enable_quantized_scan("int8", tune=False)
+    t = col.prewarm(max_batch=8)
+    print(f"  compiled {len(t)} serving shapes "
+          f"(also: create_app(prewarm=N), python -m fastpyvectordb_tpu.prime)")
+    assert any(k.startswith("exact_") for k in t)
+    assert any(k.startswith("quantized_") for k in t)
+
+
 def main():
     shutil.rmtree(BASE, ignore_errors=True)
     BASE.mkdir(parents=True)
@@ -186,6 +244,8 @@ def main():
     demo_ivfpq()
     demo_tune_rerank()
     demo_router()
+    demo_beyond_hbm()
+    demo_prewarm()
     print("\nAll production-ops demos passed.")
 
 

@@ -407,6 +407,40 @@ class QuantizedOutOfCoreSearcher:
         return True
 
     # ------------------------------------------------------------------
+    def tune_rerank(self, queries: np.ndarray, k: int = 10,
+                    target_recall: float = 0.95,
+                    max_rerank: int = 512) -> int:
+        """Find (and install) the smallest rerank factor whose recall@k
+        against the exact streamed path clears ``target_recall``.
+
+        Coarse code orderings collapse on tightly clustered corpora
+        (intra-cluster codes collide — the quantized-scan story,
+        QuantizedScan.tune_rerank), and the failure is silent: the
+        re-rank stage repairs exactly the candidates the coarse stage
+        surfaces.  Costs one exact streamed pass for ground truth plus
+        one coarse pass per doubling.  Returns the installed factor;
+        leaves ``max_rerank`` installed (and returns it) if even that
+        misses the target — callers wanting a hard guarantee should
+        check recall themselves or use the int8 codec (8 bits/dim does
+        not collapse).
+        """
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        exact = OutOfCoreSearcher(self.corpus, metric=self.metric,
+                                  tile_rows=self.tile_rows)
+        _, truth = exact.search(q, k=k)
+        rr = max(self.rerank, 1)
+        while True:
+            _, rows = self.search(q, k=k, rerank=rr)
+            rec = float(np.mean([
+                len(set(a) & set(b)) / k
+                for a, b in zip(rows.tolist(), truth.tolist())]))
+            if rec >= target_recall or rr >= max_rerank:
+                self.rerank = rr
+                return rr
+            rr = min(rr * 2, max_rerank)
+
     def search(self, queries: np.ndarray, k: int = 10,
                rerank: Optional[int] = None,
                mask: Optional[np.ndarray] = None

@@ -215,3 +215,26 @@ def test_quantized_k_larger_than_corpus():
     vals, rows = s.search(v[:2], k=40)
     assert vals.shape == (2, 12)
     assert rows[0, 0] == 0 and rows[1, 0] == 1
+
+
+def test_quantized_tune_rerank_clustered():
+    """Tightly clustered corpora collapse coarse code orderings (ROADMAP
+    #15's binary story, and pq at low bits/dim); tune_rerank must find a
+    depth that restores the target recall against the exact stream."""
+    rng = np.random.default_rng(4)
+    d = 32
+    centers = 2.0 * rng.standard_normal((8, d)).astype(np.float32)
+    v = (centers[rng.integers(0, 8, 4000)]
+         + 0.2 * rng.standard_normal((4000, d)).astype(np.float32))
+    q = (centers[rng.integers(0, 8, 6)]
+         + 0.2 * rng.standard_normal((6, d)).astype(np.float32))
+    s = QuantizedOutOfCoreSearcher(v, metric="cosine", codec="pq",
+                                   tile_rows=1024, rerank=2)
+    rr = s.tune_rerank(q, k=10, target_recall=0.95)
+    assert rr >= 2 and s.rerank == rr
+    ex = OutOfCoreSearcher(v, metric="cosine", tile_rows=1024)
+    _, truth = ex.search(q, k=10)
+    _, rows = s.search(q, k=10)  # tuned depth is now the default
+    rec = np.mean([len(set(a) & set(b)) / 10
+                   for a, b in zip(rows.tolist(), truth.tolist())])
+    assert rec >= 0.95, rec
