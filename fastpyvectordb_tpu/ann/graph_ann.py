@@ -376,7 +376,13 @@ class GraphANN:
             self._nav_memo = memo
         nbr_masked, init_ok = memo[2], memo[3]
         filtermask = None
-        w = beam or self.beam
+        # None-checks, not `or`: an explicit 0 override (sweeps measuring
+        # the no-routing / no-expansion corner) must not silently fall
+        # back to the built defaults
+        w = self.beam if beam is None else beam
+        expand = self.expand if expand is None else expand
+        iters = self.iters if iters is None else iters
+        n_init = self.n_init if n_init is None else n_init
         if mask is not None:
             m = np.zeros((store.capacity,), dtype=bool)
             m[: mask.shape[0]] = mask
@@ -397,8 +403,7 @@ class GraphANN:
         vals, rows = _beam_search_kernel(
             jnp.asarray(qp), store.vectors, nbr_masked, self.centroids,
             self.medoids, init_ok, filtermask, metric=cfg.metric, k=k,
-            beam=w, expand=expand or self.expand,
-            iters=iters or self.iters, n_init=n_init or self.n_init,
+            beam=w, expand=expand, iters=iters, n_init=n_init,
             compute_dtype="bfloat16" if cfg.compute_dtype == "bfloat16"
             else "float32")
         if device_out:

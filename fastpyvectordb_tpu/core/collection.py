@@ -95,6 +95,8 @@ class Collection:
         d["metric"] = DistanceMetric.parse(self.config.metric).value
         payload = _json.dumps(d, default=str)
         target = self.base_path / "config.json"
+        import errno
+        import os
         try:
             # skip the write when the sidecar already matches — pure reloads
             # must succeed on read-only snapshots/mounts, and concurrent
@@ -104,10 +106,14 @@ class Collection:
             self.base_path.mkdir(parents=True, exist_ok=True)
             tmp = self.base_path / "config.json.tmp"
             tmp.write_text(payload)
-            import os
             os.replace(tmp, target)
-        except OSError:
-            pass  # read-only filesystem: the collection still opens
+        except OSError as e:
+            # ONLY read-only/permission errors are survivable (opening a
+            # snapshot mount must work); anything else — disk full,
+            # transient I/O — must surface, or the next process reloads a
+            # stale config and silently serves with the wrong knobs
+            if e.errno not in (errno.EROFS, errno.EACCES, errno.EPERM):
+                raise
 
     @staticmethod
     def load_config_sidecar(base_path) -> Optional[CollectionConfig]:
@@ -371,7 +377,9 @@ class Collection:
         rng = np.random.default_rng(0)
         timings: Dict[str, float] = {}
         b = 1
-        while b <= max_batch:
+        while True:
+            if b > max_batch and b // 2 >= max_batch:
+                break  # the covering pow2 bucket is already compiled
             q = rng.standard_normal(
                 (b, self.config.dimensions)).astype(np.float32)
             if on("exact", True):

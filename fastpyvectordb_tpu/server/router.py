@@ -181,8 +181,11 @@ def create_router_app(shards: List[str],
         for out in oks:
             items = out.get("collections", out) if isinstance(out, dict)                 else out
             for info in items:
-                cur = per_name.setdefault(info.get("name"), dict(info))
-                if cur is not info and "count" in cur:
+                name = info.get("name")
+                cur = per_name.get(name)
+                if cur is None:
+                    per_name[name] = dict(info)  # first shard's count as-is
+                elif "count" in cur:
                     cur["count"] = (cur.get("count", 0)
                                     + info.get("count", 0))
         listing = sorted(per_name.values(),
@@ -381,7 +384,13 @@ def create_router_app(shards: List[str],
             sc_grids.append(sc)
             if with_meta:
                 md = out.get("metadata")
-                md_grids.append([md] if single else md)
+                if md is None:
+                    # a shard without the metadata field still occupies
+                    # score/id columns: substitute per-query None rows or
+                    # every later shard's metadata lands on the wrong ids
+                    md_grids.append([[None] * len(r) for r in ids])
+                else:
+                    md_grids.append([md] if single else md)
         nq = len(id_grids[0])
         all_sc = np.concatenate(sc_grids, axis=1)  # (nq, shards*k)
         order = np.argsort(all_sc, axis=1, kind="stable")[:, :k]
@@ -391,8 +400,15 @@ def create_router_app(shards: List[str],
             flat_ids = [i for grid in id_grids for i in grid[qi]]
             merged_ids.append([flat_ids[j] for j in order[qi]])
             if with_meta:
-                flat_md = [m for grid in md_grids
-                           for m in (grid[qi] if grid else [])]
+                # alignment truth is the id grid: pad/trim each shard's
+                # metadata row to its id row so column j always refers
+                # to the same hit in flat_ids and flat_md
+                flat_md = []
+                for si, grid in enumerate(md_grids):
+                    ids_row = id_grids[si][qi]
+                    row = grid[qi] if grid[qi] is not None else []
+                    row = (list(row) + [None] * len(ids_row))[:len(ids_row)]
+                    flat_md.extend(row)
                 merged_md.append([flat_md[j] if j < len(flat_md) else None
                                   for j in order[qi]])
         return (merged_ids, merged_scores,

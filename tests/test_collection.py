@@ -286,3 +286,16 @@ def test_prewarm_compiles_enabled_paths():
     # modes filter restricts it
     t = col.prewarm(max_batch=1, modes=("exact",))
     assert set(t) == {"exact_b1"}
+
+
+def test_prewarm_covers_non_pow2_max_batch():
+    """store.search pads every batch to the next pow2, so prewarm must
+    compile the COVERING bucket of a non-pow2 max_batch (3 -> 4), not
+    stop below it."""
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    rng = np.random.default_rng(1)
+    col = Collection(CollectionConfig(name="pw2", dimensions=8, metric="l2"))
+    col.insert_batch(rng.standard_normal((100, 8)).astype(np.float32),
+                     [f"v{i}" for i in range(100)])
+    t = col.prewarm(max_batch=3)
+    assert set(t) == {"exact_b1", "exact_b2", "exact_b4"}

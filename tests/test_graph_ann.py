@@ -134,3 +134,22 @@ def test_n_init_and_device_out_overrides(built):
     # a generous n_init can only help recall vs a starved one
     _, wide = ann.search(q[:4], 5, n_init=ann.medoids.shape[0])
     assert wide.shape == (4, 5)
+
+
+def test_zero_iter_override_is_respected():
+    """iters=0 must mean ZERO expansion rounds (entry points only), not a
+    silent fallback to the built default — sweeps measuring the
+    no-expansion corner would otherwise attribute default-config numbers
+    to the wrong configuration."""
+    import numpy as np
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    rng = np.random.default_rng(0)
+    col = Collection(CollectionConfig(name="g0", dimensions=16, metric="l2"))
+    col.insert_batch(rng.standard_normal((800, 16)).astype(np.float32),
+                     [f"v{i}" for i in range(800)])
+    col.build_ann(kind="graph", r=8, n_entries=64, iters=6)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    _, r_def = col._ann.search(q, 5)
+    _, r0 = col._ann.search(q, 5, iters=0)
+    assert r0.shape == (4, 5)
+    assert not np.array_equal(r0, r_def)  # 0 rounds != 6 rounds

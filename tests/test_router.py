@@ -252,3 +252,30 @@ def test_insert_batch_metadata_length_check(tmp_path):
                    json={"vectors": [[1, 0, 0, 0], [0, 1, 0, 0]],
                          "ids": ["a", "b"], "metadatas": [{"x": 1}]})
         assert r.status_code == 400
+
+
+def test_list_collections_counts_exact(cluster):
+    """Aggregated counts must equal the sum of shard counts — the merge
+    used to double-count the first shard (setdefault copied info and then
+    added its count on top)."""
+    router, shards = cluster
+    rng = np.random.default_rng(3)
+    httpx.post(router.url + "/collections",
+               json={"name": "cnt", "dimensions": 8}, timeout=30)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    httpx.post(router.url + "/collections/cnt/vectors/batch",
+               json={"vectors": vecs.tolist(),
+                     "ids": [f"c{i}" for i in range(50)]}, timeout=60)
+    listing = httpx.get(router.url + "/collections", timeout=30).json()
+    items = listing.get("collections", listing)
+    got = {i["name"]: i.get("count") for i in items}
+    # ground truth: sum the per-shard counts directly
+    want = 0
+    for s in shards:
+        r = httpx.get(s.url + "/collections/cnt", timeout=30)
+        if r.status_code == 200:
+            want += r.json().get("count", 0)
+    assert want == 50
+    assert got["cnt"] == want, (got["cnt"], want)
+    single = httpx.get(router.url + "/collections/cnt", timeout=30).json()
+    assert single.get("count") == want
