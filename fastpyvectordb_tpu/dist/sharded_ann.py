@@ -827,6 +827,13 @@ class ShardedInt8:
         codes = np.asarray(scan.codes)
         vecs = np.asarray(store.vectors[:n])
         valid = np.asarray(store.valid[:n])
+        # rows appended AFTER the snapshot build carry garbage codes
+        # (QuantizedScan.search guards with arange < built_count); mask
+        # them here too or the sharded coarse scan ranks them by bogus
+        # distances
+        if scan.built_count < n:
+            valid = valid.copy()
+            valid[scan.built_count:] = False
         vsq, rinv = np.asarray(vsq), np.asarray(rinv)
         if pad:
             codes = np.pad(codes, ((0, pad), (0, 0)))

@@ -34,7 +34,13 @@ from ..utils import next_pow2 as _pow2ge  # shared helper
 def _int8_coarse_topk(q, codes, vmin, scale, vsq, rinv, mask, *,
                       metric: DistanceMetric, k: int, approx: bool):
     """Fused int8-MXU scan + masked top-k: the (B, N) score matrix never
-    reaches HBM."""
+    reaches HBM.
+
+    Deliberately selects in f32 at recall_target 0.99, UNLIKE the
+    two-stage path's bf16 selection at 0.95: this serves the rerank<=1
+    case where no exact re-rank follows to repair selection error —
+    bf16 score ties alone cost ~9 points of recall@10 (ROADMAP #2).
+    """
     from .scalar import _distances_int8_matmul
     s = _distances_int8_matmul(q, codes, vmin, scale, vsq, rinv,
                                metric=metric)
@@ -385,7 +391,8 @@ class QuantizedScan:
                 q_dev(), jnp.asarray(self.codes), qz.vmin, qz.scale,
                 vsq, rinv, self._store.vectors, m, metric=self.metric,
                 k=kk, c=c, approx=on_tpu, rerank_dtype=rerank_dtype)
-            return np.asarray(dists)[:b], np.asarray(rows)[:b]
+            dists, rows = jax.device_get((dists, rows))  # one host sync
+            return dists[:b], rows[:b]
 
         if self.kind == "binary" and rerank > 1 and on_tpu:
             self._ensure_binary_tpu_layout(n)
@@ -394,7 +401,8 @@ class QuantizedScan:
                 self._codes_t_padded, self._store.vectors, self._mask_padded(m),
                 dims=self.quantizer.dims, metric=self.metric, k=kk, c=c,
                 rerank_dtype=rerank_dtype)
-            return np.asarray(dists)[:b], np.asarray(rows)[:b]
+            dists, rows = jax.device_get((dists, rows))  # one host sync
+            return dists[:b], rows[:b]
 
         # general path (PQ, CPU binary, rerank<=1)
         if self.kind == "int8":
@@ -416,22 +424,39 @@ class QuantizedScan:
             coarse = self.coarse_distances(q)
             cvals, crows = masked_top_k(coarse, c, m)
         if rerank <= 1:
-            return np.asarray(cvals)[:b, :k], np.asarray(crows)[:b, :k]
+            cvals, crows = jax.device_get((cvals, crows))  # one host sync
+            return cvals[:b, :k], crows[:b, :k]
         cand_ok = cvals < MASKED * 0.5
+        # native-dtype gather: _rerank's body casts in-graph (fused), so a
+        # host-level .astype here would only materialize an extra full
+        # (B, C, D) f32 copy of the gathered block
         cand_vecs = jnp.take(self._store.vectors, crows, axis=0)
-        dists, rows = _rerank(jnp.asarray(q), cand_vecs.astype(jnp.float32),
+        dists, rows = _rerank(jnp.asarray(q), cand_vecs,
                               crows, jnp.asarray(cand_ok),
                               metric=self.metric, k=kk)
-        return np.asarray(dists)[:b], np.asarray(rows)[:b]
+        dists, rows = jax.device_get((dists, rows))  # one host sync
+        return dists[:b], rows[:b]
 
     def _ensure_binary_tpu_layout(self, n: int) -> None:
         """Cache the word-major corpus padded to the Pallas tile width."""
         if not hasattr(self, "_codes_t_padded"):
             from .binary import _BQ_TILE_N
-            codes_t = jnp.asarray(self.codes).T
+            # reuse the general path's transpose if it exists; when no
+            # padding is needed SHARE the buffer — two near-identical
+            # (W, N) word-major copies would pin 2x the packed corpus
+            codes_t = getattr(self, "_codes_t", None)
+            if codes_t is None:
+                codes_t = jnp.asarray(self.codes).T
             pad = (-n) % _BQ_TILE_N
-            self._codes_t_padded = (jnp.pad(codes_t, ((0, 0), (0, pad)))
-                                    if pad else codes_t)
+            if pad:
+                self._codes_t_padded = jnp.pad(codes_t, ((0, 0), (0, pad)))
+                if hasattr(self, "_codes_t"):
+                    # the padded copy supersedes it; the general path
+                    # rebuilds on demand (it is the CPU/rerank<=1 path)
+                    del self._codes_t
+            else:
+                self._codes_t_padded = codes_t
+                self._codes_t = codes_t
             self._bq_pad = pad
 
     def _mask_padded(self, m) -> jnp.ndarray:
@@ -459,8 +484,16 @@ class QuantizedScan:
         q = np.ascontiguousarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
+        # oracle scope must match the snapshot's: rows appended after the
+        # build are masked out of self.search, so an oracle ranking over
+        # them caps recall below any reachable value and the loop would
+        # pin default_rerank at max_rerank for zero gain
+        tail_mask = None
+        if self.built_count < self._store.count:
+            tail_mask = np.zeros((self._store.count,), dtype=bool)
+            tail_mask[: self.built_count] = True
         exact_d, exact_r = self._store.search(
-            q, k, self.metric,
+            q, k, self.metric, extra_mask=tail_mask,
             compute_dtype=getattr(self, "compute_dtype", "float32"))
         rerank = 4
         while rerank <= max_rerank:
@@ -475,7 +508,9 @@ class QuantizedScan:
         return max_rerank
 
     def memory_usage(self) -> dict:
-        return self.quantizer.memory_usage(self.codes.shape[0])
+        # built_count, not codes.shape[0]: the codes may span the store's
+        # whole pow2 capacity buffer — the padding tail is not corpus
+        return self.quantizer.memory_usage(self.built_count)
 
     # -- persistence (sections inside the collection's FPVT container) ----
     def export_sections(self) -> Tuple[dict, dict]:
@@ -489,6 +524,10 @@ class QuantizedScan:
         meta = {"kind": self.kind,
                 "default_rerank": int(self.default_rerank),
                 "built_count": int(self.built_count),
+                # without this a reload reports tombstones as live-at-build
+                # and _index_rebuild_due re-triggers the full re-encode the
+                # snapshot exists to avoid
+                "built_n_valid": int(self.built_n_valid),
                 "compute_dtype": getattr(self, "compute_dtype", "float32")}
         qz = self.quantizer
         if self.kind == "int8":
@@ -527,5 +566,9 @@ class QuantizedScan:
         scan.default_rerank = int(meta.get("default_rerank",
                                            scan.default_rerank))
         scan.built_count = int(meta.get("built_count", codes.shape[0]))
+        # pre-built_n_valid snapshots: current n_valid is the closest
+        # honest estimate and never triggers a spurious rebuild
+        scan.built_n_valid = int(meta.get(
+            "built_n_valid", collection._store.n_valid))
         scan.compute_dtype = meta.get("compute_dtype", "float32")
         return scan

@@ -141,3 +141,29 @@ def test_quantized_scan_snapshot_roundtrip(tmp_path, rng, kind):
     after = col2.search_quantized(v[:4], k=5)
     assert [[h.id for h in hits] for hits in before] == \
         [[h.id for h in hits] for hits in after]
+
+
+def test_quantized_snapshot_reload_with_tombstones_no_rebuild(tmp_path, rng):
+    """built_n_valid must survive the round-trip: a reloaded snapshot
+    whose build already accounted for tombstones must NOT re-trigger the
+    drift rebuild (the minutes-long re-encode the snapshot exists to
+    avoid) on its first search."""
+    from fastpyvectordb_tpu.core.collection import Collection
+    from fastpyvectordb_tpu.core.types import CollectionConfig
+
+    v = rng.standard_normal((300, 16)).astype(np.float32)
+    col = Collection(CollectionConfig(name="tq", dimensions=16,
+                                      metric="l2"),
+                     base_path=tmp_path / "tq")
+    col.insert_batch(v, [f"v{i}" for i in range(300)])
+    col.delete_batch([f"v{i}" for i in range(160)])  # n_valid=140 < 300/2
+    col.enable_quantized_scan("int8", tune=False)
+    col.save()
+
+    col2 = Collection(CollectionConfig(name="tq", dimensions=16,
+                                       metric="l2"),
+                      base_path=tmp_path / "tq")
+    scan = col2._quantized
+    assert scan is not None and scan.built_n_valid == 140
+    col2.search_quantized(v[200:204], k=3)
+    assert col2._quantized is scan, "reload re-triggered the rebuild"

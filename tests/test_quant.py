@@ -357,3 +357,25 @@ def test_capacity_buffer_codes(kind, tmp_path):
     assert r3[0].id == "a17", [h.id for h in r3]
     r4 = col2.search_quantized(w[7:8], k=3, rerank=16)[0]
     assert r4[0].id == "b7", [h.id for h in r4]
+
+
+def test_tune_rerank_oracle_excludes_post_build_tail():
+    """tune_rerank's exact oracle must rank only rows the snapshot can
+    return: with appended (tail) rows in scope, recall caps below any
+    reachable value and the loop pins default_rerank at max_rerank."""
+    import numpy as np
+    from fastpyvectordb_tpu.core.collection import Collection
+    from fastpyvectordb_tpu.core.types import CollectionConfig
+
+    rng = np.random.default_rng(6)
+    v = rng.standard_normal((400, 16)).astype(np.float32)
+    col = Collection(CollectionConfig(name="tt", dimensions=16,
+                                      metric="l2"))
+    col.insert_batch(v[:300], [f"v{i}" for i in range(300)])
+    scan = col.enable_quantized_scan("int8", tune=False)
+    col.insert_batch(v[300:], [f"w{i}" for i in range(100)])  # 25% tail
+    q = v[:16]
+    rr = scan.tune_rerank(q, k=10, target_recall=0.95, max_rerank=256)
+    # int8 coarse ordering is near-exact on Gaussian data: a correctly
+    # scoped oracle converges at the first factor, not max_rerank
+    assert rr <= 8, rr

@@ -259,3 +259,25 @@ def test_sharded_ivf_grouped_matches_perquery(mesh):
     mism = r_g != r_p
     if mism.any():  # rows may differ only on near-tied scores
         np.testing.assert_allclose(d_g[mism], d_p[mism], atol=2e-3)
+
+
+def test_sharded_int8_masks_post_build_tail(mesh):
+    """Rows appended after the snapshot build carry garbage codes;
+    ShardedInt8.from_scan must mask them out of the coarse scan
+    (QuantizedScan.search's arange < built_count guard)."""
+    import numpy as np
+    from fastpyvectordb_tpu.core.collection import Collection
+    from fastpyvectordb_tpu.core.types import CollectionConfig
+
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((256, 16)).astype(np.float32)
+    col = Collection(CollectionConfig(name="tail8", dimensions=16,
+                                      metric="l2"))
+    col.insert_batch(v, [f"v{i}" for i in range(256)])
+    scan = col.enable_quantized_scan("int8", tune=False)
+    built = scan.built_count
+    col.insert_batch(rng.standard_normal((64, 16)).astype(np.float32),
+                     [f"w{i}" for i in range(64)])
+    sh = ShardedInt8.from_scan(mesh, scan)
+    _, rows = sh.search(v[:8], k=10)
+    assert (rows < built).all(), "tail rows served from garbage codes"
