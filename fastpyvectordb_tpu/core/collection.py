@@ -175,10 +175,18 @@ class Collection:
         return list(ids)
 
     def upsert(self, vector, id: str, metadata: Optional[dict] = None) -> str:
+        return self.upsert2(vector, id, metadata)[0]
+
+    def upsert2(self, vector, id: str, metadata: Optional[dict] = None
+                ) -> Tuple[str, bool]:
+        """Upsert reporting (id, existed) atomically under the lock —
+        callers deciding UPDATE-vs-INSERT semantics (the server's change
+        feed) must not race a separate pre-read against the write."""
         with self._lock:
-            if id in self._id_to_row:
+            existed = id in self._id_to_row
+            if existed:
                 self.delete(id)
-            return self.insert(vector, id, metadata)
+            return self.insert(vector, id, metadata), existed
 
     def get(self, id: str, include_vector: bool = False) -> Optional[dict]:
         return self.get_batch([id], include_vector)[0]
@@ -679,7 +687,8 @@ class Collection:
 
     def search_quantized(self, queries, k: int = 10,
                          rerank: Optional[int] = None,
-                         filter: Optional[Filter] = None
+                         filter: Optional[Filter] = None,
+                         include_vectors: bool = False
                          ) -> List[List[SearchResult]]:
         """Two-stage compressed scan -> exact re-rank (the reference's hybrid
         pipelines, parallel_search.py:895-947 / benchmark_quantization.py:
@@ -691,7 +700,7 @@ class Collection:
                 # over zero rows raises from a zero-size reduction
                 return [[] for _ in range(q.shape[0])]
             dists, rows = self._quantized_rows(q, k, rerank, filter)
-            return self._assemble(q, dists, rows, k, False)
+            return self._assemble(q, dists, rows, k, include_vectors)
 
     def search_quantized_arrays(self, queries, k: int = 10,
                                 rerank: Optional[int] = None,

@@ -119,8 +119,14 @@ class VectorDBClient:
 
     def search_batch(self, collection: str, vectors=None,
                      texts: Optional[Sequence[str]] = None, k: int = 10,
-                     where: Optional[dict] = None) -> dict:
-        body: Dict[str, Any] = {"k": k, "where": where}
+                     where: Optional[dict] = None,
+                     filter_tree: Optional[dict] = None,
+                     mode: str = "auto",
+                     exact: Optional[bool] = None) -> dict:
+        body: Dict[str, Any] = {"k": k, "where": where, "mode": mode,
+                                "exact": exact}
+        if filter_tree is not None:
+            body["filter_tree"] = filter_tree
         if vectors is not None:
             body["vectors"] = np.asarray(vectors, dtype=float).tolist()
         if texts is not None:

@@ -147,8 +147,16 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
                 text=json.dumps({"detail": f"collection {name!r} not found"}),
                 content_type=JSON)
 
+    _bg_tasks = set()  # strong refs: bare create_task results can be GC'd
+
     async def broadcast(event: Event):
-        await state["ws"].broadcast(event)
+        # fire-and-forget: the manager sends to subscribers serially, so
+        # awaiting here would hold every insert/delete HTTP response
+        # hostage to the slowest websocket consumer's TCP buffer
+        t = asyncio.get_running_loop().create_task(
+            state["ws"].broadcast(event))
+        _bg_tasks.add(t)
+        t.add_done_callback(_bg_tasks.discard)
 
     # ------------------------------------------------------------------
     # health / collections
@@ -185,7 +193,11 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
                                        storage_dtype=req.storage_dtype,
                                        topk=req.topk)
         except ValueError as e:
-            return _json_error(409, str(e))
+            # only duplicate names are a Conflict; validation errors (bad
+            # metric/index/dtype) are 400 — a client treating 409 as
+            # "already exists" would skip creation and fail downstream
+            status = 409 if "already exists" in str(e) else 400
+            return _json_error(status, str(e))
         await broadcast(Event(EventType.COLLECTION_CREATED, req.name))
         return web.json_response(
             {"name": req.name, "dimensions": c.config.dimensions}, status=201)
@@ -212,8 +224,9 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         c = collection_or_404(name)
         req = _parse(S.InsertVectorRequest, await _body(request))
         try:
-            rid = c.insert(np.asarray(req.vector, dtype=np.float32),
-                           req.id, req.metadata)
+            rid = await _off(c.insert,
+                             np.asarray(req.vector, dtype=np.float32),
+                             req.id, req.metadata)
         except ValueError as e:
             return _json_error(400, str(e))
         await broadcast(Event(EventType.INSERT, name,
@@ -243,8 +256,9 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
                 status=201, content_type=MSGPACK)
         req = _parse(S.InsertBatchRequest, await _body(request))
         try:
-            ids = c.insert_batch(np.asarray(req.vectors, dtype=np.float32),
-                                 req.ids, req.metadatas)
+            ids = await _off(
+                c.insert_batch, np.asarray(req.vectors, dtype=np.float32),
+                req.ids, req.metadatas)
         except ValueError as e:
             return _json_error(400, str(e))
         await broadcast(Event(EventType.BATCH_INSERT, name,
@@ -257,10 +271,13 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         req = _parse(S.InsertVectorRequest, await _body(request))
         if req.id is None:
             return _json_error(400, "upsert requires an id")
-        existed = c.get(req.id) is not None
         try:
-            rid = c.upsert(np.asarray(req.vector, dtype=np.float32),
-                           req.id, req.metadata)
+            # upsert2 reports existence atomically under the collection
+            # lock — a separate pre-read races concurrent upserts and can
+            # broadcast the wrong event type
+            rid, existed = await _off(
+                c.upsert2, np.asarray(req.vector, dtype=np.float32),
+                req.id, req.metadata)
         except ValueError as e:  # dims mismatch etc. -> 400 like insert
             return _json_error(400, str(e))
         await broadcast(Event(
@@ -272,7 +289,7 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         c = collection_or_404(request.match_info["name"])
         rid = request.match_info["id"]
         include = request.query.get("include_vector", "false") == "true"
-        row = c.get(rid, include_vector=include)
+        row = await _off(c.get, rid, include_vector=include)
         if row is None:
             return _json_error(404, f"id {rid!r} not found")
         if include:
@@ -283,7 +300,7 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         name = request.match_info["name"]
         c = collection_or_404(name)
         rid = request.match_info["id"]
-        if not c.delete(rid):
+        if not await _off(c.delete, rid):
             return _json_error(404, f"id {rid!r} not found")
         await broadcast(Event(EventType.DELETE, name, {"id": rid}))
         return web.json_response({"deleted": rid})
@@ -301,12 +318,18 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
     # ------------------------------------------------------------------
     # search
     # ------------------------------------------------------------------
-    async def _embed_off(fn, *args):
-        """Run an embedder call on an executor thread: sync embedding
-        (incl. the lazy first-use model load) on the event loop stalls
-        every concurrent request and the batcher's flush scheduling."""
+    async def _off(fn, *args, **kwargs):
+        """Run a blocking call on an executor thread.  Collection methods
+        acquire the collection RLock, which batcher executor threads hold
+        across whole device dispatches (~30 ms per wave, minutes on an
+        unprimed first compile) — taking it on the event-loop thread
+        stalls every request, websocket, and the batcher's own flush
+        scheduling.  Embedder calls block similarly (lazy first-use model
+        load)."""
         return await asyncio.get_running_loop().run_in_executor(
-            None, lambda: fn(*args))
+            None, lambda: fn(*args, **kwargs))
+
+    _embed_off = _off
 
     async def _query_vector(req, c):
         if req.vector is not None:
@@ -327,7 +350,19 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
                     text=json.dumps(
                         {"detail": "text search requires the full server"}),
                     content_type=JSON)
-            return await _embed_off(embedder().embed, req.text)
+            v = np.asarray(await _embed_off(embedder().embed, req.text),
+                           dtype=np.float32)
+            if v.shape != (c.config.dimensions,):
+                # same guard as the vector path: a wrong-dims embedding
+                # np.stack'ed into a coalesced batcher bucket would fail
+                # every rider request in the wave, not just this one
+                raise web.HTTPBadRequest(
+                    text=json.dumps({"detail":
+                                     f"embedder produced {v.shape[0]}-d "
+                                     f"vectors but collection is "
+                                     f"{c.config.dimensions}-d"}),
+                    content_type=JSON)
+            return v
         raise web.HTTPBadRequest(
             text=json.dumps({"detail": "vector or text required"}),
             content_type=JSON)
@@ -371,7 +406,7 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
                     None, lambda: c.search_quantized_arrays(qm, k,
                                                             filter=filt))
                 if body.get("include_metadata"):
-                    metadata = c.metadata_for_rows(rows)
+                    metadata = await _off(c.metadata_for_rows, rows)
             else:
                 if single:
                     i_row, s_row, r_row = await state["batcher"].search_raw(
@@ -381,7 +416,7 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
                     ids, scores, rows = await loop.run_in_executor(
                         None, lambda: c.search_arrays(q, k, filt, exact))
                 if body.get("include_metadata"):
-                    metadata = c.metadata_for_rows(rows)
+                    metadata = await _off(c.metadata_for_rows, rows)
             took = (time.perf_counter() - t0) * 1000
         except ValueError as e:
             return web.Response(
@@ -404,8 +439,9 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
                 loop = asyncio.get_running_loop()
                 filt = _filter_of(req)
                 hits = (await loop.run_in_executor(
-                    None, lambda: c.search_quantized(q[None, :], req.k,
-                                                     filter=filt)))[0]
+                    None, lambda: c.search_quantized(
+                        q[None, :], req.k, filter=filt,
+                        include_vectors=req.include_vectors)))[0]
             else:
                 exact = (req.exact if req.mode == "auto"
                          else req.mode == "exact")
@@ -463,8 +499,15 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
             return _json_error(400, "vectors or texts required")
         t0 = time.perf_counter()
         try:
-            batches = await asyncio.get_running_loop().run_in_executor(
-                None, lambda: c.search_batch(q, req.k, _filter_of(req)))
+            filt = _filter_of(req)
+            if req.mode == "quantized":
+                batches = await _off(
+                    c.search_quantized, q, req.k, filter=filt)
+            else:
+                exact = (req.exact if req.mode == "auto"
+                         else req.mode == "exact")
+                batches = await _off(c.search_batch, q, req.k, filt,
+                                     False, exact)
         except ValueError as e:  # e.g. query dimension mismatch -> 400
             return _json_error(400, str(e))
         took = (time.perf_counter() - t0) * 1000
@@ -723,6 +766,13 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
                     # too, or browsers surface an opaque network error
                     # instead of the JSON detail
                     resp = exc
+                except Exception as exc:  # noqa: BLE001
+                    # uncaught bugs: synthesize the 500 HERE so it still
+                    # carries CORS headers — aiohttp's protocol-layer 500
+                    # has none and browsers see an opaque failure
+                    resp = web.json_response(
+                        {"detail": f"{type(exc).__name__}: {exc}"},
+                        status=500)
             resp.headers["Access-Control-Allow-Origin"] = "*"
             resp.headers["Access-Control-Allow-Methods"] = "*"
             resp.headers["Access-Control-Allow-Headers"] = "*"

@@ -67,6 +67,10 @@ class SearchBatchRequest(BaseModel):
     k: int = 10
     where: Optional[Dict[str, Any]] = None
     filter_tree: Optional[Dict[str, Any]] = None
+    exact: Optional[bool] = None
+    # same contract as SearchRequest: a typo must 422, and a client
+    # demanding exact results must not silently get the approximate path
+    mode: Literal["auto", "exact", "ann", "quantized"] = "auto"
 
 
 class SearchHit(BaseModel):

@@ -492,3 +492,49 @@ def test_prewarm_flag_compiles_at_startup(tmp_path, capsys):
     finally:
         loop.close()
     assert "prewarmed warm" in capsys.readouterr().out
+
+
+def test_create_collection_validation_is_400_not_409(server, client):
+    import httpx
+    r = httpx.post(f"http://127.0.0.1:{server.port}/collections",
+                   json={"name": "badmetric", "dimensions": 8,
+                         "metric": "euclidean-typo"}, timeout=30)
+    assert r.status_code == 400, r.text  # 409 means "already exists"
+
+
+def test_search_batch_honors_mode(server, client):
+    import httpx
+    """JSON /search/batch must honor exact/mode like the single-search
+    endpoint — a client demanding exact must not silently get ANN."""
+    base = f"http://127.0.0.1:{server.port}"
+    httpx.post(f"{base}/collections",
+               json={"name": "bm", "dimensions": 8}, timeout=30)
+    vecs = np.random.default_rng(0).standard_normal((50, 8)).tolist()
+    httpx.post(f"{base}/collections/bm/vectors/batch",
+               json={"vectors": vecs,
+                     "ids": [f"b{i}" for i in range(50)]}, timeout=60)
+    r = httpx.post(f"{base}/collections/bm/search/batch",
+                   json={"vectors": vecs[:2], "k": 3, "mode": "exact"},
+                   timeout=60)
+    assert r.status_code == 200
+    assert r.json()["results"][0][0]["id"] == "b0"
+    # a typo'd mode must 422, not silently route
+    r = httpx.post(f"{base}/collections/bm/search/batch",
+                   json={"vectors": vecs[:1], "k": 3, "mode": "exat"},
+                   timeout=30)
+    assert r.status_code == 422
+
+
+def test_text_search_embedder_dims_mismatch_is_400(server, client):
+    import httpx
+    """A wrong-dims embedding must 400 THIS request, not poison the
+    coalesced batcher bucket shared with concurrent vector queries."""
+    base = f"http://127.0.0.1:{server.port}"
+    # hashing embedder defaults to its own dims; make a collection whose
+    # dims can't match it
+    httpx.post(f"{base}/collections",
+               json={"name": "txtdim", "dimensions": 3}, timeout=30)
+    r = httpx.post(f"{base}/collections/txtdim/search",
+                   json={"text": "hello", "k": 2}, timeout=60)
+    assert r.status_code == 400
+    assert "dims" in r.text or "-d" in r.text
