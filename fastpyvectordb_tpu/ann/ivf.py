@@ -294,7 +294,7 @@ def _balanced_assignment(topm: np.ndarray, nlist: int, cap: int
     return table, counts, unassigned.astype(np.int32)
 
 
-def ok_slot_masks(index, extra: Optional[jnp.ndarray] = None
+def ok_slot_masks(index, extra: "Optional[jnp.ndarray | np.ndarray]" = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-slot liveness masks ((nlist, cmax) and (O,)) for a cell-table
     index (IVFIndex / IVFPQIndex): slot occupied AND row not tombstoned
@@ -306,7 +306,14 @@ def ok_slot_masks(index, extra: Optional[jnp.ndarray] = None
     ``validmask[row_table]`` element gather measured 40 ms of the 43 ms
     grouped dispatch at 4M x 768 (~8 ns/element random take on TPU) while
     every other stage totals ~1.4 ms (benchmarks/ivfg_pallas_lab.py s4 vs
-    s6_norowvalid)."""
+    s6_norowvalid).
+
+    ``extra`` as a HOST ndarray (a row mask over [0, count), as handed out
+    by ``Collection._filter_mask``) gets the same treatment: the filtered
+    slot masks are memoized per host-mask identity, so a REPEATED filter
+    (tenant / category — the production common case) pays the slot gather
+    once per (filter, store-version) instead of per call.  A device-array
+    ``extra`` is the uncached legacy path."""
     valid = index._collection._store.valid
     memo = getattr(index, "_ok_memo", None)
     if (memo is None or memo[0] is not valid
@@ -319,12 +326,32 @@ def ok_slot_masks(index, extra: Optional[jnp.ndarray] = None
         memo = (valid, index.row_table, index.overflow_rows, okc, oko)
         index._ok_memo = memo
     okc, oko = memo[3], memo[4]
-    if extra is not None:
-        # filtered searches pay the gather — the filter changes per call;
-        # the unfiltered serving path never does
-        okc = okc & jnp.take(extra, jnp.maximum(index.row_table, 0), axis=0)
-        oko = oko & jnp.take(extra, jnp.maximum(index.overflow_rows, 0),
-                             axis=0)
+    if extra is None:
+        return okc, oko
+    if isinstance(extra, np.ndarray):
+        fmemo = getattr(index, "_okf_memo", None)
+        key = id(extra)
+        if fmemo is not None:
+            hit = fmemo.get(key)
+            # strong refs inside the memo make id() reuse impossible while
+            # the entry lives; validity/table identity guards staleness
+            if (hit is not None and hit[0] is extra and hit[1] is valid
+                    and hit[2] is index.row_table):
+                return hit[3], hit[4]
+        m = np.zeros((int(index._collection._store.capacity),), dtype=bool)
+        m[: extra.shape[0]] = extra
+        dm = jnp.asarray(m)
+        okcf = okc & jnp.take(dm, jnp.maximum(index.row_table, 0), axis=0)
+        okof = oko & jnp.take(dm, jnp.maximum(index.overflow_rows, 0),
+                              axis=0)
+        if fmemo is None or len(fmemo) >= 4:  # bound pinned HBM to 4 filters
+            fmemo = {}
+            index._okf_memo = fmemo
+        fmemo[key] = (extra, valid, index.row_table, okcf, okof)
+        return okcf, okof
+    okc = okc & jnp.take(extra, jnp.maximum(index.row_table, 0), axis=0)
+    oko = oko & jnp.take(extra, jnp.maximum(index.overflow_rows, 0),
+                         axis=0)
     return okc, oko
 
 
@@ -531,12 +558,12 @@ class IVFIndex:
             # so recall under selective filters is recovered by probing
             # more cells (the IVF analogue of over-fetching)
             nprobe = int(min(self.centroids.shape[0], nprobe * overfetch))
-        extra = None
-        if mask is not None:
-            m = np.zeros((store.capacity,), dtype=bool)
-            m[: mask.shape[0]] = mask
-            extra = jnp.asarray(m)
-        okc, oko = self._ok_cached(extra)
+        # pass the HOST mask straight through: ok_slot_masks memoizes the
+        # filtered slot gather per (mask identity, store version), and
+        # Collection._filter_mask hands out a stable array per fingerprint
+        okc, oko = self._ok_cached(
+            np.ascontiguousarray(mask, dtype=bool) if mask is not None
+            and not isinstance(mask, np.ndarray) else mask)
         cfg = self._collection.config
         # large batches go cell-major: once the per-query gather would
         # move more bytes than the whole cell tensor (b * nprobe >= nlist

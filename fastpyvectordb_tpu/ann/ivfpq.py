@@ -355,12 +355,12 @@ class IVFPQIndex:
         if mask is not None and overfetch > 1:
             nprobe = int(min(self.centroids.shape[0], nprobe * overfetch))
         from .ivf import ok_slot_masks
-        extra = None
-        if mask is not None:
-            mm = np.zeros((store.capacity,), dtype=bool)
-            mm[: mask.shape[0]] = mask
-            extra = jnp.asarray(mm)
-        okc, oko = ok_slot_masks(self, extra)
+        # host mask passes straight through: the filtered slot gather is
+        # memoized per (mask identity, store version) in ok_slot_masks
+        okc, oko = ok_slot_masks(
+            self, np.ascontiguousarray(mask, dtype=bool)
+            if mask is not None and not isinstance(mask, np.ndarray)
+            else mask)
         cfg = self._collection.config
         rr = rerank if rerank is not None else self.rerank
         ncand = nprobe * self.row_table.shape[1] + \

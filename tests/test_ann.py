@@ -84,6 +84,48 @@ def test_filtered_ann(built):
     assert all(h.metadata["g"] == 2 for hits in res for h in hits)
 
 
+def test_filtered_slot_masks_memoized_per_filter(built):
+    """A REPEATED filter must not re-pay the slot gather: ok_slot_masks
+    memoizes the filtered (okc, oko) per host-mask identity, which is
+    stable because Collection._filter_mask caches the mask per
+    (fingerprint, version).  The memo measured as the difference between
+    0.7 ms and 40 ms per 4M grouped dispatch (ROADMAP #25)."""
+    col, v, q = built
+    f = Filter.eq("g", 3)
+    res1 = col.search_batch(q[:4], k=8, filter=f, exact=False)
+    fmemo = getattr(col._ann, "_okf_memo", None)
+    assert fmemo is not None and len(fmemo) >= 1
+    okc_before = next(iter(fmemo.values()))[3]
+    # same filter again (fresh but fingerprint-equal object): memo hit —
+    # the stored filtered mask object must be THE SAME device array
+    res2 = col.search_batch(q[:4], k=8, filter=Filter.eq("g", 3),
+                            exact=False)
+    assert next(iter(fmemo.values()))[3] is okc_before
+    assert ids_of(res1) == ids_of(res2)
+    assert all(h.metadata["g"] == 3 for hits in res2 for h in hits)
+
+
+def test_filtered_slot_mask_memo_invalidates_on_mutation():
+    """A store mutation replaces the validity buffer; the filtered memo's
+    identity guard must miss and recompute (a stale hit would keep serving
+    a deleted row through the filtered ANN path)."""
+    rng = np.random.default_rng(5)
+    n, d = 600, 16
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    col = Collection(CollectionConfig(name="fmemo", dimensions=d,
+                                      metric="l2"))
+    col.insert_batch(v, [f"r{i}" for i in range(n)],
+                     [{"g": i % 2} for i in range(n)])
+    col.build_ann(nlist=16, nprobe=16, iters=3)
+    f = Filter.eq("g", 0)
+    res = col.search_batch(v[:2], k=3, filter=f, exact=False)
+    assert res[0][0].id == "r0"
+    col.delete("r0")
+    res = col.search_batch(v[:2], k=3, filter=f, exact=False)
+    assert all(h.id != "r0" for hits in res for h in hits)
+    assert all(h.metadata["g"] == 0 for hits in res for h in hits)
+
+
 def test_tune_nprobe(built):
     col, v, q = built
     np_tuned = col._ann.tune_nprobe(q, target_recall=0.95, k=10)
