@@ -344,13 +344,7 @@ class GraphANN:
                device_out: bool = False
                ) -> Tuple[np.ndarray, np.ndarray]:
         if self.stale:
-            kw = dict(getattr(self, "_build_kwargs", {}))
-            kw.setdefault("r", self.neighbors.shape[1])
-            kw.setdefault("n_entries", self.medoids.shape[0])
-            kw.update(beam=self.beam, expand=self.expand,
-                      iters=self.iters, n_init=self.n_init)
-            rebuilt = GraphANN.build(self._collection, **kw)
-            self.__dict__.update(rebuilt.__dict__)
+            self.__dict__.update(self.rebuilt().__dict__)
         store = self._collection._store
         cfg = self._collection.config
         q = np.ascontiguousarray(queries, dtype=np.float32)
@@ -414,6 +408,18 @@ class GraphANN:
 
     def mark_stale(self) -> None:
         self.stale = True
+
+    def rebuilt(self) -> "GraphANN":
+        """A fresh index built with this index's recipe (build kwargs +
+        runtime-tuned beam/expand/iters/n_init) over the collection's
+        current rows; shared by the stale path and Collection's
+        background rebuild."""
+        kw = dict(getattr(self, "_build_kwargs", {}))
+        kw.setdefault("r", self.neighbors.shape[1])
+        kw.setdefault("n_entries", self.medoids.shape[0])
+        kw.update(beam=self.beam, expand=self.expand,
+                  iters=self.iters, n_init=self.n_init)
+        return GraphANN.build(self._collection, **kw)
 
     def stats(self) -> dict:
         n, r = self.neighbors.shape

@@ -537,17 +537,7 @@ class IVFIndex:
                rerank: Optional[int] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
         if self.stale:
-            # reuse the original build parameters; runtime-tuned knobs
-            # (set_search_params) override their build-time values
-            kw = dict(getattr(self, "_build_kwargs", {}))
-            kw.setdefault("nlist", self.centroids.shape[0])
-            kw["nprobe"] = self.nprobe
-            if self.quantizer is not None:
-                kw.setdefault("cell_dtype", "int8")
-            keep_rerank = self.rerank
-            rebuilt = IVFIndex.build(self._collection, **kw)
-            self.__dict__.update(rebuilt.__dict__)
-            self.rerank = keep_rerank   # runtime-tuned knob survives
+            self.__dict__.update(self.rebuilt().__dict__)
         store = self._collection._store
         q = np.ascontiguousarray(queries, dtype=np.float32)
         if q.ndim == 1:
@@ -623,6 +613,22 @@ class IVFIndex:
     # ------------------------------------------------------------------
     def mark_stale(self) -> None:
         self.stale = True
+
+    def rebuilt(self) -> "IVFIndex":
+        """A FRESH index built with this index's recipe over the
+        collection's current rows: original build parameters, with
+        runtime-tuned knobs (set_search_params nprobe / rerank) carried
+        over.  Used by the stale path and by Collection's background
+        rebuild — building reads the store lock-free (device buffers are
+        immutable; rows appended mid-build serve through the tail merge)."""
+        kw = dict(getattr(self, "_build_kwargs", {}))
+        kw.setdefault("nlist", self.centroids.shape[0])
+        kw["nprobe"] = self.nprobe
+        if self.quantizer is not None:
+            kw.setdefault("cell_dtype", "int8")
+        new = IVFIndex.build(self._collection, **kw)
+        new.rerank = self.rerank   # runtime-tuned knob survives
+        return new
 
     def stats(self) -> dict:
         counts = getattr(self, "_cell_counts", None)

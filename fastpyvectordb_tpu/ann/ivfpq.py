@@ -339,14 +339,7 @@ class IVFPQIndex:
                max_query_batch: int = 256
                ) -> Tuple[np.ndarray, np.ndarray]:
         if self.stale:
-            kw = dict(getattr(self, "_build_kwargs", {}))
-            kw.setdefault("nlist", self.centroids.shape[0])
-            kw.setdefault("m", self.codes.shape[2])
-            kw.setdefault("pq_k", self.codebooks.shape[1])
-            kw["nprobe"] = self.nprobe
-            kw["rerank"] = self.rerank
-            rebuilt = IVFPQIndex.build(self._collection, **kw)
-            self.__dict__.update(rebuilt.__dict__)
+            self.__dict__.update(self.rebuilt().__dict__)
         store = self._collection._store
         q = np.ascontiguousarray(queries, dtype=np.float32)
         if q.ndim == 1:
@@ -399,6 +392,18 @@ class IVFPQIndex:
     # ------------------------------------------------------------------
     def mark_stale(self) -> None:
         self.stale = True
+
+    def rebuilt(self) -> "IVFPQIndex":
+        """A fresh index built with this index's recipe (build kwargs +
+        runtime-tuned nprobe/rerank) over the collection's current rows;
+        shared by the stale path and Collection's background rebuild."""
+        kw = dict(getattr(self, "_build_kwargs", {}))
+        kw.setdefault("nlist", self.centroids.shape[0])
+        kw.setdefault("m", self.codes.shape[2])
+        kw.setdefault("pq_k", self.codebooks.shape[1])
+        kw["nprobe"] = self.nprobe
+        kw["rerank"] = self.rerank
+        return IVFPQIndex.build(self._collection, **kw)
 
     def stats(self) -> dict:
         counts = getattr(self, "_cell_counts", None)

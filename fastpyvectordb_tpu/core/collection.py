@@ -57,6 +57,9 @@ class Collection:
         self._ids_arr_version = -1
         self._ann = None  # optional ANN index (ann/ivf.py), built on demand
         self._quantized = None  # optional quantized scan state (quant/)
+        self._rebuild_thread: Optional[threading.Thread] = None
+        self._row_epoch = 0  # bumped by row RENUMBERING (compact/load):
+        # a background rebuild spawned before must not swap in after
         self._wal = None  # write-ahead log (persist/wal.py), durability="wal"
         # durability is a runtime preference, not a data property: the
         # constructor's requested value wins over whatever the snapshot
@@ -338,8 +341,15 @@ class Collection:
             # filtered-ANN failure mode; hnswlib has the same issue).
             use_ann = False
         if use_ann and self._ann is not None:
-            if self._index_rebuild_due(self._ann):
-                self._ann.mark_stale()  # rebuilt inside .search()
+            if self._index_rebuild_due(self._ann) and not self._ann.stale:
+                if self.config.rebuild == "inline":
+                    self._ann.mark_stale()  # rebuilt inside .search()
+                else:
+                    # background: THIS search (and every one until the
+                    # swap) serves through the stale index + exact tail
+                    # merge — correct, just less amortized — instead of
+                    # blocking a request on a minutes-long k-means
+                    self._spawn_rebuild("ann")
             if not isinstance(q, np.ndarray):
                 q = np.asarray(q)  # ANN routing runs host-side numpy
             dists, rows = self._ann.search(
@@ -569,6 +579,68 @@ class Collection:
         return (tail > max(built_count // 4, 4096)
                 or self._store.n_valid * 2 < built_live)
 
+    def _spawn_rebuild(self, kind: str) -> None:
+        """Background index rebuild (one in flight per collection): build a
+        fresh index off-lock with the live index's own recipe, then swap
+        it in atomically.  The swap is guarded against row RENUMBERING
+        (compact/load bump ``_row_epoch``; a pre-renumbering build would
+        reference dead row ids) and against the index object having been
+        replaced meanwhile (user re-ran build_ann / enable_quantized_scan).
+        Rows appended during the build serve through the tail merge, and
+        deletes ride the validity mask, so the un-swapped window is always
+        correct — just less amortized.  Caller holds the lock."""
+        t = self._rebuild_thread
+        if t is not None and t.is_alive():
+            return
+        epoch = self._row_epoch
+        if kind == "ann":
+            snap = self._ann
+
+            def work():
+                new = snap.rebuilt()
+                with self._lock:
+                    if self._ann is snap and self._row_epoch == epoch:
+                        self._ann = new
+        else:
+            snap = self._quantized
+            kw = dict(getattr(self, "_quant_kwargs", {}))
+
+            def work():
+                from ..quant.scan import QuantizedScan
+                new = QuantizedScan.build(self, kind=snap.kind, **kw)
+                tuned = getattr(snap, "default_rerank", None)
+                if tuned is not None:  # tune_rerank's depth survives
+                    new.default_rerank = tuned
+                with self._lock:
+                    if (self._quantized is snap
+                            and self._row_epoch == epoch):
+                        self._quantized = new
+
+        def runner():
+            try:
+                work()
+            except Exception as e:  # noqa: BLE001 - background best-effort
+                import sys
+                print(f"background {kind} rebuild failed "
+                      f"({type(e).__name__}: {e}); serving continues on "
+                      "the stale index + tail merge", file=sys.stderr)
+
+        t = threading.Thread(target=runner, daemon=True,
+                             name=f"fpv-rebuild-{self.config.name}")
+        self._rebuild_thread = t
+        t.start()
+
+    def wait_for_rebuild(self, timeout: Optional[float] = None) -> bool:
+        """Block until any in-flight background rebuild finishes (returns
+        False on timeout).  Must NOT be called while holding operations
+        open in other threads that could need the collection lock; the
+        rebuild's final swap briefly takes it."""
+        t = self._rebuild_thread
+        if t is None or not t.is_alive():
+            return True
+        t.join(timeout)
+        return not t.is_alive()
+
     def _tail_exact(self, q: np.ndarray, k: int,
                     mask: Optional[np.ndarray], start: int
                     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -726,15 +798,18 @@ class Collection:
         if self._quantized is None:
             self.enable_quantized_scan()
         elif self._index_rebuild_due(self._quantized):
-            # a threshold rebuild must not silently discard the tuned
-            # candidate depth (tune_rerank) — recall would collapse
-            # back to the untuned default on clustered corpora
-            tuned = getattr(self._quantized, "default_rerank", None)
-            self.enable_quantized_scan(
-                kind=self._quantized.kind, tune=False,
-                **getattr(self, "_quant_kwargs", {}))
-            if tuned is not None:
-                self._quantized.default_rerank = tuned
+            if self.config.rebuild == "inline":
+                # a threshold rebuild must not silently discard the tuned
+                # candidate depth (tune_rerank) — recall would collapse
+                # back to the untuned default on clustered corpora
+                tuned = getattr(self._quantized, "default_rerank", None)
+                self.enable_quantized_scan(
+                    kind=self._quantized.kind, tune=False,
+                    **getattr(self, "_quant_kwargs", {}))
+                if tuned is not None:
+                    self._quantized.default_rerank = tuned
+            else:
+                self._spawn_rebuild("quantized")
         mask = self._filter_mask(filter)
         if rerank is None:  # tuned default if set (tune_rerank), else 4
             rerank = getattr(self._quantized, "default_rerank", 4)
@@ -826,6 +901,8 @@ class Collection:
             self._row_to_id = [old_ids[r] for r in live]
             self._metadata = [old_meta[r] for r in live]
             self._id_to_row = {i: j for j, i in enumerate(self._row_to_id)}
+            self._row_epoch += 1  # rows renumbered: fence out any
+            # background rebuild spawned over the old numbering
             self._bump()
             return before - self._store.count
 
@@ -903,6 +980,7 @@ class Collection:
         self._metadata = list(c.read("metadata"))
         self._id_to_row = {i: r for r, i in enumerate(self._row_to_id)
                            if i is not None and valid[r]}
+        self._row_epoch += 1  # row space replaced wholesale
         self._bump()
         ann_meta = c.meta.get("ann")
         if ann_meta:

@@ -109,11 +109,23 @@ class CollectionConfig:
     # ~10-100x slower appends on most filesystems) vs flush-only (survives
     # process crashes, the common case).
     wal_fsync: bool = False
+    # Index-rebuild policy when drift fires (Collection._index_rebuild_due:
+    # >25% tail growth or >50% mass delete): "background" rebuilds in a
+    # daemon thread and atomically swaps the new index in — searches keep
+    # serving through the stale index + exact tail merge and are never
+    # blocked by a minutes-long k-means; "inline" rebuilds synchronously
+    # inside the triggering search call (deterministic; the round-2
+    # behavior).
+    rebuild: str = "background"
 
     def __post_init__(self) -> None:
         self.metric = DistanceMetric.parse(self.metric)
         if self.dimensions <= 0:
             raise ValueError("dimensions must be positive")
+        if self.rebuild not in ("background", "inline"):
+            raise ValueError(
+                f"rebuild must be 'background' or 'inline', got "
+                f"{self.rebuild!r}")
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)

@@ -64,8 +64,42 @@ def test_tail_growth_triggers_threshold_rebuild():
     # relative tail with a small floor by growing past max(built//4, 4096)
     extra = rng.standard_normal((4200, D)).astype(np.float32)
     col.insert_batch(extra, [f"x{i}" for i in range(4200)])
-    col.search(v[0], k=3, exact=False)
+    col.search(v[0], k=3, exact=False)   # spawns the background rebuild
+    assert col.wait_for_rebuild(timeout=120)
     assert col._ann._built_count == 64 + 4200  # rebuilt over everything
+
+
+def test_background_rebuild_is_nonblocking_and_correct():
+    """The triggering search must NOT pay the rebuild (it serves stale +
+    tail merge); the swapped-in index covers everything afterwards."""
+    col, v, rng = _mk(64, index="ivf", nlist=8, nprobe=8, iters=3)
+    assert col.config.rebuild == "background"
+    extra = rng.standard_normal((4200, D)).astype(np.float32)
+    col.insert_batch(extra, [f"x{i}" for i in range(4200)])
+    old = col._ann
+    hits = col.search(extra[7], k=3, exact=False)   # tail row: merge path
+    assert hits[0].id == "x7"
+    assert col._ann is old and not old.stale  # served WITHOUT rebuilding
+    assert col.wait_for_rebuild(timeout=120)
+    assert col._ann is not old
+    assert col._ann._built_count == 64 + 4200
+    hits = col.search(extra[7], k=3, exact=False)   # now via the index
+    assert hits[0].id == "x7"
+
+
+def test_background_rebuild_fenced_by_compact():
+    """compact() renumbers rows mid-build: the stale build must NOT swap
+    in (its row_table references the old numbering)."""
+    col, v, rng = _mk(64, index="ivf", nlist=8, nprobe=8, iters=3)
+    extra = rng.standard_normal((4200, D)).astype(np.float32)
+    col.insert_batch(extra, [f"x{i}" for i in range(4200)])
+    col.delete_batch([f"v{i}" for i in range(32)])
+    col.search(extra[0], k=3, exact=False)  # spawn over old numbering
+    col.compact()                           # renumber + mark stale
+    col.wait_for_rebuild(timeout=120)
+    # whatever landed, searches must be correct post-compact
+    hits = col.search(extra[9], k=3, exact=False)
+    assert hits[0].id == "x9"
 
 
 def test_quantized_insert_and_delete_served_incrementally():
@@ -157,8 +191,10 @@ def test_mass_delete_rebuilds_once_not_every_search(rng):
     col.build_ann(nlist=16, nprobe=8, iters=3)
     col.delete_batch([f"v{i}" for i in range(400)])  # 66% tombstones
     col.search(v[500], k=3, exact=False)             # triggers the rebuild
+    assert col.wait_for_rebuild(timeout=120)
     assert not col._ann.stale
     built_table = col._ann.row_table
     col.search(v[501], k=3, exact=False)
     col.search(v[502], k=3, exact=False)
+    assert col.wait_for_rebuild(timeout=120)
     assert col._ann.row_table is built_table  # no second rebuild

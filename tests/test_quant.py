@@ -279,6 +279,9 @@ def test_tuned_rerank_survives_threshold_rebuild():
                      [f"w{i}" for i in range(8000)])
     assert col._index_rebuild_due(scan.built_count)
     col.search_quantized(rng.standard_normal(16).astype(np.float32), k=5)
+    assert col.wait_for_rebuild(timeout=120)
+    assert col._quantized is not scan  # background rebuild swapped in
+    assert col._quantized.built_count == 256 + 8000
     assert getattr(col._quantized, "default_rerank", None) == 32
 
 
