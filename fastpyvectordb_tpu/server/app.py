@@ -168,6 +168,11 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
             "collections": len(db().list_collections()),
             "websocket_connections": state["ws"].connection_count,
         }
+        rebuilding = [n for n in db().list_collections()
+                      if (t := db()[n]._rebuild_thread) is not None
+                      and t.is_alive()]
+        if rebuilding:  # background index rebuilds in flight (observable
+            info["rebuilding"] = rebuilding  # so ops can defer compaction)
         if state["graph"] is not None:
             info["graph"] = state["graph"].stats()
         if state["embedder"] is not None:
