@@ -60,6 +60,8 @@ class Collection:
         self._rebuild_thread: Optional[threading.Thread] = None
         self._row_epoch = 0  # bumped by row RENUMBERING (compact/load):
         # a background rebuild spawned before must not swap in after
+        self._serving_mode: Optional[str] = None  # optimize()-installed
+        # default for search(exact=None): None | exact | ann | quantized
         self._wal = None  # write-ahead log (persist/wal.py), durability="wal"
         # durability is a runtime preference, not a data property: the
         # constructor's requested value wins over whatever the snapshot
@@ -326,8 +328,19 @@ class Collection:
 
     def _search_rows(self, q, k: int, filter: Optional[Filter],
                      exact: Optional[bool]):
-        """Shared dispatch: (ANN | exact masked scan) → (dists, rows).
-        Caller holds the lock and has handled the empty-store case."""
+        """Shared dispatch: (ANN | exact masked scan | optimized default)
+        → (dists, rows).  Caller holds the lock and has handled the
+        empty-store case."""
+        if exact is None and self._serving_mode is not None:
+            # optimize()-installed default; explicit exact=True/False
+            # always overrides
+            if (self._serving_mode == "quantized"
+                    and self._quantized is not None):
+                return self._quantized_rows(np.asarray(q), k, None, filter)
+            if self._serving_mode == "exact":
+                exact = True
+            elif self._serving_mode == "ann":
+                exact = False
         use_ann = (exact is False) or (
             exact is None and self.config.index != "flat"
             and self._ann is not None)
@@ -757,6 +770,104 @@ class Collection:
                         f"{type(self._ann).__name__} has no parameter {key!r}")
                 setattr(self._ann, key, int(value))
 
+    def optimize(self, target_recall: float = 0.95, k: int = 10,
+                 sample_queries: int = 32, build: bool = True,
+                 install: bool = True) -> dict:
+        """Pick the cheapest serving mode clearing ``target_recall`` on
+        sampled self-queries and install it as the default for
+        ``search()`` / ``search_batch()`` (explicit ``exact=``/
+        ``search_quantized`` calls always override).
+
+        Automates the reference's manual scale ladder (README.md:571-578
+        "<100k HNSW · 100k-1M +SQ · ...").  Candidates: the exact scan
+        (recall 1.0 by construction), the quantized two-stage scan
+        (built with auto-tune if absent and ``build=True``), and any
+        already-built ANN index.  Recall is measured against the exact
+        float32 oracle; cost is ranked by HBM **bytes streamed per
+        query** — the honest hardware proxy in the bandwidth-bound
+        regime that dominates at >=1M rows (TECHNICAL_MANUAL §2
+        crossover; wall-clock micro-timing is unreliable through remote
+        tunnels and meaningless on the CPU test backend).
+
+        Returns a report: ``{mode: {recall, bytes_per_query, eligible}}``
+        plus ``installed``."""
+        def recall_at_k(rows, oracle):
+            return float(np.mean([
+                len(set(a.tolist()) & set(e.tolist())) / max(len(e), 1)
+                for a, e in zip(np.asarray(rows), np.asarray(oracle))]))
+
+        dtype_bytes = {"float32": 4, "bfloat16": 2, "float16": 2}
+        with self._lock:
+            qs = self._sample_live_queries(sample_queries)
+            report: Dict[str, dict] = {}
+            n = max(self._store.n_valid, 1)
+            d = self.config.dimensions
+            store_b = dtype_bytes.get(self.config.storage_dtype, 4)
+            exact_bytes = float(n * d * store_b)
+            report["exact"] = {"recall": 1.0,
+                               "bytes_per_query": exact_bytes,
+                               "eligible": True}
+            if qs is None:
+                if install:
+                    self._serving_mode = "exact"
+                report["installed"] = "exact" if install else None
+                return report
+            _, oracle = self._store.search(
+                qs, k, self.config.metric, compute_dtype="float32",
+                topk="exact")
+
+            if self._quantized is None and build and n >= 4096:
+                self.enable_quantized_scan("int8",
+                                           tune_target=target_recall)
+            if self._quantized is not None:
+                _, rows = self._quantized_rows(qs, k, None, None)
+                rec = recall_at_k(rows, oracle)
+                kind = self._quantized.kind
+                code_b = {"int8": d, "binary": d // 8,
+                          "pq": int(self._quantized.codes.shape[-1])}
+                rr = getattr(self._quantized, "default_rerank", 4)
+                qb = float(n * code_b.get(kind, d)
+                           + rr * k * d * store_b)  # coarse + rerank gather
+                report["quantized"] = {
+                    "recall": round(rec, 4), "bytes_per_query": qb,
+                    "eligible": rec >= target_recall}
+            if self._ann is not None and not self._ann.stale:
+                _, rows = self._ann.search(qs, k)
+                rec = recall_at_k(rows, oracle)
+                st = self._ann.stats() if hasattr(self._ann, "stats") else {}
+                nlist = st.get("nlist")
+                if nlist:  # IVF family: probed fraction + overflow
+                    cell_b = 1 if getattr(self._ann, "quantizer",
+                                          None) is not None else store_b
+                    if hasattr(self._ann, "codes"):  # IVF-PQ: M bytes/row
+                        cell_b = self._ann.codes.shape[2] / d
+                    nprobe = getattr(self._ann, "nprobe", 8)
+                    frac = min(1.0, nprobe / max(nlist, 1))
+                    over = int(getattr(self._ann, "overflow_rows",
+                                       np.empty(0)).shape[0])
+                    ab = float((frac * n + over) * d * cell_b
+                               + getattr(self._ann, "rerank", 0)
+                               * k * d * store_b)
+                else:  # graph beam search: iters * expand * beam gathers
+                    beam = getattr(self._ann, "beam", 128)
+                    iters = getattr(self._ann, "iters", 16)
+                    expand = getattr(self._ann, "expand", 4)
+                    r = getattr(self._ann, "neighbors",
+                                np.zeros((0, 32))).shape[1]
+                    ab = float(iters * expand * r * d * store_b
+                               + beam * d * store_b)
+                report["ann"] = {
+                    "recall": round(rec, 4), "bytes_per_query": ab,
+                    "eligible": rec >= target_recall}
+            eligible = {m: v for m, v in report.items()
+                        if isinstance(v, dict) and v.get("eligible")}
+            best = min(eligible, key=lambda m:
+                       eligible[m]["bytes_per_query"])
+            if install:
+                self._serving_mode = best
+            report["installed"] = best if install else None
+            return report
+
     def search_quantized(self, queries, k: int = 10,
                          rerank: Optional[int] = None,
                          filter: Optional[Filter] = None,
@@ -922,6 +1033,8 @@ class Collection:
                 "metadata": self._metadata,
             }
             meta = {"config": self.config.to_dict(), "kind": "collection"}
+            if self._serving_mode is not None:
+                meta["serving_mode"] = self._serving_mode
             # persist the ANN structure alongside (parity with hnswlib's
             # index.bin, vectordb_optimized.py:306-331)
             if self._ann is not None and not self._ann.stale:
@@ -982,6 +1095,7 @@ class Collection:
                            if i is not None and valid[r]}
         self._row_epoch += 1  # row space replaced wholesale
         self._bump()
+        self._serving_mode = c.meta.get("serving_mode")
         ann_meta = c.meta.get("ann")
         if ann_meta:
             sections = {k: c.read(k) for k in c.keys()

@@ -299,3 +299,51 @@ def test_prewarm_covers_non_pow2_max_batch():
                      [f"v{i}" for i in range(100)])
     t = col.prewarm(max_batch=3)
     assert set(t) == {"exact_b1", "exact_b2", "exact_b4"}
+
+
+def test_optimize_installs_cheapest_eligible_mode(tmp_path):
+    """optimize() picks the mode with the fewest HBM bytes/query among
+    those clearing the recall target, installs it as the search()
+    default, and the choice survives save/load."""
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    rng = np.random.default_rng(7)
+    n, d = 5000, 32
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    col = Collection(CollectionConfig(name="opt", dimensions=d,
+                                      metric="l2"),
+                     base_path=tmp_path / "opt")
+    col.insert_batch(v, [f"v{i}" for i in range(n)])
+    report = col.optimize(target_recall=0.9, k=5)
+    assert report["exact"]["eligible"]
+    # int8 codes stream 4x fewer bytes than the f32 store; on Gaussian
+    # data int8+rerank clears 0.9 easily, so quantized must win
+    assert report["installed"] == "quantized"
+    assert report["quantized"]["recall"] >= 0.9
+    assert (report["quantized"]["bytes_per_query"]
+            < report["exact"]["bytes_per_query"])
+    # the installed default actually routes search() through the scan
+    hits = col.search(v[11], k=3)
+    assert hits[0].id == "v11"
+    # explicit exact still overrides
+    hits = col.search(v[11], k=3, exact=True)
+    assert hits[0].id == "v11"
+    col.save()
+    col2 = Collection(CollectionConfig(name="opt", dimensions=d,
+                                       metric="l2"),
+                      base_path=tmp_path / "opt")
+    assert col2._serving_mode == "quantized"
+    assert col2.search(v[11], k=3)[0].id == "v11"
+
+
+def test_optimize_tiny_corpus_stays_exact():
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    rng = np.random.default_rng(8)
+    col = Collection(CollectionConfig(name="opt2", dimensions=8,
+                                      metric="cosine"))
+    col.insert_batch(rng.standard_normal((50, 8)).astype(np.float32),
+                     [f"v{i}" for i in range(50)])
+    report = col.optimize()
+    # 50 rows: no quantizer build (below the 4096 floor), exact wins
+    assert report["installed"] == "exact"
+    assert col.search(rng.standard_normal(8).astype(np.float32),
+                      k=3) is not None
