@@ -104,6 +104,15 @@ class VectorDBClient:
         return self._post(f"/collections/{_seg(collection)}/index",
                           {"kind": kind, "params": params})
 
+    def optimize(self, collection: str, target_recall: float = 0.95,
+                 k: int = 10, build: bool = True,
+                 install: bool = True) -> dict:
+        """Server-side Collection.optimize(): measure serving modes and
+        install the cheapest one clearing the recall target."""
+        return self._post(f"/collections/{_seg(collection)}/optimize",
+                          {"target_recall": target_recall, "k": k,
+                           "build": build, "install": install})
+
     def search(self, collection: str, vector=None, text: Optional[str] = None,
                k: int = 10, where: Optional[dict] = None,
                filter_tree: Optional[dict] = None,

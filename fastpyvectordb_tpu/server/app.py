@@ -490,6 +490,23 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         return web.json_response({"built": req.kind, "info": info},
                                  status=201)
 
+    async def optimize_collection(request):
+        """POST /collections/{name}/optimize — measure serving modes vs
+        the exact oracle and install the cheapest eligible one as the
+        collection's search() default (Collection.optimize)."""
+        c = collection_or_404(request.match_info["name"])
+        body = await _body(request) if request.can_read_body else {}
+        target = float(body.get("target_recall", 0.95))
+        k = int(body.get("k", 10))
+        build = bool(body.get("build", True))
+        install = bool(body.get("install", True))
+        try:
+            report = await _off(c.optimize, target_recall=target, k=k,
+                                build=build, install=install)
+        except (ValueError, RuntimeError) as e:
+            return _json_error(400, str(e))
+        return web.json_response(report)
+
     async def search_batch(request):
         name = request.match_info["name"]
         c = collection_or_404(name)
@@ -733,6 +750,7 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
     r.add_post("/collections/{name}/search", search)
     r.add_post("/collections/{name}/search/batch", search_batch)
     r.add_post("/collections/{name}/index", build_index)
+    r.add_post("/collections/{name}/optimize", optimize_collection)
     r.add_post("/admin/save", admin_save)
     if full:
         r.add_post("/collections/{name}/texts", insert_text)

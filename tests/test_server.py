@@ -538,3 +538,26 @@ def test_text_search_embedder_dims_mismatch_is_400(server, client):
                    json={"text": "hello", "k": 2}, timeout=60)
     assert r.status_code == 400
     assert "dims" in r.text or "-d" in r.text
+
+
+def test_optimize_endpoint_installs_mode(server, client):
+    import httpx
+    base = f"http://127.0.0.1:{server.port}"
+    httpx.post(f"{base}/collections",
+               json={"name": "optsrv", "dimensions": 8}, timeout=30)
+    vecs = np.random.default_rng(2).standard_normal((200, 8)).tolist()
+    httpx.post(f"{base}/collections/optsrv/vectors/batch",
+               json={"vectors": vecs,
+                     "ids": [f"o{i}" for i in range(200)]}, timeout=120)
+    r = httpx.post(f"{base}/collections/optsrv/optimize",
+                   json={"target_recall": 0.9, "k": 5}, timeout=300)
+    assert r.status_code == 200, r.text
+    rep = r.json()
+    # 200 rows sit under the quantizer-build floor: exact must win
+    assert rep["installed"] == "exact"
+    assert rep["exact"]["eligible"] is True
+    # searches still work through the installed default
+    r = httpx.post(f"{base}/collections/optsrv/search",
+                   json={"vector": vecs[3], "k": 3}, timeout=120)
+    assert r.status_code == 200
+    assert r.json()["results"][0]["id"] == "o3"
