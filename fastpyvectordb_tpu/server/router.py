@@ -637,6 +637,18 @@ def create_router_app(shards: List[str],
             {"built": body.get("kind"), "per_shard": [o[1] for o in outs]},
             status=worst)
 
+    async def optimize_collection(request):
+        """Fan optimize out to every shard; each picks its own serving
+        mode (shards may differ — e.g. uneven row counts straddle the
+        quantizer-build floor), which is correct because search fan-out
+        merges exact-unit distances regardless of per-shard mode."""
+        name = request.match_info["name"]
+        body = await _json_body(request)
+        outs = await _fanout_post(f"/collections/{name}/optimize", body)
+        worst = max(o[0] for o in outs)
+        return web.json_response({"per_shard": [o[1] for o in outs]},
+                                 status=worst)
+
     async def admin_save(request):
         outs = await _fanout_post("/admin/save", {})
         return web.json_response({"saved": all(o[0] == 200 for o in outs)})
@@ -656,6 +668,7 @@ def create_router_app(shards: List[str],
     r.add_post("/collections/{name}/search", search)
     r.add_post("/collections/{name}/search/batch", search_batch)
     r.add_post("/collections/{name}/index", build_index)
+    r.add_post("/collections/{name}/optimize", optimize_collection)
     r.add_post("/admin/save", admin_save)
     return app
 

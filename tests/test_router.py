@@ -279,3 +279,25 @@ def test_list_collections_counts_exact(cluster):
     assert got["cnt"] == want, (got["cnt"], want)
     single = httpx.get(router.url + "/collections/cnt", timeout=30).json()
     assert single.get("count") == want
+
+
+def test_router_optimize_fans_out(cluster):
+    router, shards = cluster
+    rng = np.random.default_rng(4)
+    httpx.post(router.url + "/collections",
+               json={"name": "ropt", "dimensions": 8}, timeout=30)
+    vecs = rng.standard_normal((160, 8)).tolist()
+    httpx.post(router.url + "/collections/ropt/vectors/batch",
+               json={"vectors": vecs,
+                     "ids": [f"r{i}" for i in range(160)]}, timeout=120)
+    r = httpx.post(router.url + "/collections/ropt/optimize",
+                   json={"target_recall": 0.9}, timeout=300)
+    assert r.status_code == 200, r.text
+    per = r.json()["per_shard"]
+    assert len(per) == 2
+    # tiny per-shard corpora resolve to exact on both shards
+    assert all(p["installed"] == "exact" for p in per)
+    # merged search still correct through the installed defaults
+    r = httpx.post(router.url + "/collections/ropt/search",
+                   json={"vector": vecs[5], "k": 3}, timeout=120)
+    assert r.json()["results"][0]["id"] == "r5"
