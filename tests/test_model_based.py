@@ -1,0 +1,179 @@
+"""Model-based fuzzing: a random mutation/search workload cross-checked
+against a naive numpy reference model.
+
+The reference repo's tests pin individual behaviors; this suite instead
+drives the WHOLE mutable surface (insert/insert_batch/upsert/delete/
+update_metadata/compact/save+reload) in random interleavings and checks
+every exact search — filtered and unfiltered — against an oracle that
+recomputes distances row-by-row with ``Filter.evaluate`` (the reference's
+per-row semantics, vectordb_optimized.py:550-573).  Catches cross-feature
+interactions no targeted test enumerates: tombstone/filter-mask staleness,
+row renumbering after compact, metadata patches racing column caches,
+id-map drift across save/load.
+"""
+
+import numpy as np
+import pytest
+
+from fastpyvectordb_tpu import Collection, CollectionConfig, Filter
+
+D = 8
+K = 5
+
+
+class NaiveModel:
+    """Dict-of-rows oracle with per-row filter evaluation."""
+
+    def __init__(self, metric: str):
+        self.metric = metric
+        self.rows = {}  # id -> (vector, metadata)
+
+    def insert(self, vec, id, md):
+        if id in self.rows:
+            raise KeyError(id)
+        self.rows[id] = (np.asarray(vec, np.float32), dict(md or {}))
+
+    def upsert(self, vec, id, md):
+        self.rows[id] = (np.asarray(vec, np.float32), dict(md or {}))
+
+    def delete(self, id):
+        return self.rows.pop(id, None) is not None
+
+    def update_metadata(self, id, md, merge=True):
+        if id not in self.rows:
+            return False
+        vec, old = self.rows[id]
+        self.rows[id] = (vec, {**old, **md} if merge else dict(md))
+        return True
+
+    def search(self, q, k, filt=None):
+        """Returns [(id, dist)] sorted ascending, ties broken arbitrarily."""
+        q = np.asarray(q, np.float32)
+        out = []
+        for rid, (v, md) in self.rows.items():
+            if filt is not None and not filt.evaluate(md):
+                continue
+            if self.metric == "cosine":
+                d = 1.0 - float(
+                    np.dot(q, v)
+                    / max(np.linalg.norm(q) * np.linalg.norm(v), 1e-30))
+            elif self.metric == "l2":
+                d = float(np.linalg.norm(q - v))
+            else:
+                d = -float(np.dot(q, v))
+            out.append((rid, d))
+        out.sort(key=lambda t: t[1])
+        return out[:k]
+
+
+def check_search(col, model, q, filt, seed_note):
+    got = col.search(q, k=K, filter=filt, exact=True)
+    want = model.search(q, K, filt)
+    assert len(got) == len(want), (
+        f"{seed_note}: hit count {len(got)} != oracle {len(want)}")
+    # the engine's L2 uses the decomposed ||a||^2+||b||^2-2ab (the
+    # reference's batch formula, parallel_search.py:282-287), whose f32
+    # error floor is ~1e-6 in the SQUARED domain — sqrt turns a
+    # true-zero self-distance into ~1e-3, so the L2 tolerance is wider
+    tol = 3e-3 if model.metric == "l2" else 5e-4
+    # distances must match the oracle pairwise (both sorted ascending);
+    # ids may swap only among (near-)ties
+    for i, (hit, (wid, wd)) in enumerate(zip(got, want)):
+        assert hit.score == pytest.approx(wd, abs=tol), (
+            f"{seed_note}: rank {i} dist {hit.score} != oracle {wd} "
+            f"({hit.id} vs {wid})")
+        # the returned id's TRUE distance must equal the claimed score
+        true_d = dict(model.search(q, len(model.rows), filt)).get(hit.id)
+        assert true_d is not None, (
+            f"{seed_note}: {hit.id} fails the filter or is deleted")
+        assert true_d == pytest.approx(hit.score, abs=tol), (
+            f"{seed_note}: {hit.id} claimed {hit.score}, true {true_d}")
+
+
+def random_filter(rng):
+    choice = rng.integers(0, 6)
+    if choice == 0:
+        return None
+    if choice == 1:
+        return Filter.eq("g", int(rng.integers(0, 4)))
+    if choice == 2:
+        return Filter.gt("x", float(rng.uniform(-1, 1)))
+    if choice == 3:
+        return Filter.and_([Filter.eq("g", int(rng.integers(0, 4))),
+                            Filter.lte("x", float(rng.uniform(-1, 1)))])
+    if choice == 4:
+        return Filter.or_([Filter.eq("g", 0), Filter.gte("x", 0.5)])
+    return Filter.not_(Filter.in_("g", [0, 1]))
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2", "dot"])
+def test_random_workload_matches_naive_model(metric, tmp_path):
+    rng = np.random.default_rng(hash(metric) % (2**31))
+    col = Collection(CollectionConfig(name=f"mb-{metric}", dimensions=D,
+                                      metric=metric),
+                     base_path=tmp_path / metric)
+    model = NaiveModel(metric)
+    next_id = 0
+
+    def new_md():
+        return {"g": int(rng.integers(0, 4)),
+                "x": float(rng.uniform(-1, 1))}
+
+    for step in range(220):
+        note = f"{metric} step {step}"
+        op = rng.integers(0, 10)
+        if op <= 2 or not model.rows:  # 30%: insert batch
+            nb = int(rng.integers(1, 9))
+            vecs = rng.standard_normal((nb, D)).astype(np.float32)
+            ids, mds = [], []
+            for _ in range(nb):
+                ids.append(f"id{next_id}")
+                next_id += 1
+                mds.append(new_md())
+            col.insert_batch(vecs, ids, mds)
+            for v, i, m in zip(vecs, ids, mds):
+                model.insert(v, i, m)
+        elif op == 3:  # upsert (existing or new)
+            if rng.random() < 0.5:
+                rid = str(rng.choice(list(model.rows)))
+            else:
+                rid = f"id{next_id}"
+                next_id += 1
+            v = rng.standard_normal(D).astype(np.float32)
+            md = new_md()
+            col.upsert(v, rid, md)
+            model.upsert(v, rid, md)
+        elif op == 4:  # delete
+            rid = str(rng.choice(list(model.rows)))
+            assert col.delete(rid) == model.delete(rid), note
+            assert not col.delete(rid), note  # second delete is a no-op
+        elif op == 5:  # metadata update (merge and replace)
+            rid = str(rng.choice(list(model.rows)))
+            md = {"x": float(rng.uniform(-1, 1))}
+            merge = bool(rng.random() < 0.7)
+            assert (col.update_metadata(rid, md, merge=merge)
+                    == model.update_metadata(rid, md, merge=merge)), note
+        elif op == 6 and step % 3 == 0:  # occasional compact
+            col.compact()
+        elif op == 7 and step > 50 and step % 7 == 0:  # save + reload
+            col.save()
+            col = Collection(CollectionConfig(
+                name=f"mb-{metric}", dimensions=D, metric=metric),
+                base_path=tmp_path / metric)
+        # duplicate-insert must raise and change nothing
+        if op == 8 and model.rows:
+            rid = str(rng.choice(list(model.rows)))
+            with pytest.raises(ValueError):
+                col.insert(rng.standard_normal(D).astype(np.float32), rid)
+        # searches: every 4th step, 1-3 queries incl. a live-row probe
+        if step % 4 == 0 and model.rows:
+            filt = random_filter(rng)
+            q = rng.standard_normal(D).astype(np.float32)
+            check_search(col, model, q, filt, note)
+            probe_id = str(rng.choice(list(model.rows)))
+            check_search(col, model, model.rows[probe_id][0], filt,
+                         note + " (row probe)")
+
+    # final invariants
+    assert col.count() == len(model.rows)
+    assert sorted(col.all_ids()) == sorted(model.rows)
