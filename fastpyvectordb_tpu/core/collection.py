@@ -823,7 +823,8 @@ class Collection:
                 _, rows = self._quantized_rows(qs, k, None, None)
                 rec = recall_at_k(rows, oracle)
                 kind = self._quantized.kind
-                code_b = {"int8": d, "binary": d // 8,
+                code_b = {"int8": d, "int4": (d + 1) // 2,
+                          "binary": d // 8,
                           "pq": int(self._quantized.codes.shape[-1])}
                 rr = getattr(self._quantized, "default_rerank", 4)
                 qb = float(n * code_b.get(kind, d)

@@ -123,6 +123,89 @@ def sq_scores(queries: jnp.ndarray, codes: jnp.ndarray, vmin: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# int4 unpack-dequantize-and-matmul scan
+# ---------------------------------------------------------------------------
+
+def _int4_kernel(q_ref, codes_ref, vmin_ref, rscale_ref, qsq_ref, out_ref, *,
+                 metric: DistanceMetric):
+    """One (TILE_N, W) packed-uint8 int4 tile -> (B, TILE_N) scores.
+
+    Halves packing (quant/int4.py): byte w holds dim w (low nibble) and
+    dim w + W (high nibble), so the unpack is one lane-contiguous concat —
+    no cross-lane shuffle.  The tile streams HALF of int8's HBM bytes and
+    unpacks in VMEM at B-independent cost.
+
+    q_ref: (B, 2W) f32 — pre-normalized for cosine.
+    vmin_ref/rscale_ref: (1, 2W) f32; rscale = scale/15.
+    qsq_ref: (B, 1) f32 squared query norms (L2 only; zeros otherwise).
+    """
+    c = codes_ref[:].astype(jnp.int32)                    # (TN, W)
+    codes = jnp.concatenate([c & 0xF, c >> 4], axis=1)    # (TN, 2W)
+    v = codes.astype(jnp.float32) * rscale_ref[:] + vmin_ref[:]
+    q = q_ref[:]
+    cross = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if metric == DistanceMetric.COSINE:
+        vsq = jnp.sum(v * v, axis=1, keepdims=True)
+        rinv = jax.lax.rsqrt(jnp.maximum(vsq, 1e-30))
+        out_ref[:] = 1.0 - cross * rinv.T
+    elif metric == DistanceMetric.L2:
+        vsq = jnp.sum(v * v, axis=1, keepdims=True)
+        out_ref[:] = jnp.maximum(qsq_ref[:] + vsq.T - 2.0 * cross, 0.0)
+    else:
+        out_ref[:] = -cross
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("metric", "tile_n", "interpret"))
+def int4_scores(queries: jnp.ndarray, packed: jnp.ndarray, vmin: jnp.ndarray,
+                scale: jnp.ndarray, *, metric: DistanceMetric,
+                tile_n: int = 1024, interpret: bool = False) -> jnp.ndarray:
+    """(B, 2W) f32 x (N, W) packed-int4 uint8 -> (B, N) f32 scores.
+
+    Caller pads: N to tile_n, W to the 128-lane width, B to 8 (see
+    quant/int4.py:_distances_pallas); vmin/scale span the unpacked 2W dims
+    in the halves layout."""
+    b, de = queries.shape
+    n, w = packed.shape
+    q = queries.astype(jnp.float32)
+    if metric == DistanceMetric.COSINE:
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        q_in, qsq = qn, jnp.zeros((b, 1), jnp.float32)
+    elif metric == DistanceMetric.L2:
+        q_in = q
+        qsq = jnp.sum(q * q, axis=1, keepdims=True)
+    else:
+        q_in, qsq = q, jnp.zeros((b, 1), jnp.float32)
+
+    grid = (_cdiv(n, tile_n),)
+    kernel = functools.partial(_int4_kernel, metric=metric)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, de), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, de), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, de), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, tile_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * de,
+            bytes_accessed=n * w + b * de * 4 + b * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(q_in, packed, vmin.reshape(1, de), (scale / 15.0).reshape(1, de), qsq)
+
+
+# ---------------------------------------------------------------------------
 # packed-bit Hamming scan
 # ---------------------------------------------------------------------------
 

@@ -23,6 +23,7 @@ from ..core.types import DistanceMetric
 from ..kernels.distances import MASKED
 from ..kernels.topk import masked_top_k
 from .binary import BinaryQuantizer
+from .int4 import Int4Quantizer
 from .product import ProductQuantizer
 from .scalar import ScalarQuantizer
 
@@ -180,6 +181,47 @@ def _int8_two_stage(q, codes, vmin, scale, vsq, rinv, vectors, mask, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "metric", "k", "c", "approx", "rerank_dtype", "use_pallas"))
+def _int4_two_stage(q, q_lay, codes_p, vmin_p, scale_p, vsq, rinv, vectors,
+                    mask, *, metric: DistanceMetric, k: int, c: int,
+                    approx: bool, rerank_dtype: str, use_pallas: bool):
+    """The ENTIRE int4 two-stage search as one dispatch.  On TPU the
+    coarse scores come from the Pallas unpack-in-VMEM kernel — the scan
+    streams N x D/2 bytes, HALF of int8's traffic (the whole point of
+    the codec); off-TPU the XLA unpack+matmul path keeps the same math.
+    ``codes_p``/``vmin_p``/``scale_p`` arrive pre-padded to the kernel
+    layout and ``q_lay`` in the matching halves-padded query layout
+    (Int4Quantizer.pallas_layout / pallas_query); ``q`` keeps the true
+    dims for the exact re-rank.  ``mask`` covers the real rows; padding
+    rows mask False in-graph.
+    """
+    n = mask.shape[0]
+    rows_pad = codes_p.shape[0] - n
+    mask_p = jnp.pad(mask, (0, rows_pad)) if rows_pad else mask
+    if use_pallas:
+        from ..kernels.pallas_quant import int4_scores
+        s = int4_scores(q_lay.astype(jnp.float32), codes_p, vmin_p,
+                        scale_p, metric=metric)
+    else:
+        from .int4 import _distances_int4_matmul
+        s = _distances_int4_matmul(
+            q_lay, codes_p, vmin_p, scale_p,
+            jnp.pad(vsq, (0, rows_pad)) if rows_pad else vsq,
+            jnp.pad(rinv, (0, rows_pad)) if rows_pad else rinv,
+            metric=metric)
+    if approx:
+        cvals, crows = _masked_candidates(s, mask_p, c=c)
+    else:
+        s = jnp.where(mask_p[None, :], s, MASKED)
+        neg, crows = jax.lax.top_k(-s, c)
+        cvals = -neg
+    safe = jnp.minimum(crows, vectors.shape[0] - 1)  # padded rows clip
+    cand_vecs = jnp.take(vectors, safe, axis=0)
+    return _rerank_body(q, cand_vecs, safe, cvals < MASKED * 0.5, metric,
+                        k, rerank_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
     "dims", "metric", "k", "c", "rerank_dtype"))
 def _binary_two_stage(q, thresholds, codes_t, vectors, mask, *, dims: int,
                       metric: DistanceMetric, k: int, c: int,
@@ -222,7 +264,11 @@ class QuantizedScan:
         # recall@10 0.50 at rr16, 0.92 at rr64, 0.97 at rr128, with
         # nearly flat latency — the coarse scan dominates).  tune_rerank
         # overrides per corpus.
-        self.default_rerank = {"int8": 4, "binary": 128}.get(kind, 16)
+        # int4's 16-level ordering sits between int8's (tight, rr=4) and
+        # binary's (collapses on clusters, rr=128); rr=8 is the default
+        # and tune_rerank overrides per corpus
+        self.default_rerank = {"int8": 4, "int4": 8,
+                               "binary": 128}.get(kind, 16)
         # rows covered by this snapshot; rows appended later are served by
         # the collection's exact tail merge (collection.search_quantized)
         self.built_count = int(codes.shape[0])
@@ -253,6 +299,11 @@ class QuantizedScan:
                 jnp.take(dev, t_idx, axis=0).astype(jnp.float32))
             codes = qz.encode(dev)
             kind = "int8"
+        elif kind in ("int4", "sq4"):
+            qz = Int4Quantizer().train(
+                jnp.take(dev, t_idx, axis=0).astype(jnp.float32))
+            codes = qz.encode(dev)
+            kind = "int4"
         elif kind in ("binary", "bq", "hamming"):
             # thresholds are per-dim medians (host numpy)
             sample = np.asarray(jnp.take(dev, t_idx, axis=0),
@@ -301,6 +352,13 @@ class QuantizedScan:
                 # one-time dequantized row stats for the int8-matmul path
                 self._sq_stats = self.quantizer.corpus_stats(self.codes)
             return self.quantizer.distances(q, self.codes, metric=self.metric,
+                                            stats=self._sq_stats)
+        if self.kind == "int4":
+            if not hasattr(self, "_sq_stats"):
+                self._sq_stats = self.quantizer.corpus_stats(self.codes)
+            mode = "pallas" if pallas_quant.on_tpu() else "int4mm"
+            return self.quantizer.distances(q, self.codes,
+                                            metric=self.metric, mode=mode,
                                             stats=self._sq_stats)
         if self.kind == "binary":
             if pallas_quant.on_tpu():
@@ -391,6 +449,25 @@ class QuantizedScan:
                 q_dev(), jnp.asarray(self.codes), qz.vmin, qz.scale,
                 vsq, rinv, self._store.vectors, m, metric=self.metric,
                 k=kk, c=c, approx=on_tpu, rerank_dtype=rerank_dtype)
+            dists, rows = jax.device_get((dists, rows))  # one host sync
+            return dists[:b], rows[:b]
+
+        if self.kind == "int4" and rerank > 1:
+            if not hasattr(self, "_sq_stats"):
+                self._sq_stats = self.quantizer.corpus_stats(self.codes)
+            if not hasattr(self, "_i4_layout"):
+                # padded kernel layout, cached (rows to the Pallas tile,
+                # words to the lane width, vmin/scale in halves order)
+                self._i4_layout = self.quantizer.pallas_layout(self.codes)
+            codes_p, vmin_p, scale_p = self._i4_layout
+            vsq, rinv = self._sq_stats
+            w = jnp.asarray(self.codes).shape[1]
+            q_lay = self.quantizer.pallas_query(jnp.asarray(q), w)
+            dists, rows = _int4_two_stage(
+                q_dev(), q_lay, codes_p, vmin_p, scale_p, vsq, rinv,
+                self._store.vectors, m, metric=self.metric, k=kk, c=c,
+                approx=on_tpu, rerank_dtype=rerank_dtype,
+                use_pallas=on_tpu)
             dists, rows = jax.device_get((dists, rows))  # one host sync
             return dists[:b], rows[:b]
 
@@ -530,7 +607,7 @@ class QuantizedScan:
                 "built_n_valid": int(self.built_n_valid),
                 "compute_dtype": getattr(self, "compute_dtype", "float32")}
         qz = self.quantizer
-        if self.kind == "int8":
+        if self.kind in ("int8", "int4"):
             sections["quant_vmin"] = np.asarray(qz.vmin)
             sections["quant_scale"] = np.asarray(qz.scale)
             meta["dims"] = qz.dims
@@ -548,6 +625,10 @@ class QuantizedScan:
         kind = meta["kind"]
         if kind == "int8":
             qz = ScalarQuantizer(dims=meta["dims"])
+            qz.vmin = jnp.asarray(np.asarray(sections["quant_vmin"]))
+            qz.scale = jnp.asarray(np.asarray(sections["quant_scale"]))
+        elif kind == "int4":
+            qz = Int4Quantizer(dims=meta["dims"])
             qz.vmin = jnp.asarray(np.asarray(sections["quant_vmin"]))
             qz.scale = jnp.asarray(np.asarray(sections["quant_scale"]))
         elif kind == "binary":

@@ -85,6 +85,26 @@ def test_sq_int8_matmul_matches_reference(data, metric):
     np.testing.assert_allclose(top, want.min(1), atol=tol)
 
 
+@pytest.mark.parametrize("metric", list(DistanceMetric))
+def test_int4_pallas_matches_chunked(data, metric):
+    """int4_scores (in-VMEM nibble unpack, interpret mode) vs the XLA
+    chunked unpack+dequantize reference (quant/int4.py:_distances)."""
+    from fastpyvectordb_tpu.quant.int4 import Int4Quantizer, _distances as _i4d
+    v, q = data
+    qz = Int4Quantizer().train(v)
+    codes = qz.encode(v)
+    want = np.asarray(_i4d(jnp.asarray(q), codes, qz.vmin, qz.scale,
+                           metric=metric))
+    got = np.asarray(qz.distances(q, codes, metric, mode="pallas"))
+    assert got.shape == want.shape == (5, 300)
+    # bf16 MXU cross-term: ~0.5% relative
+    tol = 2e-2 * max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=tol)
+    # rank stability: pallas top-1 scores near-optimal per the reference
+    top = want[np.arange(len(want)), got.argmin(1)]
+    np.testing.assert_allclose(top, want.min(1), atol=tol)
+
+
 def test_hamming_mxu_matches_exact(data):
     """The MXU +-1-matmul Hamming kernel is exact (integer dot in f32)."""
     from fastpyvectordb_tpu.kernels.pallas_quant import hamming_mxu_scores

@@ -6,6 +6,7 @@ import pytest
 from fastpyvectordb_tpu import Collection, CollectionConfig
 from fastpyvectordb_tpu.core.types import DistanceMetric
 from fastpyvectordb_tpu.quant.binary import BinaryQuantizer
+from fastpyvectordb_tpu.quant.int4 import Int4Quantizer
 from fastpyvectordb_tpu.quant.kmeans import assign_chunked, kmeans_fit
 from fastpyvectordb_tpu.quant.product import ProductQuantizer
 from fastpyvectordb_tpu.quant.scalar import ScalarQuantizer
@@ -96,6 +97,91 @@ class TestScalar:
                                       np.asarray(sq.encode(v[:5])))
 
 
+class TestInt4:
+    def test_roundtrip_error(self, corpus):
+        v, _, _ = corpus
+        qz = Int4Quantizer().train(v)
+        back = qz.decode(qz.encode(v))
+        scale = np.asarray(qz.scale)[: v.shape[1]]
+        # 16 levels: error bound is half a step per dimension
+        assert np.abs(back - v).max() <= scale.max() / 15 * 0.51 + 1e-5
+
+    def test_packing_halves_layout(self, rng):
+        """Byte w holds dim w (low nibble) and dim w+W (high nibble)."""
+        v = rng.standard_normal((10, 8)).astype(np.float32)
+        qz = Int4Quantizer().train(v)
+        packed = np.asarray(qz.encode(v))
+        assert packed.shape == (10, 4) and packed.dtype == np.uint8
+        # recompute raw 4-bit codes from the training params
+        c = np.clip(np.round((v - np.asarray(qz.vmin)[None, :8])
+                             / np.asarray(qz.scale)[None, :8] * 15.0),
+                    0, 15).astype(np.uint8)
+        np.testing.assert_array_equal(packed & 0xF, c[:, :4])
+        np.testing.assert_array_equal(packed >> 4, c[:, 4:])
+
+    def test_odd_dims_phantom_pad(self, rng):
+        v = rng.standard_normal((50, 33)).astype(np.float32)
+        q = rng.standard_normal((4, 33)).astype(np.float32)
+        qz = Int4Quantizer().train(v)
+        codes = qz.encode(v)
+        assert np.asarray(codes).shape == (50, 17)
+        back = qz.decode(codes)
+        assert back.shape == (50, 33)
+        # the phantom dim must not perturb distances: compare vs a
+        # zero-padded 34-d corpus scored with an even-dims quantizer
+        d33 = np.asarray(qz.distances(q, codes, metric="l2"))
+        v34 = np.pad(v, ((0, 0), (0, 1)))
+        qz34 = Int4Quantizer().train(v34)
+        d34 = np.asarray(qz34.distances(np.pad(q, ((0, 0), (0, 1))),
+                                        qz34.encode(v34), metric="l2"))
+        np.testing.assert_allclose(d33, d34, rtol=1e-4, atol=1e-3)
+
+    @pytest.mark.parametrize("metric", ["l2", "cosine", "ip"])
+    @pytest.mark.parametrize("mode", ["chunked", "int4mm"])
+    def test_distance_recall(self, corpus, metric, mode):
+        v, q, _ = corpus
+        qz = Int4Quantizer().train(v)
+        codes = qz.encode(v)
+        d = np.asarray(qz.distances(q, codes, metric=metric, mode=mode))
+        idx = np.argsort(d, axis=1)
+        if metric == "l2":
+            exact = np.argsort(
+                np.linalg.norm(v[None] - q[:, None], axis=-1), axis=1)
+        elif metric == "cosine":
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            exact = np.argsort(1.0 - qn @ vn.T, axis=1)
+        else:
+            exact = np.argsort(-(q @ v.T), axis=1)
+        # 16-level coarse ordering: looser than int8, still high overlap
+        # at a 4x candidate pool (it serves as a coarse stage only)
+        pool_recall = np.mean(
+            [len(set(a[:40].tolist()) & set(e[:10].tolist())) / 10
+             for a, e in zip(idx, exact)])
+        assert pool_recall >= 0.85, pool_recall
+
+    def test_modes_agree(self, corpus):
+        v, q, _ = corpus
+        qz = Int4Quantizer().train(v)
+        codes = qz.encode(v)
+        a = np.asarray(qz.distances(q, codes, metric="l2", mode="chunked"))
+        b = np.asarray(qz.distances(q, codes, metric="l2", mode="int4mm"))
+        # int4mm additionally quantizes the query to int8: small extra noise
+        tol = 2e-2 * max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(a, b, atol=tol)
+
+    def test_compression_and_save(self, corpus, tmp_path):
+        v, _, _ = corpus
+        qz = Int4Quantizer().train(v)
+        # 32-d f32 -> 16 bytes/row: ~8x
+        assert qz.memory_usage(100_000)["compression_ratio"] > 7.5
+        qz.save(tmp_path / "i4.fpvt")
+        qz2 = Int4Quantizer.load(tmp_path / "i4.fpvt")
+        assert qz2.dims == qz.dims
+        np.testing.assert_array_equal(np.asarray(qz2.encode(v[:5])),
+                                      np.asarray(qz.encode(v[:5])))
+
+
 class TestBinary:
     def test_hamming_exactness(self, rng):
         # hand-check: hamming distance equals bit disagreement count
@@ -167,7 +253,7 @@ class TestProduct:
 
 
 class TestQuantizedScan:
-    @pytest.mark.parametrize("kind", ["int8", "binary"])
+    @pytest.mark.parametrize("kind", ["int8", "int4", "binary"])
     def test_two_stage_matches_exact(self, corpus, kind):
         v, q, _ = corpus
         col = Collection(CollectionConfig(name="t", dimensions=32, metric="l2"))
@@ -179,7 +265,7 @@ class TestQuantizedScan:
         # re-ranked two-stage search should closely match exact top-10
         overlap = np.mean([len(set(a) & set(e)) / 10
                            for a, e in zip(approx, exact)])
-        assert overlap >= (0.9 if kind == "int8" else 0.6)
+        assert overlap >= {"int8": 0.9, "int4": 0.85}.get(kind, 0.6)
 
     def test_respects_filter(self, corpus):
         from fastpyvectordb_tpu import Filter
@@ -315,7 +401,7 @@ def test_pq_scan_rejects_dot_metric():
         col.enable_quantized_scan("pq", m=4, k=16)
 
 
-@pytest.mark.parametrize("kind", ["int8", "binary", "pq"])
+@pytest.mark.parametrize("kind", ["int8", "int4", "binary", "pq"])
 def test_capacity_buffer_codes(kind, tmp_path):
     """QuantizedScan.build encodes the store's full CAPACITY buffer (no
     [:n] device copy — an HBM OOM class at multi-GB corpora).  Padding
