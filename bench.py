@@ -136,6 +136,41 @@ def main():
             print(f"int8 candidate skipped ({type(e).__name__}: {e})",
                   file=__import__("sys").stderr)
 
+    # int4 candidate (accelerator only): the fused int4 two-stage — the
+    # Pallas kernel unpacks nibbles in VMEM so the coarse scan streams
+    # HALF of int8's HBM bytes (quant/int4.py).  The 16-level ordering is
+    # coarser, so the candidate pool is 2x deeper (c=8k vs int8's 4k);
+    # recall is gated the same way.
+    if (on_accelerator or force_all) and recall >= 0.95:
+        try:
+            from fastpyvectordb_tpu.quant.int4 import Int4Quantizer
+            from fastpyvectordb_tpu.quant.scan import _int4_two_stage
+            qz4 = Int4Quantizer().train(np.asarray(v32[:200_000]))
+            codes4 = qz4.encode(v32)
+            vsq4, rinv4 = qz4.corpus_stats(codes4)
+            lay4 = qz4.pallas_layout(codes4)
+            w4 = int(codes4.shape[1])
+
+            def run_int4(q):
+                q_lay = qz4.pallas_query(q, w4)
+                return _int4_two_stage(
+                    q, q_lay, lay4[0], lay4[1], lay4[2], vsq4, rinv4,
+                    v16, mask, metric=metric, k=k, c=8 * k, approx=True,
+                    rerank_dtype="bfloat16", use_pallas=on_accelerator)
+
+            _, rows_i4 = run_int4(qchk)
+            recall_i4 = float(np.mean([
+                len(set(a.tolist()) & set(e.tolist())) / k
+                for a, e in zip(np.asarray(rows_i4), rows_exact)]))
+            if recall_i4 >= 0.95:
+                candidates["int4_2stage"] = (run_int4, recall_i4)
+            else:
+                print(f"int4 candidate recall {recall_i4:.4f} < 0.95; "
+                      "skipped", file=__import__("sys").stderr)
+        except Exception as e:  # noqa: BLE001 - degrade to exact, not fail
+            print(f"int4 candidate skipped ({type(e).__name__}: {e})",
+                  file=__import__("sys").stderr)
+
     # third candidate (accelerator only): grouped (cell-major) IVF over
     # int8 cells with an exact bf16 re-rank — prunes ~nprobe/nlist of the
     # corpus reads instead of scanning everything.  At 4M x 768 this
