@@ -9,8 +9,9 @@ same idea, sized so the *hot* scan never leaves the chip:
     ndarray, np.memmap, np.load(..., mmap_mode="r")) — 20M x 768 f32 is
     57 GB, ~3.6x HBM, trivial for host RAM/disk;
   * a compressed snapshot lives on the DEVICE — 1-bit packed codes (32x,
-    word-major for the MXU Hamming kernel) or int8 codes (4x) — so the
-    coarse scan over ALL rows is one fused TPU dispatch;
+    word-major for the MXU Hamming kernel), int4 packed nibbles (8x,
+    quant/int4.py), or int8 codes (4x) — so the coarse scan over ALL rows
+    is one fused TPU dispatch;
   * search = device coarse scan + top-C -> host gather of C candidate rows
     (a few hundred KB) -> exact f32 re-rank on host BLAS -> top-k.
 
@@ -64,8 +65,9 @@ class BigCollection:
                  codec: str = "binary", name: str = "big",
                  base_path: Optional[Path] = None,
                  train_rows: int = 200_000, rerank: int = 16):
-        if codec not in ("binary", "int8"):
-            raise ValueError(f"unknown codec {codec!r} (binary | int8)")
+        if codec not in ("binary", "int8", "int4"):
+            raise ValueError(
+                f"unknown codec {codec!r} (binary | int8 | int4)")
         self.name = name
         self.dims = int(dims)
         self.metric = DistanceMetric.parse(metric)
@@ -260,6 +262,9 @@ class BigCollection:
         if self.codec == "binary":
             per_row = (self._codes.shape[0] * 4
                        if self._codes is not None else 0)
+        elif self.codec == "int4":
+            per_row = (self._codes.shape[1]
+                       if self._codes is not None else (self.dims + 1) // 2)
         else:
             per_row = self.dims
         dev = n * per_row
@@ -289,13 +294,15 @@ class BigCollection:
 
     def _train(self, sample: np.ndarray) -> None:
         from ..quant.binary import BinaryQuantizer
+        from ..quant.int4 import Int4Quantizer
         from ..quant.scalar import ScalarQuantizer
         # strided sample (not the prefix): an ingestion-ordered corpus
         # would otherwise train on one drifted slice
         step = max(1, sample.shape[0] // self.train_rows)
         s = sample[::step][:self.train_rows]
-        self._qz = (BinaryQuantizer().train(s) if self.codec == "binary"
-                    else ScalarQuantizer().train(s))
+        cls = {"binary": BinaryQuantizer,
+               "int4": Int4Quantizer}.get(self.codec, ScalarQuantizer)
+        self._qz = cls().train(s)
 
     def _rebuild_codes(self, rows: int) -> None:
         """Re-encode the first ``rows`` host rows through the current
@@ -331,11 +338,14 @@ class BigCollection:
             self._codes = jax.lax.dynamic_update_slice(
                 self._codes, new, (0, self._count))
         else:
-            new = self._qz.encode(v)                       # (n, D) int8
+            # int8: (n, D) int8 | int4: (n, W) packed uint8 — identical
+            # row-major buffer mechanics, both carry dequant row stats
+            new = self._qz.encode(v)
             if needed > self._code_cap:
                 cap = _next_pow2(needed)
                 old, old_stats = self._codes, self._sq_stats
-                self._codes = jnp.zeros((cap, self.dims), dtype=jnp.int8)
+                self._codes = jnp.zeros((cap, new.shape[1]),
+                                        dtype=new.dtype)
                 vsq = jnp.zeros((cap,), jnp.float32)
                 rinv = jnp.zeros((cap,), jnp.float32)
                 if old is not None and self._count:
@@ -404,6 +414,25 @@ class BigCollection:
                 qcodes.T, self._codes, mask, k=c,
                 chunk=int(min(262_144, _pow2ge(self._code_cap))))
             return np.asarray(vals), np.asarray(rows)
+        if self.codec == "int4":
+            from ..quant.scan import _int4_coarse_topk
+            vsq, rinv = self._sq_stats
+            # the Pallas in-VMEM-unpack path (half of int8's HBM bytes)
+            # needs kernel-aligned buffers: pow2 capacity covers the row
+            # tile; the word axis must hit the 128-lane width (dims
+            # divisible by 256, e.g. 768) and B pads to 8
+            use_pallas = (pallas_quant.on_tpu()
+                          and self._codes.shape[1] % 128 == 0
+                          and self._code_cap % 1024 == 0)
+            b = q.shape[0]
+            bp = (-b) % 8 if use_pallas else 0
+            qp = np.pad(q, ((0, bp), (0, 0))) if bp else q
+            qd = jnp.asarray(self._qz._pad_data(jnp.asarray(qp)))
+            vals, rows = _int4_coarse_topk(
+                qd, self._codes, self._qz.vmin, self._qz.scale,
+                vsq, rinv, mask, metric=self.metric, k=c,
+                approx=pallas_quant.on_tpu(), use_pallas=use_pallas)
+            return np.asarray(vals)[:b], np.asarray(rows)[:b]
         # int8 coarse
         from ..quant.scan import _int8_coarse_topk
         vsq, rinv = self._sq_stats
@@ -470,13 +499,15 @@ class BigCollection:
         self._id_to_row = {i: j for j, i in enumerate(self._row_to_id)
                            if i is not None}
         from ..quant.binary import BinaryQuantizer
+        from ..quant.int4 import Int4Quantizer
         from ..quant.scalar import ScalarQuantizer
         if self.codec == "binary":
             qz = BinaryQuantizer(self.dims)
             qz.thresholds = jnp.asarray(np.asarray(c.read("thresholds")))
             qz.dims = self.dims
         else:
-            qz = ScalarQuantizer()
+            qz = (Int4Quantizer(self.dims) if self.codec == "int4"
+                  else ScalarQuantizer())
             qz.vmin = jnp.asarray(np.asarray(c.read("vmin")))
             qz.scale = jnp.asarray(np.asarray(c.read("scale")))
         self._qz = qz

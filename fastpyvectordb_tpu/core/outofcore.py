@@ -154,6 +154,26 @@ def _int8_tile_step(q, tile_codes, vmin, scale, tile_vsq, tile_rinv,
     return -neg, jnp.take_along_axis(all_rows, pos, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "c"))
+def _int4_tile_step(q, tile_codes, vmin, scale, tile_vsq, tile_rinv,
+                    tile_mask, row_offset, best_vals, best_rows, *,
+                    metric: DistanceMetric, c: int):
+    """Int4 coarse scores for one streamed tile, folded into running top-c.
+
+    The streamed regime is TRANSFER-bound (host->device bytes are the
+    QPS), so the packed nibbles halve int8's per-tile traffic; on device
+    the XLA unpack+s8-matmul path suffices (quant/int4.py)."""
+    from ..quant.int4 import _distances_int4_matmul
+    s = _distances_int4_matmul(q, tile_codes, vmin, scale, tile_vsq,
+                               tile_rinv, metric=metric)
+    s = jnp.where(tile_mask[None, :], s, MASKED)
+    neg, idx = jax.lax.top_k(-s, min(c, s.shape[1]))
+    all_vals = jnp.concatenate([best_vals, -neg], axis=1)
+    all_rows = jnp.concatenate([best_rows, idx + row_offset], axis=1)
+    neg, pos = jax.lax.top_k(-all_vals, c)
+    return -neg, jnp.take_along_axis(all_rows, pos, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("c",))
 def _binary_tile_step(qcodes, tile_codes, tile_mask, row_offset,
                       best_vals, best_rows, *, c: int):
@@ -205,7 +225,8 @@ class QuantizedOutOfCoreSearcher:
     codes resident in HBM, which caps corpus size at HBM/codes-byte; here
     even the codes live on the host and stream tile-by-tile, so corpus
     size is bounded only by host storage.  Per search the link moves
-    N x D bytes (int8, 4x less than the exact streamer), N x M bytes
+    N x D bytes (int8, 4x less than the exact streamer), N x D/2 bytes
+    (int4, 8x — two nibbles per byte, quant/int4.py), N x M bytes
     (pq, 16x at the m=D/4 default — ADC scored by a one-hot MXU matmul,
     with cosine riding the normalized-L2 equivalence so the coarse order
     matches the metric exactly), or N x D/8 bytes (binary, 32x) for the
@@ -227,7 +248,7 @@ class QuantizedOutOfCoreSearcher:
                  codes_path: Optional[str] = None,
                  codes_reuse: bool = False,
                  pq_m: Optional[int] = None, pq_k: int = 16):
-        if codec not in ("int8", "binary", "pq"):
+        if codec not in ("int8", "int4", "binary", "pq"):
             raise ValueError(f"unknown codec {codec!r}")
         self.corpus = corpus
         self.n = int(corpus.shape[0])
@@ -272,6 +293,9 @@ class QuantizedOutOfCoreSearcher:
         if self.codec == "int8":
             from ..quant.scalar import ScalarQuantizer
             self._qz = ScalarQuantizer().train(sample)
+        elif self.codec == "int4":
+            from ..quant.int4 import Int4Quantizer
+            self._qz = Int4Quantizer().train(sample)
         elif self.codec == "pq":
             from ..quant.product import ProductQuantizer
             if self._pq_normalize:
@@ -292,7 +316,8 @@ class QuantizedOutOfCoreSearcher:
             return False
         codes = np.lib.format.open_memmap(codes_path, mode="r")
         want_dtype = (np.int8 if self.codec == "int8"
-                      else np.uint8 if self.codec == "pq" else np.uint32)
+                      else np.uint8 if self.codec in ("pq", "int4")
+                      else np.uint32)
         if (codes.ndim != 2 or codes.shape[0] != self.n
                 or codes.dtype != np.dtype(want_dtype)):
             return False
@@ -300,6 +325,11 @@ class QuantizedOutOfCoreSearcher:
             from ..quant.scalar import ScalarQuantizer
             self._qz = ScalarQuantizer(self.dims)
             if codes.shape[1] != self.dims:
+                return False
+        elif self.codec == "int4":
+            from ..quant.int4 import Int4Quantizer
+            self._qz = Int4Quantizer(self.dims)
+            if codes.shape[1] != self._qz.n_words:
                 return False
         elif self.codec == "pq":
             from ..quant.product import ProductQuantizer
@@ -320,6 +350,8 @@ class QuantizedOutOfCoreSearcher:
     def _encode_all(self, codes_path: Optional[str]) -> None:
         if self.codec == "int8":
             shape, dtype = (self.n, self.dims), np.int8
+        elif self.codec == "int4":
+            shape, dtype = (self.n, self._qz.n_words), np.uint8
         elif self.codec == "pq":
             shape, dtype = (self.n, self._pq_m), np.uint8
         else:
@@ -329,12 +361,13 @@ class QuantizedOutOfCoreSearcher:
                 codes_path, mode="w+", dtype=dtype, shape=shape)
         else:
             codes = np.empty(shape, dtype=dtype)
-        # int8 re-rank stats: ||dequant(c)||^2 and 1/||.|| per row (tiny:
-        # 8 host bytes/row) — required by the folded int8 MXU kernel
+        # int8/int4 re-rank stats: ||dequant(c)||^2 and 1/||.|| per row
+        # (tiny: 8 host bytes/row) — required by the folded MXU kernels
+        needs_stats = self.codec in ("int8", "int4")
         self._vsq = (np.empty((self.n,), np.float32)
-                     if self.codec == "int8" else None)
+                     if needs_stats else None)
         self._rinv = (np.empty((self.n,), np.float32)
-                      if self.codec == "int8" else None)
+                      if needs_stats else None)
         t = self.tile_rows
         for start in range(0, self.n, t):
             stop = min(start + t, self.n)
@@ -356,6 +389,11 @@ class QuantizedOutOfCoreSearcher:
                                                self._qz.scale)
                 self._vsq[start:stop] = np.asarray(vsq)
                 self._rinv[start:stop] = np.asarray(rinv)
+            elif self.codec == "int4":
+                from ..quant.int4 import _dequant_row_stats as _i4_stats
+                vsq, rinv = _i4_stats(enc, self._qz.vmin, self._qz.scale)
+                self._vsq[start:stop] = np.asarray(vsq)
+                self._rinv[start:stop] = np.asarray(rinv)
             tile.delete()
             enc.delete()
         if codes_path is not None:
@@ -369,7 +407,7 @@ class QuantizedOutOfCoreSearcher:
 
     def _save_stats(self, codes_path: str) -> None:
         payload = {"codec": self.codec}
-        if self.codec == "int8":
+        if self.codec in ("int8", "int4"):
             payload.update(vmin=np.asarray(self._qz.vmin),
                            scale=np.asarray(self._qz.scale),
                            vsq=self._vsq, rinv=self._rinv)
@@ -384,7 +422,7 @@ class QuantizedOutOfCoreSearcher:
         z = np.load(self._stats_path(codes_path))
         if str(z["codec"]) != self.codec:
             return False
-        if self.codec == "int8":
+        if self.codec in ("int8", "int4"):
             if z["vsq"].shape != (self.n,):
                 return False
             self._qz.vmin = jnp.asarray(z["vmin"])
@@ -477,12 +515,14 @@ class QuantizedOutOfCoreSearcher:
                 tile_np = np.pad(tile_np, ((0, t - rows), (0, 0)))
             tile_dev = jnp.asarray(tile_np)
             pending.append(tile_dev)
-            if self.codec == "int8":
+            if self.codec in ("int8", "int4"):
                 vsq = np.zeros((t,), np.float32)
                 rinv = np.zeros((t,), np.float32)
                 vsq[:rows] = self._vsq[start:stop]
                 rinv[:rows] = self._rinv[start:stop]
-                best_vals, best_rows = _int8_tile_step(
+                step = (_int8_tile_step if self.codec == "int8"
+                        else _int4_tile_step)
+                best_vals, best_rows = step(
                     qd, tile_dev, self._qz.vmin, self._qz.scale,
                     jnp.asarray(vsq), jnp.asarray(rinv),
                     jnp.asarray(tile_mask), jnp.int32(start),

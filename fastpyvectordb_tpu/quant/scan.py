@@ -54,6 +54,34 @@ def _int8_coarse_topk(q, codes, vmin, scale, vsq, rinv, mask, *,
     return -neg, rows
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "metric", "k", "approx", "use_pallas"))
+def _int4_coarse_topk(q, codes, vmin, scale, vsq, rinv, mask, *,
+                      metric: DistanceMetric, k: int, approx: bool,
+                      use_pallas: bool):
+    """Fused int4 scan + masked top-k (the BigCollection coarse stage).
+
+    ``use_pallas`` requires the kernel-aligned layout (rows % 1024 == 0,
+    words % 128 == 0 — BigCollection's pow2 capacity buffers satisfy it
+    whenever dims % 256 == 0, e.g. 768) and a batch padded to 8; the XLA
+    unpack+s8-matmul path covers every other shape/backend."""
+    if use_pallas:
+        from ..kernels.pallas_quant import int4_scores
+        s = int4_scores(q.astype(jnp.float32), codes, vmin, scale,
+                        metric=metric)
+    else:
+        from .int4 import _distances_int4_matmul
+        s = _distances_int4_matmul(q, codes, vmin, scale, vsq, rinv,
+                                   metric=metric)
+    if mask is not None:
+        s = jnp.where(mask[None, :], s, MASKED)
+    if approx:
+        neg, rows = jax.lax.approx_max_k(-s, k, recall_target=0.99)
+    else:
+        neg, rows = jax.lax.top_k(-s, k)
+    return -neg, rows
+
+
 def _masked_candidates(s, mask, *, c: int):
     """Masked approximate candidate selection, directly on the (B, N)
     scores with the TPU's hardware approx top-k.

@@ -28,7 +28,7 @@ def exact_topk(v, valid, q, k):
     return np.argsort(s, axis=1)[:, :k]
 
 
-@pytest.fixture(scope="module", params=["binary", "int8"])
+@pytest.fixture(scope="module", params=["binary", "int8", "int4"])
 def built(request, data):
     v, q = data
     col = BigCollection(64, metric="cosine", codec=request.param)
@@ -45,7 +45,7 @@ def test_recall_vs_exact(built, data):
         len({int(h.id[1:]) for h in hl} & set(g.tolist())) / 10
         for hl, g in zip(hits, gt)])
     # binary 1-bit coarse + exact re-rank clears 0.8 on clustered data;
-    # int8 is near-exact
+    # int8/int4 are near-exact after the re-rank
     assert rec >= (0.8 if col.codec == "binary" else 0.95), rec
 
 
@@ -87,13 +87,14 @@ def test_dup_and_dims_validation(built):
 def test_memory_compression(built):
     col, _, _ = built
     m = col.memory_usage()
-    want = 28 if col.codec == "binary" else 3.5
+    want = {"binary": 28, "int4": 7.5}.get(col.codec, 3.5)
     assert m["compression"] >= want, m
 
 
-def test_persistence_roundtrip(tmp_path, data):
+@pytest.mark.parametrize("codec", ["binary", "int4"])
+def test_persistence_roundtrip(tmp_path, data, codec):
     v, q = data
-    col = BigCollection(64, metric="cosine", codec="binary",
+    col = BigCollection(64, metric="cosine", codec=codec,
                         base_path=tmp_path / "big")
     col.insert_batch(v[:2000], [f"v{i}" for i in range(2000)],
                      [{"g": i % 4} for i in range(2000)])
@@ -101,7 +102,7 @@ def test_persistence_roundtrip(tmp_path, data):
     col.save()
 
     col2 = BigCollection(64, base_path=tmp_path / "big")
-    assert col2.codec == "binary" and col2.count() == 1999
+    assert col2.codec == codec and col2.count() == 1999
     hits = col2.search(v[42], k=1)
     assert hits[0].id == "v42"
     assert all(h.id != "v7" for h in col2.search(v[7], k=5))

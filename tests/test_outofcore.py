@@ -106,7 +106,7 @@ def qcorpus():
     return v, q, plant
 
 
-@pytest.mark.parametrize("codec", ["int8", "binary", "pq"])
+@pytest.mark.parametrize("codec", ["int8", "int4", "binary", "pq"])
 def test_quantized_planted_top1(qcorpus, codec):
     v, q, plant = qcorpus
     s = QuantizedOutOfCoreSearcher(v, metric="cosine", codec=codec,
@@ -193,6 +193,18 @@ def test_quantized_codes_memmap_reuse(qcorpus, tmp_path):
     v2, r2 = s2.search(q, k=5)
     np.testing.assert_array_equal(r1, r2)
     np.testing.assert_allclose(v1, v2, atol=1e-6)
+
+    # int4 codec: same round-trip through its own codes file
+    ci4 = str(tmp_path / "codes_i4.npy")
+    i1 = QuantizedOutOfCoreSearcher(v, metric="cosine", codec="int4",
+                                    tile_rows=512, rerank=32, codes_path=ci4)
+    iv1, ir1 = i1.search(q, k=5)
+    i2 = QuantizedOutOfCoreSearcher(Guard(v), metric="cosine", codec="int4",
+                                    tile_rows=512, rerank=32,
+                                    codes_path=ci4, codes_reuse=True)
+    iv2, ir2 = i2.search(q, k=5)
+    np.testing.assert_array_equal(ir1, ir2)
+    np.testing.assert_allclose(iv1, iv2, atol=1e-6)
 
     # pq codec: same round-trip through its own codes file
     cpq = str(tmp_path / "codes_pq.npy")
