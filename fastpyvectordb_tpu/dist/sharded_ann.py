@@ -11,7 +11,8 @@ are not forced back to exact scans:
     cluster on one shard), scores its probed cells exactly, and the
     per-shard top-k partials are ``all_gather``-ed over ICI and merged —
     the row table stores *global* row ids, so no re-indexing is needed.
-  * **ShardedInt8** — the int8 code matrix, dequantized row stats and the
+  * **ShardedInt8** — the int8 (or packed-int4) code matrix, dequantized
+    row stats and the
     re-rank corpus are row-sharded.  Coarse int8-MXU scan, candidate
     selection, gather and exact re-rank all happen shard-locally (the
     candidates of a shard are rows of that shard); only the final (B, k)
@@ -750,8 +751,10 @@ class ShardedIVFPQ:
 # ---------------------------------------------------------------------------
 
 def build_sharded_int8_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
-                              c: int, rerank_dtype: str = "bfloat16"):
-    """Compile the sharded int8 coarse scan + shard-local exact re-rank.
+                              c: int, rerank_dtype: str = "bfloat16",
+                              codec: str = "int8"):
+    """Compile the sharded scalar-quantized coarse scan + shard-local
+    exact re-rank (codec = int8 or int4 packed nibbles).
 
     Expects (queries replicated; codes/vsq/rinv/vectors/valid row-sharded
     on DATA; vmin/scale replicated).  Candidate rows of a shard are rows of
@@ -761,11 +764,13 @@ def build_sharded_int8_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
     metric = DistanceMetric.parse(metric)
 
     def local(q, codes, vmin, scale, vsq, rinv, vectors, valid):
-        from ..quant.scalar import _distances_int8_matmul
         from ..quant.scan import _rerank_body
+        if codec == "int4":
+            from ..quant.int4 import _distances_int4_matmul as _dist
+        else:
+            from ..quant.scalar import _distances_int8_matmul as _dist
         shard_rows = codes.shape[0]
-        s = _distances_int8_matmul(q, codes, vmin, scale, vsq, rinv,
-                                   metric=metric)
+        s = _dist(q, codes, vmin, scale, vsq, rinv, metric=metric)
         s = jnp.where(valid[None, :], s, MASKED)
         cc = min(c, shard_rows)
         negc, crows = jax.lax.top_k(-s, cc)             # shard-local rows
@@ -788,14 +793,15 @@ def build_sharded_int8_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
 
 
 class ShardedInt8:
-    """A quant.scan int8 snapshot re-laid-out across a device mesh."""
+    """A quant.scan int8/int4 snapshot re-laid-out across a device mesh."""
 
     def __init__(self, mesh: Mesh, codes, vmin, scale, vsq, rinv, vectors,
                  valid, *, metric: DistanceMetric,
-                 rerank_dtype: str = "bfloat16"):
+                 rerank_dtype: str = "bfloat16", codec: str = "int8"):
         self.mesh = mesh
         self.metric = DistanceMetric.parse(metric)
         self.rerank_dtype = rerank_dtype
+        self.codec = codec
         ndev = mesh.shape[DATA_AXIS]
         n = codes.shape[0]
         if n % ndev:
@@ -813,9 +819,10 @@ class ShardedInt8:
 
     @classmethod
     def from_scan(cls, mesh: Mesh, scan) -> "ShardedInt8":
-        """Shard a quant.scan.QuantizedScan (kind="int8") across ``mesh``."""
-        if scan.kind != "int8":
-            raise ValueError(f"ShardedInt8 requires an int8 scan, "
+        """Shard a quant.scan.QuantizedScan (kind in int8/int4) across
+        ``mesh``: the int4 rows move half the per-shard coarse bytes."""
+        if scan.kind not in ("int8", "int4"):
+            raise ValueError(f"ShardedInt8 requires an int8/int4 scan, "
                              f"got {scan.kind!r}")
         if not hasattr(scan, "_sq_stats"):
             scan._sq_stats = scan.quantizer.corpus_stats(scan.codes)
@@ -847,7 +854,8 @@ class ShardedInt8:
         return cls(mesh, codes, np.asarray(scan.quantizer.vmin),
                    np.asarray(scan.quantizer.scale), vsq, rinv,
                    vecs.astype(jnp.dtype(dtype_name)), valid,
-                   metric=scan.metric, rerank_dtype=dtype_name)
+                   metric=scan.metric, rerank_dtype=dtype_name,
+                   codec=scan.kind)
 
     def search(self, queries, k: int, rerank: int = 4
                ) -> Tuple[np.ndarray, np.ndarray]:
@@ -857,7 +865,7 @@ class ShardedInt8:
         if key not in self._fns:
             self._fns[key] = build_sharded_int8_search(
                 self.mesh, metric=self.metric, k=k, c=c,
-                rerank_dtype=self.rerank_dtype)
+                rerank_dtype=self.rerank_dtype, codec=self.codec)
         d, r = self._fns[key](q, self.codes, self.vmin, self.scale,
                               self.vsq, self.rinv, self.vectors, self.valid)
         return np.asarray(d), np.asarray(r)

@@ -102,6 +102,26 @@ def test_sharded_int8_matches_single_chip(built, mesh):
     assert agree >= 0.9
 
 
+def test_sharded_int4_matches_single_chip(built, mesh):
+    """kind="int4" rides the same sharded scan with half the per-shard
+    coarse bytes; a deeper candidate pool covers the coarser ordering."""
+    col, v, q, exact = built
+    scan = col.enable_quantized_scan("int4")
+    assert scan.kind == "int4"
+    sh = ShardedInt8.from_scan(mesh, scan)
+    assert sh.codec == "int4"
+    d, rows = sh.search(q, 10, rerank=8)
+    assert rows.shape == (8, 10)
+    recall = np.mean([len(set(r.tolist()) & e) / 10
+                      for r, e in zip(rows, exact)])
+    assert recall >= 0.9, f"sharded int4 recall {recall:.3f}"
+    d1, r1 = scan.search(q, 10, rerank=8)
+    agree = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                     for a, b in zip(rows, r1)])
+    assert agree >= 0.9
+    col.enable_quantized_scan("int8")  # restore for downstream tests
+
+
 def test_sharded_int8_respects_tombstones(built, mesh):
     col, v, q, exact = built
     if col._quantized is None:
