@@ -42,9 +42,13 @@ run ooc16m 14400 python benchmarks/outofcore_20m.py --rows 16000000 \
 run ooc16m_int8 10800 python benchmarks/outofcore_20m.py --rows 16000000 \
     --memmap /tmp/ooc_corpus.f32 --scans 3 --codec int8 --rerank 16 \
     --recall-vs-exact
+# drop each codec's code files before the next job: corpus (45.8 GB) +
+# int8 codes (12.3 GB) already graze the 60 GB free on this box
+rm -f /tmp/ooc_corpus.f32.int8.npy /tmp/ooc_corpus.f32.int8.npz
 run ooc16m_binary 10800 python benchmarks/outofcore_20m.py --rows 16000000 \
     --memmap /tmp/ooc_corpus.f32 --scans 3 --codec binary --rerank 96 \
     --recall-vs-exact
+rm -f /tmp/ooc_corpus.f32.binary.npy /tmp/ooc_corpus.f32.binary.npz
 run ooc16m_pq 10800 python benchmarks/outofcore_20m.py --rows 16000000 \
     --memmap /tmp/ooc_corpus.f32 --scans 3 --codec pq --rerank 16 \
     --recall-vs-exact
