@@ -48,7 +48,7 @@ from ..core.types import DistanceMetric
 from ..kernels.distances import MASKED, matmul_precision
 
 __all__ = ["grouped_ivf_search_kernel", "grouped_cell_candidates",
-           "grouped_qcap"]
+           "grouped_qcap", "invert_pairs", "finish_grouped"]
 
 
 def grouped_qcap(b: int, nprobe: int, nlist: int, cmax: int,
@@ -64,6 +64,79 @@ def grouped_qcap(b: int, nprobe: int, nlist: int, cmax: int,
     while qcap < min(headroom * b * nprobe / max(nlist, 1), b, qcap_hbm):
         qcap *= 2
     return int(min(qcap, qcap_hbm))
+
+
+def invert_pairs(probe: jnp.ndarray, nlist: int, qcap: int) -> dict:
+    """Invert the (query -> probed cells) relation into cell-major
+    query-slot tables — the shared stage 2 of every grouped dispatch
+    (bf16/int8 cells here; PQ codes in ann/ivfpq.py).
+
+    ``probe`` is (B, nprobe) int32 cell ids, probe-rank minor.  One sort
+    orders the B*nprobe pairs cell-major; a segmented rank gives each
+    pair its slot within its cell's run; ranks past ``qcap`` are shed
+    (probe-priority: a cell over capacity drops its highest probe-ranks
+    first, because the sort key is (cell, probe-rank)).
+
+    Returns a dict with both layouts:
+      flat_cell (M,)   pair cell ids in ORIGINAL (B-major) order
+      flat_q    (M,)   pair query ids, original order
+      pair_rank (M,)   pair's slot rank within its cell
+      pair_keep (M,)   pair survived qcap saturation
+      dropped   ()     int32 count of shed pairs
+      qslot     (nlist, qcap) query id per slot, -1 = empty
+      slot_q    (nlist, qcap) same, clamped to 0 for safe gathers
+      cell_list (U+1,) [n_uniq, compact->cell ids...] scalar-prefetch
+                       layout for the pallas grid (U = min(nlist, M))
+      qslot_c   (U, qcap) compact query slots, -1 = empty
+      slot_qc   (U, qcap) same, clamped
+      cid_pair  (M,)   pair -> compact row index, original order
+    """
+    b, nprobe = probe.shape
+    m = b * nprobe
+    flat_cell = probe.reshape(-1).astype(jnp.int32)     # (M,)
+    flat_q = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nprobe)
+    prank = jnp.tile(jnp.arange(nprobe, dtype=jnp.int32), b)
+    order = jnp.argsort(flat_cell * nprobe + prank)     # cell-major,
+    scell = flat_cell[order]                            # rank-minor
+    squery = flat_q[order]
+    pos = jnp.arange(m, dtype=jnp.int32)
+    # rank within each cell's run: position minus a cummax of run starts
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), scell[1:] != scell[:-1]])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, 0))
+    rank = pos - run_start
+    keep = rank < qcap
+    dropped = jnp.sum(~keep).astype(jnp.int32)
+    # (nlist, qcap) query index per slot, -1 = empty; out-of-capacity
+    # ranks fall off the table via mode="drop"
+    qslot = jnp.full((nlist, qcap), -1, jnp.int32)
+    qslot = qslot.at[scell, rank].set(squery, mode="drop")
+    # per original pair: where did it land (for the regroup stage)
+    inv = jnp.zeros((m,), jnp.int32).at[order].set(pos)
+    pair_rank = rank[inv]                               # (M,)
+    pair_keep = keep[inv]
+    # compact probed-cell list: u_idx ranks each sorted pair's cell among
+    # the batch's unique cells; compact slots past the unique count alias
+    # cell 0 (fetched once — the pallas pipeline only re-fetches a block
+    # on an index CHANGE)
+    u = min(nlist, m)
+    u_idx = (jnp.cumsum(is_start) - 1).astype(jnp.int32)
+    n_uniq = (u_idx[-1] + 1).astype(jnp.int32)
+    compact_cells = jnp.zeros((u,), jnp.int32
+                              ).at[u_idx].set(scell, mode="drop")
+    cell_list = jnp.concatenate([n_uniq[None], compact_cells])
+    qslot_c = jnp.full((u, qcap), -1, jnp.int32
+                       ).at[u_idx, rank].set(squery, mode="drop")
+    return {
+        "flat_cell": flat_cell, "flat_q": flat_q,
+        "pair_rank": pair_rank, "pair_keep": pair_keep,
+        "dropped": dropped,
+        "qslot": qslot, "slot_q": jnp.maximum(qslot, 0),
+        "cell_list": cell_list, "qslot_c": qslot_c,
+        "slot_qc": jnp.maximum(qslot_c, 0),
+        "cid_pair": u_idx[inv],
+    }
 
 
 def _xla_epilogue(cross, cell_norms, qstat_b, slot_q, metric):
@@ -136,14 +209,33 @@ def grouped_ivf_search_kernel(
         qf, croute, cells, row_table, ok_cells, vmin, scale, cell_norms,
         metric=metric, nprobe=nprobe, qcap=qcap,
         compute_dtype=compute_dtype)
+    vals, rows = finish_grouped(
+        qf, cand_vals, cand_rows, overflow_vecs, overflow_rows,
+        ok_overflow, vectors, metric=metric, k=k, rerank=rerank,
+        compute_dtype=compute_dtype)
+    return vals, rows, dropped
 
+
+def finish_grouped(qf, cand_vals, cand_rows, overflow_vecs, overflow_rows,
+                   ok_overflow, vectors, *, metric: DistanceMetric, k: int,
+                   rerank: int, compute_dtype: str):
+    """The grouped dispatch's shared tail: exact-score the overflow block
+    (rows the balanced assignment could not place in any cell), merge it
+    into the candidate set, then either exact-re-rank the top re-rank*k
+    rows against ``vectors`` or take the final top-k directly.  L2
+    candidates arrive in the SQUARED domain and leave sqrt'd.  Shared by
+    the bf16/int8 grouped kernel above and the grouped IVF-PQ kernel
+    (ann/ivfpq.py)."""
+    b = qf.shape[0]
+    prec = matmul_precision(compute_dtype)
+    cd = jnp.dtype(compute_dtype)
     qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
     qinv = 1.0 / jnp.maximum(jnp.sqrt(qsq), 1e-30)
     if overflow_rows.shape[0] > 0:
         ovsq = jnp.einsum("od,od->o", overflow_vecs, overflow_vecs,
                           preferred_element_type=jnp.float32)
         ocross = jax.lax.dot_general(
-            qf.astype(cd), overflow_vecs,
+            qf.astype(cd), overflow_vecs.astype(cd),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         if metric == DistanceMetric.COSINE:
@@ -181,9 +273,8 @@ def grouped_ivf_search_kernel(
         cok = (-cneg < MASKED * 0.5) & (crows >= 0)
         cand_vecs = jnp.take(vectors, jnp.maximum(crows, 0), axis=0)
         from ..quant.scan import _rerank_body
-        vals, rows = _rerank_body(qf, cand_vecs, crows, cok, metric,
-                                  min(k, c), compute_dtype)
-        return vals, rows, dropped
+        return _rerank_body(qf, cand_vecs, crows, cok, metric,
+                            min(k, c), compute_dtype)
     kk = min(k, cand_vals.shape[1])
     neg, posk = jax.lax.top_k(-cand_vals, kk)
     vals = -neg
@@ -191,7 +282,7 @@ def grouped_ivf_search_kernel(
     if metric == DistanceMetric.L2:
         vals = jnp.where(vals >= MASKED * 0.5, vals,
                          jnp.sqrt(jnp.maximum(vals, 0.0)))
-    return vals, rows, dropped
+    return vals, rows
 
 
 def grouped_cell_candidates(
@@ -228,31 +319,12 @@ def grouped_cell_candidates(
 
     # ---- stage 2: invert (query -> cells) into (cell -> query slots) ---
     m = b * nprobe
-    flat_cell = probe.reshape(-1).astype(jnp.int32)     # (M,)
-    flat_q = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nprobe)
-    prank = jnp.tile(jnp.arange(nprobe, dtype=jnp.int32), b)
-    order = jnp.argsort(flat_cell * nprobe + prank)     # cell-major,
-    scell = flat_cell[order]                            # rank-minor
-    squery = flat_q[order]
-    pos = jnp.arange(m, dtype=jnp.int32)
-    # rank within each cell's run: position minus a cummax of run starts
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), scell[1:] != scell[:-1]])
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, pos, 0))
-    rank = pos - run_start
-    keep = rank < qcap
-    dropped = jnp.sum(~keep).astype(jnp.int32)
-    # (nlist, qcap) query index per slot, -1 = empty; out-of-capacity
-    # ranks fall off the table via mode="drop"
-    qslot = jnp.full((nlist, qcap), -1, jnp.int32)
-    qslot = qslot.at[scell, rank].set(squery, mode="drop")
-    # per original pair: where did it land (for the regroup stage)
-    inv = jnp.zeros((m,), jnp.int32).at[order].set(pos)
-    pair_rank = rank[inv]                               # (M,)
-    pair_keep = keep[inv]
-
-    slot_q = jnp.maximum(qslot, 0)                      # (nlist, qcap)
+    pairs = invert_pairs(probe, nlist, qcap)
+    flat_cell = pairs["flat_cell"]
+    dropped = pairs["dropped"]
+    pair_rank = pairs["pair_rank"]
+    pair_keep = pairs["pair_keep"]
+    slot_q = pairs["slot_q"]                            # (nlist, qcap)
 
     qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
     qinv = 1.0 / jnp.maximum(jnp.sqrt(qsq), 1e-30)
@@ -281,22 +353,12 @@ def grouped_cell_candidates(
         from ..kernels.pallas_ivf import (grouped_cell_scores,
                                           grouped_cell_scores_i8)
         # compact probed-cell list for the scalar-prefetch grid: the
-        # kernel fetches ONLY cells some query probes this batch.  u_idx
-        # ranks each sorted pair's cell among the batch's unique cells;
-        # compact slots past the unique count alias cell 0 (fetched once
-        # — the pipeline only re-fetches on an index CHANGE).
+        # kernel fetches ONLY cells some query probes this batch (see
+        # invert_pairs for the layout)
         U = min(nlist, m)
-        u_idx = (jnp.cumsum(is_start) - 1).astype(jnp.int32)   # (M,)
-        n_uniq = (u_idx[-1] + 1).astype(jnp.int32)
-        compact_cells = jnp.zeros((U,), jnp.int32
-                                  ).at[u_idx].set(scell, mode="drop")
-        # kernel prefetch layout: [n_uniq, compact->cell ids...] — slots
-        # past n_uniq are skipped inside the kernel (never gathered back)
-        cell_list = jnp.concatenate([n_uniq[None], compact_cells])
-        qslot_c = jnp.full((U, qcap), -1, jnp.int32
-                           ).at[u_idx, rank].set(squery, mode="drop")
-        slot_qc = jnp.maximum(qslot_c, 0)
-        cid_pair = u_idx[inv]                                   # (M,)
+        cell_list = pairs["cell_list"]
+        slot_qc = pairs["slot_qc"]
+        cid_pair = pairs["cid_pair"]                            # (M,)
         okf = okc.astype(jnp.float32)
         qstat = jnp.take(qstat_b, slot_qc, axis=0)              # (U, qcap)
         if int8_cells:

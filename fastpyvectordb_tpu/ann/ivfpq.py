@@ -99,6 +99,157 @@ def _adc_sum(lut, codes_g, m, kk, b, nprobe, cmax):
     ).reshape(b, nprobe * cmax, m), axis=2).reshape(b, nprobe, cmax)
 
 
+def _pq_route(qf, centroids, metric):
+    """Shared stage 1: route queries to cells, keeping the raw q-centroid
+    cross-products (they are half of every candidate's score under the
+    residual decomposition)."""
+    qc = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
+    if metric == DistanceMetric.COSINE:
+        cn = jnp.maximum(jnp.linalg.norm(centroids, axis=1), 1e-30)
+        route = qc / cn[None, :]
+    elif metric == DistanceMetric.DOT:
+        route = qc
+    else:
+        csq = jnp.einsum("kd,kd->k", centroids, centroids,
+                         preferred_element_type=jnp.float32)
+        route = -(csq[None, :] - 2.0 * qc)
+    return qc, route
+
+
+def _grouped_pq_candidates(qf, qc, probe, codes_t, codebooks, norms,
+                           row_table, ok_cells, *, metric, qcap: int,
+                           use_pallas: bool):
+    """Cell-major ADC scoring for the grouped IVF-PQ dispatch.
+
+    The per-query kernel's stage 3 (`_adc_sum`) expands a one-hot of every
+    PROBED COPY of a cell's codes — (B, nprobe, cmax, M, K) bf16, ~37 MB
+    per query at the 1M defaults, which caps sub-batches at ~56 queries.
+    Cell-major, each probed cell's codes are expanded ONCE per batch and
+    contracted against the flattened ADC tables of all queries probing it:
+
+        cross[u, s, c] = lutq[u, s, :] . onehot(codes[cell_u])[:, c]
+
+    one (qcap, M*K) x (M*K, cmax) MXU matmul per cell (kernels/
+    pallas_ivf.py:grouped_cell_scores_pq; the one-hot never leaves VMEM).
+    The q-centroid term, reconstruction norms, and validity are applied at
+    the regroup stage over per-pair rows (row gathers, not element
+    gathers).  Returns (cand_vals (B, nprobe*cmax) f32 lower=better — L2
+    in the SQUARED domain — cand_rows, dropped).
+    """
+    from .ivf_grouped import invert_pairs
+    b, d = qf.shape
+    nlist, m, cmax = codes_t.shape
+    kk = codebooks.shape[1]
+    mk = m * kk
+    nprobe = probe.shape[1]
+    pairs = invert_pairs(probe, nlist, qcap)
+
+    # cell-independent ADC tables, flattened per query: (B, M*K)
+    qsub = qf.reshape(b, m, d // m)
+    lut = jnp.einsum("bmd,mkd->bmk", qsub, codebooks,
+                     preferred_element_type=jnp.float32)
+    lut_flat = lut.reshape(b, mk).astype(jnp.bfloat16)
+    u = pairs["slot_qc"].shape[0]
+    lutq = jnp.take(lut_flat, pairs["slot_qc"].reshape(-1),
+                    axis=0).reshape(u, qcap, mk)
+
+    if use_pallas:
+        from ..kernels.pallas_ivf import grouped_cell_scores_pq
+        s = grouped_cell_scores_pq(pairs["cell_list"], lutq, codes_t)
+    else:
+        # XLA fallback (CPU tests / unaligned shapes): same math, one-hot
+        # materialized per small chunk of compact cells
+        compact = pairs["cell_list"][1:]
+        cu = 8
+        upad = (-u) % cu
+        compact_p = jnp.pad(compact, (0, upad))
+        lutq_p = jnp.pad(lutq, ((0, upad), (0, 0), (0, 0)))
+        iota_k = jnp.arange(kk, dtype=jnp.int32)
+
+        def blk(xs):
+            cc, lq = xs                       # (cu,) int32, (cu, qcap, mk)
+            cod = jnp.take(codes_t, cc, axis=0).astype(jnp.int32)
+            oh = (cod[:, :, None, :] == iota_k[None, None, :, None]
+                  ).astype(jnp.bfloat16)      # (cu, M, K, cmax)
+            return jax.lax.dot_general(
+                lq, oh.reshape(cu, mk, cmax),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+
+        s = jax.lax.map(blk, (compact_p.reshape(-1, cu),
+                              lutq_p.reshape(-1, cu, qcap, mk)))
+        s = s.reshape(-1, qcap, cmax)[:u]
+
+    # ---- regroup + metric epilogue over per-pair rows -------------------
+    flat_cell = pairs["flat_cell"]
+    flat_slot = (pairs["cid_pair"] * qcap
+                 + jnp.minimum(pairs["pair_rank"], qcap - 1))
+    pv = jnp.take(s.reshape(u * qcap, cmax), flat_slot, axis=0)  # (Mp, cmax)
+    qc_pair = jnp.take_along_axis(qc, probe, axis=1).reshape(-1)
+    cross = pv + qc_pair[:, None]
+    rn = jnp.take(norms, flat_cell, axis=0)                      # (Mp, cmax)
+    rok = jnp.take(ok_cells, flat_cell, axis=0)
+    qsq = jnp.einsum("bd,bd->b", qf, qf, preferred_element_type=jnp.float32)
+    if metric == DistanceMetric.COSINE:
+        qinv_pair = jnp.take(1.0 / jnp.maximum(jnp.sqrt(qsq), 1e-30),
+                             pairs["flat_q"])
+        sc = 1.0 - cross * qinv_pair[:, None] * jax.lax.rsqrt(
+            jnp.maximum(rn, 1e-30))
+    elif metric == DistanceMetric.L2:
+        qsq_pair = jnp.take(qsq, pairs["flat_q"])
+        sc = jnp.maximum(qsq_pair[:, None] + rn - 2.0 * cross, 0.0)
+    else:
+        sc = -cross
+    sc = jnp.where(pairs["pair_keep"][:, None] & rok, sc, MASKED)
+    cand_vals = sc.reshape(b, nprobe * cmax)
+    cand_rows = jnp.take(row_table, flat_cell,
+                         axis=0).reshape(b, nprobe * cmax)
+    return cand_vals, cand_rows, pairs["dropped"]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "metric", "k", "nprobe", "qcap", "rerank", "compute_dtype",
+    "use_pallas"))
+def _grouped_ivfpq_search_kernel(
+    q: jnp.ndarray,            # (B, D) f32
+    centroids: jnp.ndarray,    # (nlist, D) f32
+    codebooks: jnp.ndarray,    # (M, K, ds) f32
+    codes_t: jnp.ndarray,      # (nlist, M, cmax) uint8 TRANSPOSED codes
+    norms: jnp.ndarray,        # (nlist, cmax) f32 reconstruction sq-norms
+    row_table: jnp.ndarray,    # (nlist, cmax) int32, -1 = padding
+    overflow_vecs: jnp.ndarray,
+    overflow_rows: jnp.ndarray,
+    ok_cells: jnp.ndarray,     # (nlist, cmax) bool
+    ok_overflow: jnp.ndarray,  # (O,) bool
+    vectors: Optional[jnp.ndarray],  # (cap, D) — rerank source
+    *,
+    metric: DistanceMetric,
+    k: int,
+    nprobe: int,
+    qcap: int,
+    rerank: int,
+    compute_dtype: str = "bfloat16",
+    use_pallas: bool = False,
+):
+    """Grouped (cell-major) IVF-PQ search: returns (dists (B, k) f32,
+    rows (B, k) int32, dropped () int32).  Same candidate set as
+    _ivfpq_search_kernel when qcap sheds nothing (cells partition the
+    corpus, so per-cell scoring + per-query merge is a reordering of the
+    flat per-query scan)."""
+    from .ivf_grouped import finish_grouped
+    qf = q.astype(jnp.float32)
+    qc, route = _pq_route(qf, centroids, metric)
+    _, probe = jax.lax.top_k(route, nprobe)
+    cand_vals, cand_rows, dropped = _grouped_pq_candidates(
+        qf, qc, probe, codes_t, codebooks, norms, row_table, ok_cells,
+        metric=metric, qcap=qcap, use_pallas=use_pallas)
+    vals, rows = finish_grouped(
+        qf, cand_vals, cand_rows, overflow_vecs, overflow_rows,
+        ok_overflow, vectors, metric=metric, k=k, rerank=rerank,
+        compute_dtype=compute_dtype)
+    return vals, rows, dropped
+
+
 @functools.partial(jax.jit, static_argnames=(
     "metric", "k", "c", "nprobe", "rerank_dtype", "do_rerank"))
 def _ivfpq_search_kernel(
@@ -128,16 +279,7 @@ def _ivfpq_search_kernel(
     qf = q.astype(jnp.float32)
 
     # ---- stage 1: route (and keep q·centroid — it is half the score) ----
-    qc = jnp.dot(qf, centroids.T, preferred_element_type=jnp.float32)
-    if metric == DistanceMetric.COSINE:
-        cn = jnp.maximum(jnp.linalg.norm(centroids, axis=1), 1e-30)
-        route = qc / cn[None, :]
-    elif metric == DistanceMetric.DOT:
-        route = qc
-    else:
-        csq = jnp.einsum("kd,kd->k", centroids, centroids,
-                         preferred_element_type=jnp.float32)
-        route = -(csq[None, :] - 2.0 * qc)
+    qc, route = _pq_route(qf, centroids, metric)
     _, probe = jax.lax.top_k(route, nprobe)            # (B, nprobe)
 
     # ---- stage 2: cell-independent ADC table (one MXU einsum) -----------
@@ -263,7 +405,15 @@ class IVFPQIndex:
                                chunk=int(min(16384, _pow2_at_least(n))))
         topm = np.asarray(_assign_topm(vectors, centroids,
                                        m=min(spill_choices, nlist)))
-        cap = int(max(8, (int(max_cell_factor * n / nlist) + 7) // 8 * 8))
+        # capacity rounds to a 128 multiple when the corpus fills it (the
+        # lane width the grouped pallas ADC kernel tiles over —
+        # kernels/pallas_ivf.py:grouped_cell_scores_pq); tiny test builds
+        # keep the 8-multiple floor so cells don't dwarf the corpus
+        raw_cap = int(max_cell_factor * n / nlist)
+        if raw_cap >= 128:
+            cap = -(-raw_cap // 128) * 128
+        else:
+            cap = int(max(8, (raw_cap + 7) // 8 * 8))
         table, counts, overflow = _balanced_assignment(topm, nlist, cap)
 
         # assigned centroid per row (for residuals); overflow rows excluded
@@ -333,10 +483,71 @@ class IVFPQIndex:
         return idx
 
     # ------------------------------------------------------------------
+    def _codes_t_cached(self) -> jnp.ndarray:
+        """(nlist, M, cmax) transposed codes for the grouped dispatch —
+        M-sublane/cmax-lane is the layout the pallas kernel streams.
+        Lazily built and cached on the identity of ``self.codes`` (+1x
+        codes bytes while the grouped path is in use)."""
+        memo = getattr(self, "_codes_t_memo", None)
+        if memo is None or memo[0] is not self.codes:
+            memo = (self.codes, jnp.swapaxes(self.codes, 1, 2))
+            self._codes_t_memo = memo
+        return memo[1]
+
+    def _search_grouped(self, q: np.ndarray, k: int, okc, oko, nprobe: int,
+                        rerank: int, qcap: Optional[int] = None
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+        """Cell-major batched dispatch: each probed cell's PQ codes are
+        one-hot-expanded ONCE per batch in VMEM and contracted against the
+        ADC tables of every query probing the cell (see
+        _grouped_pq_candidates)."""
+        store = self._collection._store
+        cfg = self._collection.config
+        nlist, cmax = self.row_table.shape
+        m = self.codes.shape[2]
+        kk = self.codebooks.shape[1]
+        codes_t = self._codes_t_cached()
+        from ..kernels import pallas_quant
+        use_pallas = (pallas_quant.on_tpu() and cmax % 128 == 0
+                      and (m * kk) % 128 == 0 and m % 32 == 0)
+        from .ivf_grouped import grouped_qcap
+        # sub-batch bound: the (U, qcap, cmax) f32 score tensor and the
+        # (U, qcap, M*K) bf16 slot-LUT tensor both scale with U <= b*nprobe
+        qcap_hbm = max(8, int((2 << 30) // max(nlist * cmax * 4, 1)))
+        sub_score = max(8, (qcap_hbm * nlist) // (4 * nprobe) // 8 * 8)
+        sub_lut = max(8, int((2 << 30) // max(nprobe * 32 * m * kk * 2, 1))
+                      // 8 * 8)
+        sub_max = min(sub_score, sub_lut)
+        outs_d, outs_r = [], []
+        self.last_dropped = 0
+        for s in range(0, q.shape[0], sub_max):
+            subq = q[s: s + sub_max]
+            real = subq.shape[0]
+            pad = (-real) % 8
+            if pad:
+                subq = np.pad(subq, ((0, pad), (0, 0)))
+            sub_qcap = (min(qcap, qcap_hbm) if qcap is not None else
+                        grouped_qcap(subq.shape[0], nprobe, nlist, cmax))
+            ncand = nprobe * cmax + int(self.overflow_rows.shape[0])
+            dd, rr_, dropped = _grouped_ivfpq_search_kernel(
+                jnp.asarray(subq), self.centroids, self.codebooks, codes_t,
+                self.norms, self.row_table, self.overflow_vecs,
+                self.overflow_rows, okc, oko,
+                store.vectors if rerank > 0 else None,
+                metric=cfg.metric, k=min(k, ncand), nprobe=nprobe,
+                qcap=int(sub_qcap), rerank=rerank,
+                compute_dtype=cfg.compute_dtype, use_pallas=use_pallas)
+            self.last_dropped += int(dropped)
+            outs_d.append(np.asarray(dd)[:real])
+            outs_r.append(np.asarray(rr_)[:real])
+        return np.concatenate(outs_d), np.concatenate(outs_r)
+
     def search(self, queries: np.ndarray, k: int,
                mask: Optional[np.ndarray] = None, overfetch: int = 1,
                nprobe: Optional[int] = None, rerank: Optional[int] = None,
-               max_query_batch: int = 256
+               max_query_batch: int = 256,
+               grouped: Optional[bool] = None,
+               qcap: Optional[int] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
         if self.stale:
             self.__dict__.update(self.rebuilt().__dict__)
@@ -356,6 +567,15 @@ class IVFPQIndex:
             else mask)
         cfg = self._collection.config
         rr = rerank if rerank is not None else self.rerank
+        # large batches go cell-major (same crossover as ann/ivf.py): once
+        # b*nprobe rivals nlist, reading each probed cell once and
+        # batching its queries beats per-query code gathers — and the PQ
+        # one-hot stays in VMEM instead of streaming (B, P, cmax, M, K)
+        if grouped is None:
+            grouped = q.shape[0] * nprobe >= self.centroids.shape[0]
+        if grouped:
+            return self._search_grouped(q, k, okc, oko, nprobe,
+                                        rerank=int(rr), qcap=qcap)
         ncand = nprobe * self.row_table.shape[1] + \
             int(self.overflow_rows.shape[0])
         c = int(min(max(k, k * rr), ncand))

@@ -139,6 +139,97 @@ def grouped_cell_scores(cell_ids: jnp.ndarray,  # (U+1,) int32: [n_uniq,
       qstat[:, None, :])
 
 
+def _kernel_pq(cids_ref, lutq_ref, codes_ref, out_ref, *, kk: int):
+    @pl.when(pl.program_id(0) < cids_ref[0])  # skip the padding tail
+    def _():
+        ct = codes_ref[0].astype(jnp.int32)            # (M, CT)
+        m, c = ct.shape
+        # one-hot expansion lives ONLY in VMEM: onehot[m, k, c] =
+        # (codes[m, c] == k), reshaped to the (M*K, CT) matmul operand.
+        # This is the whole point of the grouped PQ dispatch — the
+        # per-query kernel materializes the same expansion per (query,
+        # probe) pair through HBM (ann/ivfpq.py:_adc_sum), ~37 MB/query.
+        # tiny (1, K, 1) iota broadcast against (M, 1, CT) codes: the only
+        # materialized intermediate is the (M, K, CT) one-hot itself, not
+        # a full-size int32 index tensor
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, kk, 1), 1)
+        onehot = (ct[:, None, :] == iota_k).astype(jnp.bfloat16)
+        out_ref[0] = jax.lax.dot_general(
+            lutq_ref[0], onehot.reshape(m * kk, c),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def pq_cmax_tile(cmax: int, m: int, kk: int,
+                 budget_bytes: int = 4 << 20) -> int:
+    """Largest 128-multiple divisor of cmax whose in-kernel one-hot
+    ((M, K, CT) bf16 + its int32 iota) stays under ~3x budget_bytes of
+    VMEM.  cmax is always a multiple of 128 (ann/ivf.py rounds cell
+    capacity up)."""
+    best = 128
+    t = 128
+    while t <= cmax:
+        if cmax % t == 0 and m * kk * t * 2 <= budget_bytes:
+            best = t
+        t += 128
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def grouped_cell_scores_pq(cell_ids: jnp.ndarray,  # (U+1,) int32:
+                           #   [n_uniq, compact->cell ids...]
+                           lutq: jnp.ndarray,     # (U, qcap, M*K) bf16 —
+                           #   per-slot flattened ADC tables
+                           codes_t: jnp.ndarray,  # (nlist, M, cmax) uint8
+                           #   TRANSPOSED cell-major PQ codes
+                           *, interpret: bool = False) -> jnp.ndarray:
+    """Raw ADC cross-products for the grouped IVF-PQ dispatch:
+
+        out[u, s, c] = sum_m lutq[u, s, m*K + codes_t[cell_ids[1+u], m, c]]
+
+    computed as ONE (qcap, M*K) x (M*K, CT) MXU matmul per (cell, cmax-
+    tile) grid step, with the codes' one-hot expansion done on the VPU in
+    VMEM.  The metric epilogue (q-centroid term, reconstruction norms,
+    validity) is applied by the caller at the regroup stage — this kernel
+    only produces the code-dependent residual term, so it needs no
+    per-cell norm/ok blocks.
+
+    Alignment: cmax % 128 == 0 (cell build guarantees), M*K % 128 == 0,
+    qcap % 8 == 0.  K is recovered from M*K / M.
+    """
+    u, qcap, mk = lutq.shape
+    nlist, m, cmax = codes_t.shape
+    kk = mk // m
+    ct = pq_cmax_tile(cmax, m, kk)
+    kernel = functools.partial(_kernel_pq, kk=kk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        # j (cmax tiles) minor: the lutq block index stays (i, 0, 0)
+        # across the inner loop, so each slot block is fetched once
+        grid=(u, cmax // ct),
+        in_specs=[
+            pl.BlockSpec((1, qcap, mk), lambda i, j, cids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, ct), lambda i, j, cids: (cids[i + 1], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, qcap, ct), lambda i, j, cids: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((u, qcap, cmax), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * u * qcap * cmax * mk,
+            bytes_accessed=(u * m * cmax            # codes, once per cell
+                            + lutq.size * 2
+                            + u * qcap * cmax * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(cell_ids, lutq, codes_t)
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "interpret"))
 def grouped_cell_scores_i8(cell_ids: jnp.ndarray,  # (U+1,) int32:
                            #   [n_uniq, compact->cell...]

@@ -182,3 +182,115 @@ def test_default_4bit_build_recall():
     exact = ids_of(col.search_batch(q, k=10, exact=True))
     _, rows = col._ann.search(q, 10, rerank=16)
     assert recall_of(col, rows, exact) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# grouped (cell-major) dispatch — candidate-set equivalence with the
+# per-query kernel when qcap sheds nothing (cells partition the corpus)
+# ---------------------------------------------------------------------------
+
+def test_grouped_matches_perquery(built):
+    col, v, q = built
+    d1, r1 = col._ann.search(q, 10, grouped=False)
+    d2, r2 = col._ann.search(q, 10, grouped=True, qcap=64)
+    assert col._ann.last_dropped == 0
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2", "dot"])
+def test_grouped_metrics(metric):
+    col, v, q = make_col(metric=metric, n=2000, d=32, seed=7)
+    col.build_ann(kind="ivfpq", nlist=32, nprobe=8, iters=4, m=8,
+                  pq_k=16, pq_iters=4, rerank=8)
+    d1, r1 = col._ann.search(q, 10, grouped=False)
+    d2, r2 = col._ann.search(q, 10, grouped=True, qcap=64)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_no_rerank_matches(built):
+    """Without the exact re-rank the raw ADC rankings must agree up to
+    summation-order noise: the per-query kernel sums the LUT in f32
+    gather order at pq_k=64 while the grouped path contracts a bf16 LUT
+    on the (simulated) MXU, so near-ties at the k-cut may flip — scores
+    must still match to bf16 tolerance and overlap must stay near-total."""
+    col, v, q = built
+    d1, r1 = col._ann.search(q, 10, grouped=False, rerank=0)
+    d2, r2 = col._ann.search(q, 10, grouped=True, qcap=64, rerank=0)
+    overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                       for a, b in zip(r1, r2)])
+    assert overlap >= 0.9, f"grouped/per-query overlap {overlap:.3f}"
+    np.testing.assert_allclose(np.sort(d1, 1), np.sort(d2, 1),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_grouped_filtered(built):
+    col, v, q = built
+    res = col.search_batch(q, k=8, filter=Filter.eq("g", 2), exact=False)
+    assert all(h.metadata["g"] == 2 for hits in res for h in hits)
+    # force the grouped path with the same row mask
+    mask = np.array([m is not None and m.get("g") == 2
+                     for m in col._metadata], dtype=bool)
+    d1, r1 = col._ann.search(q, 8, mask=mask, grouped=False)
+    d2, r2 = col._ann.search(q, 8, mask=mask, grouped=True, qcap=64)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_grouped_overflow_rows():
+    """A tight cell-capacity factor forces overflow rows; the grouped
+    tail must score them identically to the per-query kernel."""
+    col, v, q = make_col(n=1500, d=32, seed=3)
+    col.build_ann(kind="ivfpq", nlist=16, nprobe=4, iters=3, m=8,
+                  pq_k=16, pq_iters=3, max_cell_factor=1.05,
+                  spill_choices=2, rerank=8)
+    assert int(np.asarray(col._ann.overflow_rows).size) > 0
+    d1, r1 = col._ann.search(q, 10, grouped=False)
+    d2, r2 = col._ann.search(q, 10, grouped=True, qcap=128)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_grouped_saturated_qcap_still_serves(built):
+    """qcap=8 deliberately sheds spill probes on hot cells: results must
+    stay valid (no -1 rows at the top) and recall must degrade
+    gracefully, not collapse."""
+    col, v, q = built
+    exact = ids_of(col.search_batch(q, k=10, exact=True))
+    _, rows = col._ann.search(q, 10, grouped=True, qcap=8)
+    assert col._ann.last_dropped > 0
+    assert (rows[:, 0] >= 0).all()
+    assert recall_of(col, rows, exact) >= 0.5
+
+
+def test_grouped_auto_dispatch(built):
+    """b * nprobe >= nlist flips to the grouped path by default."""
+    col, v, q = built
+    big_q = np.repeat(q, 8, axis=0)          # 128 queries, nlist=64
+    d1, r1 = col._ann.search(big_q, 10)      # grouped=None -> grouped
+    d2, r2 = col._ann.search(big_q, 10, grouped=False)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_grouped_pallas_kernel_interpret():
+    """The VMEM one-hot matmul kernel against a numpy LUT-gather oracle
+    (interpret mode; alignment-shaped inputs)."""
+    import jax.numpy as jnp
+    from fastpyvectordb_tpu.kernels.pallas_ivf import grouped_cell_scores_pq
+    rng = np.random.default_rng(5)
+    nlist, m, cmax, kk, qcap, u = 6, 8, 256, 16, 8, 4
+    codes_t = rng.integers(0, kk, (nlist, m, cmax)).astype(np.uint8)
+    lutq = rng.standard_normal((u, qcap, m * kk)).astype(np.float32)
+    n_uniq = 3
+    cell_list = np.array([n_uniq, 4, 1, 5, 0], dtype=np.int32)
+    out = np.asarray(grouped_cell_scores_pq(
+        jnp.asarray(cell_list), jnp.asarray(lutq, dtype=jnp.bfloat16),
+        jnp.asarray(codes_t), interpret=True))
+    assert out.shape == (u, qcap, cmax)
+    for ui in range(n_uniq):
+        cell = cell_list[1 + ui]
+        lq = lutq[ui].reshape(qcap, m, kk)
+        ref = np.zeros((qcap, cmax), np.float32)
+        for ci in range(cmax):
+            for mi in range(m):
+                ref[:, ci] += lq[:, mi, codes_t[cell, mi, ci]]
+        np.testing.assert_allclose(out[ui], ref, rtol=2e-2, atol=2e-2)
