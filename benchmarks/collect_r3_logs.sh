@@ -21,4 +21,18 @@ fold /tmp/r3q2/ooc16m_binary.log r3_outofcore_binary.jsonl
 fold /tmp/r3q2/ooc16m_pq.log     r3_outofcore_pq.jsonl
 fold /tmp/r3q3/graph_sweep.log r3_graph_sweep.jsonl
 
+# queue 4 (int4 sweeps) + queue 5 (catch-up for the dead q1-q3 waiters)
+fold /tmp/r3q4/int4_1m.log     r3_int4_1m.jsonl
+fold /tmp/r3q4/int4_5m.log     r3_int4_5m.jsonl
+fold /tmp/r3q5/ivfg4m_rr.log   r3_ivf_grouped_4m.jsonl
+fold /tmp/r3q5/ivfg1m_rr.log   r3_ivf_grouped.jsonl
+fold /tmp/r3q5/ivfg5m_rr.log   r3_ivf_grouped_5m.jsonl
+fold /tmp/r3q5/ivfpq_grouped.log r3_ivfpq_grouped.jsonl
+fold /tmp/r3q5/graph_sweep.log r3_graph_sweep.jsonl
+fold /tmp/r3q5/api_overhead.log r3_api_overhead_bf16.jsonl
+fold /tmp/r3q5/ooc16m.log      r3_outofcore_20m.jsonl
+fold /tmp/r3q5/ooc16m_int8.log   r3_outofcore_int8.jsonl
+fold /tmp/r3q5/ooc16m_binary.log r3_outofcore_binary.jsonl
+fold /tmp/r3q5/ooc16m_pq.log     r3_outofcore_pq.jsonl
+
 python consolidate_r3.py

@@ -41,6 +41,17 @@ CAMPAIGNS = [
     ("ivf_grouped_5m", "r3_ivf_grouped_5m.jsonl",
      "grouped IVF at 5M x 768 int8 cells vs the exact bf16 scan "
      "(round-2 config5 regime)"),
+    ("ivfpq_grouped", "r3_ivfpq_grouped.jsonl",
+     "grouped (cell-major) IVF-PQ at 1M x 768: the per-query ADC "
+     "one-hot (~37 MB/query) becomes one (qcap, M*K) x (M*K, cmax) MXU "
+     "matmul per probed cell inside VMEM (round-2 verdict #5 on "
+     "servability)"),
+    ("int4_1m", "r3_int4_1m.jsonl",
+     "int4 two-stage vs int8/exact at 1M x 768: half of int8's coarse "
+     "HBM bytes at 8x compression (ROADMAP #29)"),
+    ("int4_5m", "r3_int4_5m.jsonl",
+     "int4 two-stage at 5M x 768 — the HBM-bound regime where the byte "
+     "ratio should show (ROADMAP #29)"),
     ("graph_sweep", "r3_graph_sweep.jsonl",
      "graph ANN wider-expand/fewer-iters sweep at 1M x 768 "
      "(round-2 verdict #9)"),
