@@ -46,6 +46,9 @@ cd /root/repo
 
 # --- queue-1 jobs (headline evidence first) ---
 run bench 5400 python bench.py
+# int8 MXU-rate lab: is the v5e's 2x int8 rate reachable via pallas?
+# (small, high-value: decides whether the int8 coarse stage can halve)
+run int8_mxu 3600 python benchmarks/int8_mxu_lab.py
 run ivfg1m_rr 5400 env IVFG_N=1000000 python benchmarks/ivf_grouped_5m.py \
     --nlist 2048 --np 8,16
 # new: grouped (cell-major) IVF-PQ vs the per-query kernel at 1M
