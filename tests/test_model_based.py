@@ -108,7 +108,11 @@ def random_filter(rng):
 
 @pytest.mark.parametrize("metric", ["cosine", "l2", "dot"])
 def test_random_workload_matches_naive_model(metric, tmp_path):
-    rng = np.random.default_rng(hash(metric) % (2**31))
+    # FPV_FUZZ_SEED widens the sweep (CI loops over seeds); the default
+    # stays deterministic so suite runs are reproducible
+    import os
+    base = int(os.environ.get("FPV_FUZZ_SEED", "0"))
+    rng = np.random.default_rng(base * 1000003 + hash(metric) % (2**31))
     col = Collection(CollectionConfig(name=f"mb-{metric}", dimensions=D,
                                       metric=metric),
                      base_path=tmp_path / metric)
