@@ -515,7 +515,9 @@ class ShardedIVF:
 
 def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
                                c: int, nprobe_local: int, shard_rows: int,
-                               rerank_dtype: str = "bfloat16"):
+                               rerank_dtype: str = "bfloat16",
+                               allow_grouped: bool = True,
+                               use_pallas: bool = False):
     """Compile the sharded IVF-PQ search: cell-sharded ADC scoring, then a
     row-sharded exact re-rank.
 
@@ -531,8 +533,8 @@ def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
     """
     metric = DistanceMetric.parse(metric)
 
-    def local(q, centroids, codebooks, codes, norms, row_table, cent_valid,
-              orow_ids, vectors, validmask, ok_cells):
+    def local(q, centroids, codebooks, codes, codes_t, norms, row_table,
+              cent_valid, orow_ids, vectors, validmask, ok_cells):
         b, d = q.shape
         nlist_l, cmax, m = codes.shape
         kk_cb = codebooks.shape[1]
@@ -551,33 +553,52 @@ def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
         route = jnp.where(cent_valid[None, :], route, -MASKED)
         npl = min(nprobe_local, nlist_l)
         _, probe = jax.lax.top_k(route, npl)
-
-        from ..ann.ivfpq import _adc_sum
-        qsub = qf.reshape(b, m, d // m)
-        lut = jnp.einsum("bmd,mkd->bmk", qsub, codebooks,
-                         preferred_element_type=jnp.float32)
-        codes_g = jnp.take(codes, probe, axis=0)
-        norms_g = jnp.take(norms, probe, axis=0).reshape(b, -1)
-        cand = jnp.take(row_table, probe, axis=0).reshape(b, -1)
-        # per-slot liveness precomputed at construction (the per-call
-        # validmask[row_table] element gather is ~8 ns/element on TPU)
-        ok = jnp.take(ok_cells, probe, axis=0).reshape(b, -1)
-        adc = _adc_sum(lut, codes_g, m, kk_cb, b, npl, cmax)
-        qc_g = jnp.take_along_axis(qc, probe, axis=1)[:, :, None]
-        cross = (qc_g + adc.reshape(b, npl, cmax)).reshape(b, -1)
-
         qsq = jnp.einsum("bd,bd->b", qf, qf,
                          preferred_element_type=jnp.float32)
         qinv = 1.0 / jnp.maximum(jnp.sqrt(qsq[:, None]), 1e-30)
-        if metric == DistanceMetric.COSINE:
-            rinv = jax.lax.rsqrt(jnp.maximum(norms_g, 1e-30))
-            s = 1.0 - cross * qinv * rinv
-        elif metric == DistanceMetric.L2:
-            s = jnp.maximum(qsq[:, None] + norms_g - 2.0 * cross, 0.0)
+
+        dropped = jnp.zeros((), jnp.int32)
+        if allow_grouped and b * npl >= nlist_l:
+            # large batches go cell-major within the shard, mirroring the
+            # single-chip auto-dispatch (ann/ivfpq.py search): each probed
+            # cell's codes are one-hot-expanded ONCE per batch and
+            # contracted against the ADC tables of every query probing it
+            # — the per-query (B, npl, cmax, M, K) one-hot never streams.
+            # No boost cell here: overflow rows ride the row-id
+            # side-channel below in both branches.
+            from ..ann.ivfpq import _grouped_pq_candidates
+            from ..ann.ivf_grouped import grouped_qcap
+            qcap = grouped_qcap(b, npl, nlist_l, cmax)
+            s, cand, dropped = _grouped_pq_candidates(
+                qf, qc, probe, codes_t, codebooks, norms, row_table,
+                ok_cells, metric=metric, qcap=int(qcap),
+                use_pallas=use_pallas)
+            dropped = jax.lax.psum(dropped, DATA_AXIS)
+            safe = jnp.maximum(cand, 0)
         else:
-            s = -cross
-        safe = jnp.maximum(cand, 0)
-        s = jnp.where(ok, s, MASKED)
+            from ..ann.ivfpq import _adc_sum
+            qsub = qf.reshape(b, m, d // m)
+            lut = jnp.einsum("bmd,mkd->bmk", qsub, codebooks,
+                             preferred_element_type=jnp.float32)
+            codes_g = jnp.take(codes, probe, axis=0)
+            norms_g = jnp.take(norms, probe, axis=0).reshape(b, -1)
+            cand = jnp.take(row_table, probe, axis=0).reshape(b, -1)
+            # per-slot liveness precomputed at construction (the per-call
+            # validmask[row_table] element gather is ~8 ns/element on TPU)
+            ok = jnp.take(ok_cells, probe, axis=0).reshape(b, -1)
+            adc = _adc_sum(lut, codes_g, m, kk_cb, b, npl, cmax)
+            qc_g = jnp.take_along_axis(qc, probe, axis=1)[:, :, None]
+            cross = (qc_g + adc.reshape(b, npl, cmax)).reshape(b, -1)
+
+            if metric == DistanceMetric.COSINE:
+                rinv = jax.lax.rsqrt(jnp.maximum(norms_g, 1e-30))
+                s = 1.0 - cross * qinv * rinv
+            elif metric == DistanceMetric.L2:
+                s = jnp.maximum(qsq[:, None] + norms_g - 2.0 * cross, 0.0)
+            else:
+                s = -cross
+            safe = jnp.maximum(cand, 0)
+            s = jnp.where(ok, s, MASKED)
         cc = min(c, s.shape[1])
         negc, cpos = jax.lax.top_k(-s, cc)
         crows = jnp.take_along_axis(safe, cpos, axis=1)
@@ -629,15 +650,16 @@ def build_sharded_ivfpq_search(mesh: Mesh, *, metric: DistanceMetric, k: int,
         es = jax.lax.pmin(es, DATA_AXIS)                   # assemble exact
         kk = min(k, grows.shape[1])
         neg, pos = jax.lax.top_k(-es, kk)
-        return -neg, jnp.take_along_axis(grows, pos, axis=1)
+        return -neg, jnp.take_along_axis(grows, pos, axis=1), dropped
 
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(None, None), P(DATA_AXIS, None), P(None, None, None),
-                  P(DATA_AXIS, None, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None, None), P(DATA_AXIS, None, None),
+                  P(DATA_AXIS, None),
                   P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
                   P(DATA_AXIS, None), P(None), P(DATA_AXIS, None)),
-        out_specs=(P(None, None), P(None, None)),
+        out_specs=(P(None, None), P(None, None), P()),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -667,6 +689,19 @@ class ShardedIVFPQ:
         self.centroids = shard(centroids, 2)
         self.codebooks = rep(codebooks)
         self.codes = shard(codes, 3)
+        # (nlist, M, cmax) transposed codes for the grouped (cell-major)
+        # large-batch dispatch — PQ codes are ~D/M-fold compressed, so the
+        # second copy costs far less than the bf16 re-rank corpus shard
+        codes_np = np.asarray(codes)
+        self.codes_t = shard(
+            np.ascontiguousarray(codes_np.transpose(0, 2, 1)), 3)
+        nlist_c, cmax_c, m_c = codes_np.shape
+        kk_cb = np.asarray(codebooks).shape[1]
+        from ..kernels import pallas_quant
+        self._use_pallas = bool(
+            pallas_quant.on_tpu() and cmax_c % 128 == 0
+            and (m_c * kk_cb) % 128 == 0 and m_c % 32 == 0)
+        self._allow_grouped = True  # clear _fns when toggling (cache key)
         self.norms = shard(norms, 2)
         self.row_table = shard(row_table, 2)
         self.cent_valid = shard(cent_valid, 1)
@@ -738,11 +773,15 @@ class ShardedIVFPQ:
             self._fns[key] = build_sharded_ivfpq_search(
                 self.mesh, metric=self.metric, k=k, c=c,
                 nprobe_local=self.nprobe_local, shard_rows=self.shard_rows,
-                rerank_dtype=self.rerank_dtype)
-        d, r = self._fns[key](q, self.centroids, self.codebooks, self.codes,
-                              self.norms, self.row_table, self.cent_valid,
-                              self.orow_ids, self.vectors, self.validmask,
-                              self.ok_cells)
+                rerank_dtype=self.rerank_dtype,
+                allow_grouped=self._allow_grouped,
+                use_pallas=self._use_pallas)
+        d, r, dropped = self._fns[key](
+            q, self.centroids, self.codebooks, self.codes, self.codes_t,
+            self.norms, self.row_table, self.cent_valid,
+            self.orow_ids, self.vectors, self.validmask,
+            self.ok_cells)
+        self.last_dropped = int(dropped)
         return np.asarray(d), np.asarray(r)
 
 

@@ -167,6 +167,34 @@ def test_sharded_ivfpq_tombstones(built, mesh):
     assert dead not in rows[0].tolist()
 
 
+def test_sharded_ivfpq_grouped_matches_perquery(built, mesh):
+    """The in-shard grouped (cell-major) ADC dispatch must produce the
+    same exact-re-ranked results as the per-query one-hot path: cells
+    partition the corpus, so cell-major scoring + regroup is a
+    reordering of the per-query candidate scan, and phase 2 re-scores
+    both candidate sets exactly."""
+    from fastpyvectordb_tpu.dist.sharded_ann import ShardedIVFPQ
+    col, v, q, exact = built
+    if col._ann is None or type(col._ann).__name__ != "IVFPQIndex":
+        col.build_ann(kind="ivfpq", nlist=64, nprobe=12, iters=5, m=8,
+                      pq_k=64, pq_iters=8, rerank=16)
+    sh = ShardedIVFPQ.from_index(mesh, col._ann)
+
+    rng = np.random.default_rng(11)
+    qb = np.asarray(v[rng.integers(0, v.shape[0], 64)]
+                    + 0.1 * rng.standard_normal((64, D)), dtype=np.float32)
+    assert qb.shape[0] * sh.nprobe_local >= sh.centroids.shape[0] // 8
+    d_g, r_g = sh.search(qb, 10)                # grouped (b*npl >= nlist_l)
+    sh._fns.clear()
+    sh._allow_grouped = False
+    d_p, r_p = sh.search(qb, 10)                # per-query one-hot path
+    # phase 2 scores are exact in both branches; only near-ties may swap
+    np.testing.assert_allclose(d_g, d_p, atol=2e-3)
+    mism = r_g != r_p
+    if mism.any():
+        np.testing.assert_allclose(d_g[mism], d_p[mism], atol=2e-3)
+
+
 def test_sharded_ivf_int8_cells(built, mesh):
     col, v, q, exact = built
     col.build_ann(kind="ivf", nlist=64, nprobe=12, iters=5,
