@@ -212,3 +212,33 @@ def test_grouped_ivf_scores_i8_pallas_matches_xla():
     want = np.maximum(qstat[:, :, None] + norms[cell_ids[1:]][:, None, :]
                       - 2.0 * cross, 0.0)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+
+
+def test_grouped_pq_scores_pallas_matches_formula():
+    """grouped_cell_scores_pq (interpret mode) vs the ADC definition:
+
+        out[u, s, c] = sum_m lutq[u, s, m*K + codes_t[cid_u, m, c]]
+
+    including a padding tail (cell_ids[0] < U rows) that the kernel
+    must skip — the regroup stage masks those slots via pair_keep."""
+    from fastpyvectordb_tpu.kernels.pallas_ivf import grouped_cell_scores_pq
+    rng = np.random.default_rng(13)
+    nlist, u, qcap, cmax, m, kk = 6, 4, 8, 128, 32, 16
+    mk = m * kk
+    n_uniq = 3                                   # one padded tail row
+    cell_ids = np.array([n_uniq, 0, 2, 5, 0], np.int32)
+    lutq = jnp.asarray(
+        rng.standard_normal((u, qcap, mk)).astype(np.float32),
+        jnp.bfloat16)
+    codes_t = rng.integers(0, kk, (nlist, m, cmax)).astype(np.uint8)
+    got = np.asarray(grouped_cell_scores_pq(
+        jnp.asarray(cell_ids), lutq, jnp.asarray(codes_t),
+        interpret=True))
+    assert got.shape == (u, qcap, cmax)
+    lut_f = np.asarray(lutq, np.float32)
+    for ui in range(n_uniq):
+        cid = int(cell_ids[1 + ui])
+        idx = (np.arange(m)[:, None] * kk
+               + codes_t[cid].astype(np.int64))          # (m, cmax)
+        want = lut_f[ui][:, idx].sum(axis=1)             # (qcap, cmax)
+        np.testing.assert_allclose(got[ui], want, rtol=2e-2, atol=0.5)
