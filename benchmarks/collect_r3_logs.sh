@@ -28,6 +28,7 @@ fold /tmp/r3q5/ivfg4m_rr.log   r3_ivf_grouped_4m.jsonl
 fold /tmp/r3q5/ivfg1m_rr.log   r3_ivf_grouped.jsonl
 fold /tmp/r3q5/ivfg5m_rr.log   r3_ivf_grouped_5m.jsonl
 fold /tmp/r3q5/ivfpq_grouped.log r3_ivfpq_grouped.jsonl
+fold /tmp/r3q5/int8_mxu.log    r3_int8_mxu.jsonl
 fold /tmp/r3q5/graph_sweep.log r3_graph_sweep.jsonl
 fold /tmp/r3q5/api_overhead.log r3_api_overhead_bf16.jsonl
 fold /tmp/r3q5/ooc16m.log      r3_outofcore_20m.jsonl

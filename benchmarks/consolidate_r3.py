@@ -46,6 +46,9 @@ CAMPAIGNS = [
      "one-hot (~37 MB/query) becomes one (qcap, M*K) x (M*K, cmax) MXU "
      "matmul per probed cell inside VMEM (round-2 verdict #5 on "
      "servability)"),
+    ("int8_mxu", "r3_int8_mxu.jsonl",
+     "s8xs8 MXU rate lab: XLA dot_general forms vs true s8->s32 pallas "
+     "grids — is the v5e's 2x int8 rate reachable? (ROADMAP #31)"),
     ("int4_1m", "r3_int4_1m.jsonl",
      "int4 two-stage vs int8/exact at 1M x 768: half of int8's coarse "
      "HBM bytes at 8x compression (ROADMAP #29)"),
