@@ -51,7 +51,7 @@ from ..graphdb import GraphDB
 from ..realtime import AsyncConnectionManager, Event, EventType, Subscription
 from . import schemas as S
 from . import wire
-from .batcher import QueryBatcher
+from .batcher import QueryBatcher, QueueFull
 
 JSON = "application/json"
 MSGPACK = "application/msgpack"
@@ -405,24 +405,28 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
             t0 = time.perf_counter()
             loop = asyncio.get_running_loop()
             metadata = None
-            if mode == "quantized":
-                qm = q[None, :] if single else q
+            if single:
+                # singles — exact AND quantized — coalesce through the
+                # batcher: one wave per in-flight dispatch.  Round 3 ran
+                # quantized singles as per-request executor calls, which
+                # serialized concurrent clients on the device.
+                i_row, s_row, r_row = await state["batcher"].search_raw(
+                    c, q, k, filt, exact, quantized=(mode == "quantized"))
+                ids, scores, rows = i_row[None], s_row[None], r_row[None]
+            elif mode == "quantized":
                 ids, scores, rows = await loop.run_in_executor(
-                    None, lambda: c.search_quantized_arrays(qm, k,
+                    None, lambda: c.search_quantized_arrays(q, k,
                                                             filter=filt))
-                if body.get("include_metadata"):
-                    metadata = await _off(c.metadata_for_rows, rows)
             else:
-                if single:
-                    i_row, s_row, r_row = await state["batcher"].search_raw(
-                        c, q, k, filt, exact)
-                    ids, scores, rows = i_row[None], s_row[None], r_row[None]
-                else:
-                    ids, scores, rows = await loop.run_in_executor(
-                        None, lambda: c.search_arrays(q, k, filt, exact))
-                if body.get("include_metadata"):
-                    metadata = await _off(c.metadata_for_rows, rows)
+                ids, scores, rows = await loop.run_in_executor(
+                    None, lambda: c.search_arrays(q, k, filt, exact))
+            if body.get("include_metadata"):
+                metadata = await _off(c.metadata_for_rows, rows)
             took = (time.perf_counter() - t0) * 1000
+        except QueueFull as e:
+            return web.Response(
+                body=wire.pack({"detail": str(e)}), status=503,
+                headers={"Retry-After": "1"}, content_type=MSGPACK)
         except ValueError as e:
             return web.Response(
                 body=wire.pack({"detail": str(e)}), status=400,
@@ -441,12 +445,16 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
         try:
             q = await _query_vector(req, c)
             if req.mode == "quantized":
-                loop = asyncio.get_running_loop()
                 filt = _filter_of(req)
-                hits = (await loop.run_in_executor(
-                    None, lambda: c.search_quantized(
-                        q[None, :], req.k, filter=filt,
-                        include_vectors=req.include_vectors)))[0]
+                if req.include_vectors:
+                    loop = asyncio.get_running_loop()
+                    hits = (await loop.run_in_executor(
+                        None, lambda: c.search_quantized(
+                            q[None, :], req.k, filter=filt,
+                            include_vectors=True)))[0]
+                else:
+                    hits = await state["batcher"].search(
+                        c, q, req.k, filt, None, quantized=True)
             else:
                 exact = (req.exact if req.mode == "auto"
                          else req.mode == "exact")
@@ -461,6 +469,9 @@ def create_app(db_path: str = "./vectordb_data", *, full: bool = True,
                 else:
                     hits = await state["batcher"].search(
                         c, q, req.k, _filter_of(req), exact)
+        except QueueFull as e:
+            return web.json_response({"detail": str(e)}, status=503,
+                                     headers={"Retry-After": "1"})
         except ValueError as e:  # e.g. query dimension mismatch -> 400
             return _json_error(400, str(e))
         took = (time.perf_counter() - t0) * 1000

@@ -26,10 +26,23 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 
+class QueueFull(RuntimeError):
+    """Raised by admission control when a bucket's backlog exceeds
+    ``max_queue``.  The server maps this to HTTP 503 + Retry-After so an
+    open-loop overload degrades to fast rejections instead of unbounded
+    queue growth (round-3 measurement: p99 8 s at c256 —
+    benchmarks/r3_serving.jsonl binary_concurrent_singles_c256)."""
+
+
 class QueryBatcher:
-    def __init__(self, window_ms: float = 2.0, max_batch: int = 256):
+    def __init__(self, window_ms: float = 2.0, max_batch: int = 256,
+                 max_queue: Optional[int] = None):
         self.window = window_ms / 1000.0
         self.max_batch = max_batch
+        # admission bound per bucket: backlog beyond ~4 waves means every
+        # new arrival already faces multi-second service lag — reject it
+        # NOW (cheap) rather than park it (expensive for everyone)
+        self.max_queue = max_queue if max_queue is not None else 4 * max_batch
         self._buckets: Dict[Tuple, List] = {}
         self._lock = asyncio.Lock()
         self._flusher: Dict[Tuple, asyncio.Task] = {}
@@ -40,27 +53,39 @@ class QueryBatcher:
         self._inflight: set = set()
 
     async def search(self, collection, vector: np.ndarray, k: int,
-                     filter=None, exact: Optional[bool] = None):
+                     filter=None, exact: Optional[bool] = None,
+                     quantized: bool = False):
         """Await one query's results (List[SearchResult]), transparently
         batched."""
         return await self._enqueue(collection, vector, k, filter, exact,
-                                   raw=False)
+                                   raw=False, quantized=quantized)
 
     async def search_raw(self, collection, vector: np.ndarray, k: int,
-                         filter=None, exact: Optional[bool] = None):
+                         filter=None, exact: Optional[bool] = None,
+                         quantized: bool = False):
         """Array-shaped variant for the binary wire path: resolves to
         ``(ids_row, scores_row, rows_row)`` from Collection.search_arrays
-        — no SearchResult objects anywhere in the pipeline."""
+        — no SearchResult objects anywhere in the pipeline.  With
+        ``quantized=True`` the wave dispatches through
+        ``search_quantized_arrays`` instead (its own bucket): quantized
+        singles coalesce exactly like exact ones — round 3 served each in
+        its own executor call, so concurrent quantized singles serialized
+        on the device."""
         return await self._enqueue(collection, vector, k, filter, exact,
-                                   raw=True)
+                                   raw=True, quantized=quantized)
 
-    async def _enqueue(self, collection, vector, k, filter, exact, raw):
+    async def _enqueue(self, collection, vector, k, filter, exact, raw,
+                       quantized=False):
         key = (id(collection), k,
                filter.fingerprint() if filter is not None else None,
-               exact, raw)
+               exact, raw, quantized)
         fut = asyncio.get_running_loop().create_future()
         async with self._lock:
             bucket = self._buckets.setdefault(key, [])
+            if len(bucket) >= self.max_queue:
+                raise QueueFull(
+                    f"search backlog full ({len(bucket)} queued, "
+                    f"limit {self.max_queue}); retry shortly")
             bucket.append((vector, fut, collection, filter))
             if self._busy.get(key):
                 # a dispatch is computing right now: this request rides the
@@ -111,7 +136,7 @@ class QueryBatcher:
                         self._busy.pop(key, None)
                         drained = True
                         return
-                await self._flush(wave, key[1], key[3], key[4])
+                await self._flush(wave, key[1], key[3], key[4], key[5])
         finally:
             # exception path ONLY: drop the busy marker so the key isn't
             # wedged.  The normal path already popped it under the lock —
@@ -125,7 +150,7 @@ class QueryBatcher:
                     if self._buckets.get(key):
                         self._spawn_flush(key)
 
-    async def _flush(self, bucket, k, exact, raw):
+    async def _flush(self, bucket, k, exact, raw, quantized=False):
         # EVERYTHING inside the try: np.stack raises on inconsistent query
         # shapes (e.g. one wrong-dims query coalesced with good ones), and
         # an exception before set_exception would strand every future in
@@ -136,16 +161,26 @@ class QueryBatcher:
             filt = bucket[0][3]
             loop = asyncio.get_running_loop()
             if raw:
-                ids, scores, rows = await loop.run_in_executor(
-                    None, lambda: collection.search_arrays(
-                        vectors, k, filt, exact))
+                if quantized:
+                    ids, scores, rows = await loop.run_in_executor(
+                        None, lambda: collection.search_quantized_arrays(
+                            vectors, k, filter=filt))
+                else:
+                    ids, scores, rows = await loop.run_in_executor(
+                        None, lambda: collection.search_arrays(
+                            vectors, k, filt, exact))
                 for i, (_, fut, _, _) in enumerate(bucket):
                     if not fut.done():
                         fut.set_result((ids[i], scores[i], rows[i]))
             else:
-                results = await loop.run_in_executor(
-                    None, lambda: collection.search_batch(
-                        vectors, k, filt, False, exact))
+                if quantized:
+                    results = await loop.run_in_executor(
+                        None, lambda: collection.search_quantized(
+                            vectors, k, filter=filt))
+                else:
+                    results = await loop.run_in_executor(
+                        None, lambda: collection.search_batch(
+                            vectors, k, filt, False, exact))
                 for (_, fut, _, _), hits in zip(bucket, results):
                     if not fut.done():
                         fut.set_result(hits)

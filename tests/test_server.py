@@ -322,6 +322,88 @@ def test_batcher_bad_query_fails_bucket_not_hangs():
     assert any(isinstance(o, Exception) for o in outs), outs
 
 
+def test_batcher_admission_control_rejects_backlog():
+    """Beyond max_queue pending requests per bucket, new arrivals must be
+    rejected IMMEDIATELY with QueueFull — an open-loop overload degrades
+    to fast 503s, not multi-second queueing (round-3: p99 8 s at c256)."""
+    import asyncio
+    import time as _t
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    from fastpyvectordb_tpu.server.batcher import QueryBatcher, QueueFull
+
+    col = Collection(CollectionConfig(name="ac", dimensions=8, metric="l2"))
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((16, 8)).astype(np.float32)
+    col.insert_batch(v, [f"v{i}" for i in range(16)])
+
+    orig = col.search_batch
+
+    def slow(queries, *a, **kw):
+        _t.sleep(0.1)  # pin the first wave in flight
+        return orig(queries, *a, **kw)
+
+    col.search_batch = slow
+
+    async def run():
+        b = QueryBatcher(window_ms=1, max_batch=2, max_queue=4)
+        # wave 1 (2 requests) dispatches; 4 more fill the backlog; the
+        # rest must be rejected at enqueue time
+        outs = await asyncio.gather(
+            *[b.search(col, v[i % 16], k=1) for i in range(12)],
+            return_exceptions=True)
+        return outs
+
+    outs = asyncio.run(run())
+    served = [o for o in outs if not isinstance(o, Exception)]
+    rejected = [o for o in outs if isinstance(o, QueueFull)]
+    assert rejected, "expected QueueFull rejections at backlog limit"
+    assert served, "admission control must not reject everything"
+    assert len(served) + len(rejected) == 12, outs
+
+
+def test_batcher_coalesces_quantized_singles():
+    """Quantized singles must ride the batcher like exact ones (round 3
+    dispatched each in its own executor call) — and in their OWN bucket,
+    never np.stack'ed with exact queries."""
+    import asyncio
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    from fastpyvectordb_tpu.server.batcher import QueryBatcher
+
+    col = Collection(CollectionConfig(name="qb", dimensions=8, metric="l2"))
+    rng = np.random.default_rng(4)
+    v = rng.standard_normal((64, 8)).astype(np.float32)
+    col.insert_batch(v, [f"v{i}" for i in range(64)])
+    col.enable_quantized_scan(kind="int8")
+
+    qcalls, ecalls = [], []
+    orig_q = col.search_quantized_arrays
+    orig_e = col.search_arrays
+
+    def counting_q(queries, *a, **kw):
+        qcalls.append(np.asarray(queries).shape[0])
+        return orig_q(queries, *a, **kw)
+
+    def counting_e(queries, *a, **kw):
+        ecalls.append(np.asarray(queries).shape[0])
+        return orig_e(queries, *a, **kw)
+
+    col.search_quantized_arrays = counting_q
+    col.search_arrays = counting_e
+
+    async def run():
+        b = QueryBatcher(window_ms=20, max_batch=64)
+        return await asyncio.gather(
+            *[b.search_raw(col, v[i], k=1, quantized=True)
+              for i in range(6)],
+            *[b.search_raw(col, v[i], k=1) for i in range(6, 12)])
+
+    results = asyncio.run(run())
+    ids = [r[0][0] for r in results]
+    assert ids == [f"v{i}" for i in range(12)]
+    assert qcalls == [6], f"expected one quantized wave, got {qcalls}"
+    assert ecalls == [6], f"expected one exact wave, got {ecalls}"
+
+
 def test_server_search_wrong_dims_400(server):
     import httpx
     base = f"http://127.0.0.1:{server.port}"
