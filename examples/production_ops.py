@@ -186,7 +186,7 @@ def demo_beyond_hbm():
     # codes + candidates"): OutOfCoreSearcher streams every byte exactly;
     # QuantizedOutOfCoreSearcher streams int8/pq/binary CODE tiles
     # (4x/16x/32x less transfer) and exact-re-ranks gathered candidates
-    from fastpyvectordb_tpu.parallel import (
+    from fastpyvectordb_tpu.core.outofcore import (
         OutOfCoreSearcher,
         QuantizedOutOfCoreSearcher,
     )

@@ -1,18 +1,10 @@
-"""Alias namespace: `utils` -> persistence + profiling utilities.
+"""Small shared utilities with no better home.
 
-Canonical modules: `fastpyvectordb_tpu.persist.format` (FPVT container,
-streaming IO, compression) and `fastpyvectordb_tpu.profiling`.
+(Not an alias namespace: the former ``ops``/``models``/``parallel``
+re-export shims were removed — import from the canonical packages
+``fastpyvectordb_tpu.kernels``, ``.ann``, ``.quant``, ``.dist``,
+``.persist`` and ``.core.outofcore`` directly.)
 """
-from .persist.format import (  # noqa: F401
-    Container,
-    StreamingVectorReader,
-    StreamingVectorWriter,
-    compress_vectors,
-    decompress_vectors,
-    load_container,
-    save_container,
-)
-from .profiling import QueryTimer, annotate, trace  # noqa: F401
 
 
 def next_pow2(n: int) -> int:
