@@ -54,7 +54,8 @@ class ServerThread:
         assert self.started.wait(30)
 
 
-async def drive_concurrent(base, queries, concurrency, k, binary=False):
+async def drive_concurrent(base, queries, concurrency, k, binary=False,
+                           mode=None):
     """N workers, each sending its slice of distinct queries serially."""
     import httpx
     import msgpack
@@ -62,6 +63,9 @@ async def drive_concurrent(base, queries, concurrency, k, binary=False):
     took = []  # server-side per-request time (includes batcher wait)
     done = [0]
     hdr = {"Content-Type": "application/msgpack"}
+    extra = {"mode": mode} if mode else {}
+
+    rejected = [0]  # 503s from batcher admission control: counted, not timed
 
     async def worker(wq):
         async with httpx.AsyncClient(base_url=base, timeout=600) as c:
@@ -71,13 +75,20 @@ async def drive_concurrent(base, queries, concurrency, k, binary=False):
                     r = await c.post(
                         "/collections/load/search", headers=hdr,
                         content=msgpack.packb(
-                            {"vector": q.tobytes(), "k": k},
+                            {"vector": q.tobytes(), "k": k, **extra},
                             use_bin_type=True))
+                    if r.status_code == 503:
+                        rejected[0] += 1
+                        continue
                     r.raise_for_status()
                     took.append(msgpack.unpackb(r.content).get("took_ms", 0))
                 else:
                     r = await c.post("/collections/load/search",
-                                     json={"vector": q.tolist(), "k": k})
+                                     json={"vector": q.tolist(), "k": k,
+                                           **extra})
+                    if r.status_code == 503:
+                        rejected[0] += 1
+                        continue
                     r.raise_for_status()
                     took.append(r.json().get("took_ms", 0))
                 lat.append(time.perf_counter() - t0)
@@ -90,11 +101,14 @@ async def drive_concurrent(base, queries, concurrency, k, binary=False):
     wall = time.perf_counter() - t0
     arr = np.asarray(sorted(lat))
     tk = np.asarray(sorted(took))
-    return {"qps": round(done[0] / wall, 1),
-            "p50_ms": round(float(arr[len(arr) // 2]) * 1e3, 2),
-            "p99_ms": round(float(arr[int(len(arr) * 0.99)]) * 1e3, 2),
-            "srv_p50_ms": round(float(tk[len(tk) // 2]), 2),
-            "n": done[0]}
+    out = {"qps": round(done[0] / wall, 1),
+           "p50_ms": round(float(arr[len(arr) // 2]) * 1e3, 2),
+           "p99_ms": round(float(arr[int(len(arr) * 0.99)]) * 1e3, 2),
+           "srv_p50_ms": round(float(tk[len(tk) // 2]), 2),
+           "n": done[0]}
+    if rejected[0]:
+        out["rejected_503"] = rejected[0]
+    return out
 
 
 async def drive_batched(base, queries, batch, k, binary=False,
@@ -109,6 +123,11 @@ async def drive_batched(base, queries, batch, k, binary=False,
     qarr = np.stack(queries)
     starts = list(range(0, len(queries), batch))
 
+    took = []  # server-side handler time: isolates server cost from
+    # client serialization when a mode's end-to-end QPS disagrees with
+    # its kernel ordering (round-3: int8 3.7k vs exact 8.4k over HTTP
+    # while the kernels ranked the other way)
+
     async def send(c, s):
         chunk = qarr[s: s + batch]
         if binary:
@@ -119,12 +138,15 @@ async def drive_batched(base, queries, batch, k, binary=False,
             r = await c.post(
                 "/collections/load/search/batch", headers=hdr,
                 content=msgpack.packb(body, use_bin_type=True))
+            r.raise_for_status()
+            took.append(msgpack.unpackb(r.content).get("took_ms", 0))
         else:
             body = {"vectors": chunk.tolist(), "k": k}
             if mode:
                 body["mode"] = mode
             r = await c.post("/collections/load/search/batch", json=body)
-        r.raise_for_status()
+            r.raise_for_status()
+            took.append(r.json().get("took_ms", 0))
         total[0] += len(chunk)
 
     async with httpx.AsyncClient(base_url=base, timeout=600) as c:
@@ -132,7 +154,51 @@ async def drive_batched(base, queries, batch, k, binary=False,
             await asyncio.gather(*[send(c, s)
                                    for s in starts[g: g + pipeline]])
     wall = time.perf_counter() - t0
-    return {"qps": round(total[0] / wall, 1), "n": total[0]}
+    tk = sorted(took)
+    return {"qps": round(total[0] / wall, 1), "n": total[0],
+            "srv_p50_ms": round(float(tk[len(tk) // 2]), 2)}
+
+
+async def recall_probe(base, queries, gt_ids, k, binary=False, mode=None):
+    """Serving-path recall@k vs in-process f32 exact ground truth: the
+    round-3 harness carried QPS/latency but never recall, so a serving
+    regression that silently degrades result quality (stale tuned rerank
+    after a rebuild, wrong mode routed) would have passed."""
+    import httpx
+    import msgpack
+    qarr = np.stack(queries)
+    async with httpx.AsyncClient(base_url=base, timeout=600) as c:
+        if binary:
+            body = {"vectors": np.ascontiguousarray(qarr).tobytes(), "k": k}
+            if mode:
+                body["mode"] = mode
+            r = await c.post("/collections/load/search/batch",
+                             headers={"Content-Type": "application/msgpack"},
+                             content=msgpack.packb(body, use_bin_type=True))
+            r.raise_for_status()
+            got = msgpack.unpackb(r.content)["ids"]
+        else:
+            body = {"vectors": qarr.tolist(), "k": k}
+            if mode:
+                body["mode"] = mode
+            r = await c.post("/collections/load/search/batch", json=body)
+            r.raise_for_status()
+            got = [[h["id"] for h in hits] for hits in r.json()["results"]]
+    hits = [len(set(g) & set(e)) / max(len(e), 1)
+            for g, e in zip(got, gt_ids)]
+    return round(float(np.mean(hits)), 4)
+
+
+def exact_ground_truth(col, queries, k):
+    """f32 exact top-k ids (full-precision scan over the store) for the
+    recall column — independent of the collection's serving dtype."""
+    q = np.stack(queries)
+    _, rows = col._store.search(q, k, col.config.metric,
+                                compute_dtype="float32")
+    rows = np.asarray(rows)
+    r2i = col._row_to_id
+    return [[r2i[r] for r in row if 0 <= r < len(r2i) and r2i[r]]
+            for row in rows]
 
 
 def main():
@@ -220,6 +286,7 @@ def main():
 
     queries = [rng.standard_normal(args.dims).astype(np.float32)
                for _ in range(args.queries)]
+    gt64 = exact_ground_truth(col, queries[:64], args.k)
 
     # warmup (compile): queries pad to pow2 buckets (store.py:164), so
     # pre-compile every bucket IN-PROCESS first — first compiles through
@@ -236,6 +303,8 @@ def main():
 
     out = {"exp": "sequential_singles",
            **asyncio.run(drive_concurrent(base, queries[:256], 1, args.k))}
+    out["recall_at_k"] = asyncio.run(
+        recall_probe(base, queries[:64], gt64, args.k))
     print(json.dumps(out), flush=True)
     seq_qps = out["qps"]
 
@@ -250,6 +319,8 @@ def main():
     out = {"exp": "client_batched_b256",
            **asyncio.run(drive_batched(base, queries, 256, args.k))}
     out["vs_sequential"] = round(out["qps"] / max(seq_qps, 1e-9), 2)
+    out["recall_at_k"] = asyncio.run(
+        recall_probe(base, queries[:64], gt64, args.k))
     print(json.dumps(out), flush=True)
 
     # ---- binary wire path (msgpack + raw f32; server/wire.py) ----
@@ -271,6 +342,8 @@ def main():
                **asyncio.run(drive_batched(base, queries, batch, args.k,
                                            binary=True))}
         out["vs_sequential"] = round(out["qps"] / max(seq_qps, 1e-9), 2)
+        out["recall_at_k"] = asyncio.run(
+            recall_probe(base, queries[:64], gt64, args.k, binary=True))
         print(json.dumps(out), flush=True)
 
     # ---- int8 two-stage over HTTP (the serving-default mode) ----
@@ -289,10 +362,21 @@ def main():
                **asyncio.run(drive_batched(base, queries, batch, args.k,
                                            binary=True, mode="quantized"))}
         out["vs_sequential"] = round(out["qps"] / max(seq_qps, 1e-9), 2)
+        out["recall_at_k"] = asyncio.run(recall_probe(
+            base, queries[:64], gt64, args.k, binary=True,
+            mode="quantized"))
         print(json.dumps(out), flush=True)
-    # coalesced singles against the int8 index (batcher path, exact=None
-    # falls through to the flat scan; quantized singles use
-    # search_quantized per-request — measure the batched default instead)
+
+    # quantized singles now coalesce through the batcher (their own
+    # bucket): the round-3 gap — per-request executor calls serializing
+    # on the device — is gone; measure them like the exact singles
+    for conc in (64, 256):
+        out = {"exp": f"binary_int8_singles_c{conc}",
+               **asyncio.run(drive_concurrent(
+                   base, queries, conc, args.k, binary=True,
+                   mode="quantized"))}
+        out["vs_sequential"] = round(out["qps"] / max(seq_qps, 1e-9), 2)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
