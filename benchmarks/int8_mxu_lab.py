@@ -149,6 +149,14 @@ def main():
             pallas_s8, codes=codes, interpret=interpret))
         f_pl_tn = jax.jit(functools.partial(
             pallas_s8_tn, codes_t=codes_t, interpret=interpret))
+        # tile-size sweep: 512-row tiles may underfeed the MXU pipeline
+        # (more grid steps = more prologue/epilogue); 2048-row tiles are
+        # 8 MB of s32 out per step — still far under VMEM
+        pl_tiles = [(f"pallas_s8s8_tn{t}",
+                     jax.jit(functools.partial(
+                         pallas_s8, codes=codes, tn=t,
+                         interpret=interpret)))
+                    for t in (1024, 2048)]
 
         # correctness cross-check once per batch size (tiny slice)
         ref = np.asarray(f_s8(qb_s8[0]))[:4, :256].astype(np.int64)
@@ -158,11 +166,12 @@ def main():
              pallas_ok=bool(np.array_equal(ref, got)),
              pallas_tn_ok=bool(np.array_equal(ref, got_tn)))
 
-        for name, fn, qs in [("xla_bf16", f_bf16, qb_bf),
-                             ("xla_s8s8", f_s8, qb_s8),
-                             ("xla_s8s8_f32", f_s8_f32, qb_s8),
-                             ("pallas_s8s8", f_pl, qb_s8),
-                             ("pallas_s8_tn", f_pl_tn, qb_s8)]:
+        for name, fn, qs in ([("xla_bf16", f_bf16, qb_bf),
+                              ("xla_s8s8", f_s8, qb_s8),
+                              ("xla_s8s8_f32", f_s8_f32, qb_s8),
+                              ("pallas_s8s8", f_pl, qb_s8),
+                              ("pallas_s8_tn", f_pl_tn, qb_s8)]
+                             + [(nm, f, qb_s8) for nm, f in pl_tiles]):
             try:
                 dt = timed(fn, qs)
             except Exception as e:  # noqa: BLE001 — record and move on

@@ -351,8 +351,15 @@ def main():
     r = httpx.post(f"{base}/collections/load/index",
                    json={"kind": "int8", "params": {}}, timeout=3600)
     r.raise_for_status()
+    qs = col._quantized
     print(json.dumps({"exp": "int8_build",
-                      "s": round(time.perf_counter() - t0, 1)}), flush=True)
+                      "s": round(time.perf_counter() - t0, 1),
+                      # the serving path uses the TUNED candidate depth;
+                      # a large tuned rerank multiplies the (B, c, D)
+                      # rerank gather bytes vs the kernel bench's rr=4 —
+                      # prime suspect for the r3 int8-over-HTTP loss
+                      "default_rerank": getattr(qs, "default_rerank", None),
+                      "kind": getattr(qs, "kind", None)}), flush=True)
     for batch in (256, 1024):
         if batch > len(queries):
             continue
