@@ -63,3 +63,8 @@ run b1_latency 2700 python benchmarks/b1_latency.py
 run serving_r4 7200 python benchmarks/server_load.py
 
 echo "$(date +%H:%M:%S) R4 QUEUE-B COMPLETE" >&2
+
+# 3. int8 MXU lab rerun: the first attempt shipped the 768 MB codes
+#    array inside the HLO (closure capture) and died on the relay's
+#    request limit (HTTP 413); the corpus is an explicit jit arg now
+run int8_mxu 3600 python benchmarks/int8_mxu_lab.py
