@@ -160,9 +160,12 @@ def main():
     emit(exp="pallas_gate", use_pallas=bool(use_pallas), cmax=cmax,
          m=m, kk=kk)
 
+    rr_list = [int(x) for x in
+               os.environ.get("PQG_RR", "0,8,16").split(",")]
+    skip_pq = os.environ.get("PQG_SKIP_PQ") == "1"
     for nprobe in nprobes:
         qcap = grouped_qcap(B, nprobe, nlist, cmax)
-        for rr in (0, 8, 16):
+        for rr in rr_list:
             # per-query kernel: the sub-batch cap the one-hot forces
             per_q = max(nprobe * cmax * m * 2 * kk, 1)
             safe_b = max(8, int((2 << 30) // per_q) // 8 * 8)
@@ -182,10 +185,11 @@ def main():
                     outs_r.append(r_)
                 return jnp.concatenate(outs_d), jnp.concatenate(outs_r)
 
-            dt = timed(run_pq)
-            emit(exp=f"ivfpq_pq_np{nprobe}_rr{rr}_b{B}_sub{sub}",
-                 ms=round(dt * 1e3, 2), qps=round(B / dt, 1),
-                 recall=round(recall_of(run_pq), 4))
+            if not skip_pq:
+                dt = timed(run_pq)
+                emit(exp=f"ivfpq_pq_np{nprobe}_rr{rr}_b{B}_sub{sub}",
+                     ms=round(dt * 1e3, 2), qps=round(B / dt, 1),
+                     recall=round(recall_of(run_pq), 4))
 
             def run_g(q, rr=rr, nprobe=nprobe, qcap=qcap):
                 d_, r_, _ = _grouped_ivfpq_search_kernel(

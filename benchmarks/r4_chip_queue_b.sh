@@ -68,3 +68,9 @@ echo "$(date +%H:%M:%S) R4 QUEUE-B COMPLETE" >&2
 #    array inside the HLO (closure capture) and died on the relay's
 #    request limit (HTTP 413); the corpus is an explicit jit arg now
 run int8_mxu 3600 python benchmarks/int8_mxu_lab.py
+
+# 4. IVF-PQ deep-rerank sweep (grouped kernel only): rr16 topped out at
+#    recall 0.72; the grouped kernel is fast enough that rr64-256 may
+#    finally put IVF-PQ over the 0.95 serving bar at real QPS
+run ivfpq_deep 3600 env PQG_NP=8 PQG_RR=64,128,256 PQG_SKIP_PQ=1 \
+    python benchmarks/ivfpq_grouped_tpu.py
