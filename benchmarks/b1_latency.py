@@ -61,8 +61,12 @@ def measure(n, d, metric=DistanceMetric.COSINE, k=10):
     mask = jnp.ones((n,), dtype=bool)
     queries = jax.random.normal(kq, (REPS + 1, d), dtype=jnp.float32)
 
-    def search1(q):
-        return K.search_kernel(q[None, :], v16, sq, rinv, mask,
+    # NOTE: the corpus must be a jit ARGUMENT everywhere below — a
+    # closed-over device array is embedded in the shipped HLO as a
+    # constant, and at 1M x 768 the 1.5 GB body blows the remote-compile
+    # relay's request limit (HTTP 413; see ROADMAP #34)
+    def search1(q, vv, vsq, vrinv, vmask):
+        return K.search_kernel(q[None, :], vv, vsq, vrinv, vmask,
                                metric=metric, k=k,
                                compute_dtype="bfloat16", approx=True)
 
@@ -76,30 +80,30 @@ def measure(n, d, metric=DistanceMetric.COSINE, k=10):
 
     # --- end-to-end API B=1 (what a remote caller sees) ----------------
     jit1 = jax.jit(search1)
-    fetch1(jit1(queries[0]))  # compile
+    fetch1(jit1(queries[0], v16, sq, rinv, mask))  # compile
     t0 = time.perf_counter()
     for i in range(REPS):
-        fetch1(jit1(queries[i + 1]))
+        fetch1(jit1(queries[i + 1], v16, sq, rinv, mask))
     api_b1 = (time.perf_counter() - t0) / REPS
 
     # --- on-device B=1: data-dependent scan chain, one dispatch --------
     @jax.jit
-    def chain(q0):
+    def chain(q0, vv, vsq, vrinv, vmask):
         def body(q, _):
-            dists, rows = search1(q)
+            dists, rows = search1(q, vv, vsq, vrinv, vmask)
             # the NEXT query depends on THIS result: gather the top-1
             # row's vector and fold it in — no pipelining possible
-            top = jnp.take(v16, rows[0, 0], axis=0).astype(jnp.float32)
+            top = jnp.take(vv, rows[0, 0], axis=0).astype(jnp.float32)
             qn = q + 1e-3 * top + 1e-6 * dists[0, 0]
             qn = qn / jnp.linalg.norm(qn)
             return qn, dists[0, 0]
         qf, ds = jax.lax.scan(body, q0, None, length=SCAN_LEN)
         return qf, ds
 
-    fetch1(chain(queries[0]))  # compile
+    fetch1(chain(queries[0], v16, sq, rinv, mask))  # compile
     t0 = time.perf_counter()
     for i in range(REPS):
-        fetch1(chain(queries[i + 1]))
+        fetch1(chain(queries[i + 1], v16, sq, rinv, mask))
     dev_chain = (time.perf_counter() - t0) / REPS
     # subtract the fetch RTT once per chain call; SCAN_LEN searches ran
     dev_b1 = max(dev_chain - rtt, 0.0) / SCAN_LEN
@@ -117,12 +121,15 @@ def measure(n, d, metric=DistanceMetric.COSINE, k=10):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--configs", default="100000x128,1000000x768",
+                    help="comma list of NxD corpus shapes to measure")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    # the reference's own benchmark shape, then the headline shape
-    measure(100_000, 128)
-    measure(1_000_000, 768)
+    # default: the reference's own benchmark shape, then the headline one
+    for cfg in args.configs.split(","):
+        n, d = (int(x) for x in cfg.split("x"))
+        measure(n, d)
 
 
 if __name__ == "__main__":

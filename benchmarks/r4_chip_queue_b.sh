@@ -74,3 +74,8 @@ run int8_mxu 3600 python benchmarks/int8_mxu_lab.py
 #    finally put IVF-PQ over the 0.95 serving bar at real QPS
 run ivfpq_deep 3600 env PQG_NP=8 PQG_RR=64,128,256 PQG_SKIP_PQ=1 \
     python benchmarks/ivfpq_grouped_tpu.py
+
+# 5. b1_latency 1M x 768 rerun: the first attempt closed over the 1.5 GB
+#    bf16 corpus (HTTP 413 class, ROADMAP #34); arrays are jit args now
+run b1_latency_1m 2700 env  python benchmarks/b1_latency.py \
+    --configs 1000000x768
