@@ -273,14 +273,30 @@ class VectorDBClient:
 
     def _post(self, path: str, body: dict):
         r = self._client.post(path, json=body)
+        if r.status_code == 503 and "Retry-After" in r.headers:
+            # server admission control (batcher backlog full): one polite
+            # retry after the hinted delay — overload sheds as fast 503s
+            # by design, and a single retry rides the next wave; callers
+            # needing richer policies should wrap the client
+            import time as _t
+            _t.sleep(min(float(r.headers["Retry-After"]), 5.0))
+            r = self._client.post(path, json=body)
         r.raise_for_status()
         return r.json()
 
     def _post_binary(self, path: str, body: dict):
         import msgpack
+        payload = msgpack.packb(body, use_bin_type=True)
         r = self._client.post(
-            path, content=msgpack.packb(body, use_bin_type=True),
+            path, content=payload,
             headers={"Content-Type": "application/msgpack"})
+        if r.status_code == 503 and "Retry-After" in r.headers:
+            # same one-retry admission-control courtesy as _post
+            import time as _t
+            _t.sleep(min(float(r.headers["Retry-After"]), 5.0))
+            r = self._client.post(
+                path, content=payload,
+                headers={"Content-Type": "application/msgpack"})
         if r.status_code >= 400 and r.headers.get(
                 "Content-Type", "").startswith("application/msgpack"):
             detail = msgpack.unpackb(r.content, raw=False).get("detail")
