@@ -116,14 +116,23 @@ def main():
         np.asarray(jax.device_get(o.ravel()[:1]))
 
     def timed(fn, qb):
+        # keep at most TWO result buffers alive: at B=1024 a (B, N) s32
+        # grid is 4.3 GB, and retaining every iteration's output OOMed
+        # the 16 GB HBM (r4 first run: RESOURCE_EXHAUSTED on all b1024
+        # rows).  Dropping the previous handle lets the runtime free it
+        # while the next dispatch computes — same pipelining, 2 buffers.
         out0 = fn(qb[0])
         fetch1(out0)
         t0 = time.perf_counter()
         fetch1(out0)
         rtt = time.perf_counter() - t0
+        del out0
         t0 = time.perf_counter()
-        outs = [fn(q) for q in qb[1:]]
-        fetch1(outs[-1])
+        prev = None
+        for q in qb[1:]:
+            cur = fn(q)
+            prev = cur  # the old prev drops here; ~2 live buffers max
+        fetch1(prev)
         wall = time.perf_counter() - t0
         return (wall - min(rtt, 0.5 * wall)) / (len(qb) - 1)
 
