@@ -45,6 +45,14 @@ CAMPAIGNS = [
     ("api_overhead_bf16", "api_overhead.log",
      "layer-by-layer API overhead, bf16 config, after the assembly-cost "
      "halving + fetch barrier landed"),
+    ("ivfpq_deep", "ivfpq_deep.log",
+     "grouped IVF-PQ deep-rerank sweep at 1M (rr 64/128/256, np8): the "
+     "servability answer — rr128 hits 20,939 QPS @ recall 0.949 vs the "
+     "round-3 per-query kernel's 435 QPS @ 0.944; recall saturates at "
+     "0.949 on np8 cell coverage"),
+    ("b1_latency_1m", "b1_latency_1m.log",
+     "B=1 on-device latency at the 1M x 768 headline shape (scan-chain "
+     "method, corpus as jit arg after the HTTP-413 fix)"),
     ("b1_latency", "b1_latency.log",
      "B=1 latency with tunnel RTT isolated: data-dependent lax.scan "
      "chain = on-device per-query latency (verdict item 6; reference "
