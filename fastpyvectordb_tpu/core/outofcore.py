@@ -216,6 +216,61 @@ def _pq_tile_step(lut, tile_codes, tile_mask, row_offset,
     return -neg, jnp.take_along_axis(all_rows, pos, axis=1)
 
 
+def _host_encode_tile(codec: str, qz, tile_np: np.ndarray) -> np.ndarray:
+    """Numpy mirror of the scalar codecs' device encoders.
+
+    Bit-compatible with quant/scalar.py:_encode, quant/int4.py:_encode and
+    quant/binary.py:_encode (same f32 arithmetic, numpy and XLA both round
+    half-to-even); used at build time so encoding never ships the full
+    f32 corpus across the host<->device link.
+    """
+    if codec == "int8":
+        vmin = np.asarray(qz.vmin, np.float32)
+        scale = np.asarray(qz.scale, np.float32)
+        q = np.clip(np.round((tile_np - vmin) / scale * np.float32(255.0)),
+                    0.0, 255.0)
+        return (q - np.float32(128.0)).astype(np.int8)
+    if codec == "int4":
+        vmin = np.asarray(qz.vmin, np.float32)
+        scale = np.asarray(qz.scale, np.float32)
+        de = vmin.shape[0]
+        if tile_np.shape[1] != de:  # odd-D phantom dim (halves layout)
+            tile_np = np.pad(tile_np, ((0, 0), (0, de - tile_np.shape[1])))
+        c = np.clip(np.round((tile_np - vmin) / scale * np.float32(15.0)),
+                    0.0, 15.0).astype(np.uint8)
+        w = de // 2
+        return c[:, :w] | (c[:, w:] << 4)
+    # binary: packed sign bits, 32 dims per uint32 word
+    thr = np.asarray(qz.thresholds, np.float32)
+    dims = int(thr.shape[0])
+    w = (dims + 31) // 32
+    bits = (tile_np[:, :dims] > thr).astype(np.uint32)
+    pad = w * 32 - dims
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    shifts = np.arange(32, dtype=np.uint32)
+    return (bits.reshape(-1, w, 32) << shifts).sum(
+        axis=-1, dtype=np.uint32)
+
+
+def _host_row_stats(codec: str, qz, enc_np: np.ndarray):
+    """(vsq, rinv) of the dequantized tile — numpy mirror of the
+    _dequant_row_stats helpers in quant/scalar.py and quant/int4.py."""
+    vmin = np.asarray(qz.vmin, np.float32)
+    scale = np.asarray(qz.scale, np.float32)
+    if codec == "int8":
+        v = ((enc_np.astype(np.float32) + np.float32(128.0))
+             / np.float32(255.0) * scale + vmin)
+    else:  # int4 halves layout: low nibbles | high nibbles
+        c = np.concatenate([enc_np & 0xF, enc_np >> 4], axis=-1)
+        v = c.astype(np.float32) / np.float32(15.0) * scale + vmin
+    sq = np.einsum("nd,nd->n", v, v, dtype=np.float32)
+    rinv = np.where(sq > 0,
+                    1.0 / np.sqrt(np.maximum(sq, np.float32(1e-30))),
+                    0.0).astype(np.float32)
+    return sq.astype(np.float32), rinv
+
+
 class QuantizedOutOfCoreSearcher:
     """Streamed *quantized* coarse scan + exact re-rank over a host corpus.
 
@@ -247,9 +302,21 @@ class QuantizedOutOfCoreSearcher:
                  train_rows: int = 262_144, rerank: int = 16,
                  codes_path: Optional[str] = None,
                  codes_reuse: bool = False,
-                 pq_m: Optional[int] = None, pq_k: int = 16):
+                 pq_m: Optional[int] = None, pq_k: int = 16,
+                 encode_on: str = "auto"):
         if codec not in ("int8", "int4", "binary", "pq"):
             raise ValueError(f"unknown codec {codec!r}")
+        if encode_on not in ("auto", "host", "device"):
+            raise ValueError(f"unknown encode_on {encode_on!r}")
+        # Build-time encoding runs on the HOST by default for the scalar
+        # codecs: their encode is a handful of numpy elementwise ops per
+        # tile, while the device path must ship the FULL f32 corpus over
+        # the host<->device link once just to quantize it (45.8 GB at
+        # 16M x 768 — ~20 min on a remote-attached chip's ~40 MB/s
+        # tunnel, seconds of numpy on host).  PQ stays on device (k-means
+        # assignment is an MXU matmul per tile, not elementwise).
+        self._encode_on = ("device" if codec == "pq"
+                           else "host" if encode_on == "auto" else encode_on)
         self.corpus = corpus
         self.n = int(corpus.shape[0])
         self.dims = int(corpus.shape[1])
@@ -379,6 +446,14 @@ class QuantizedOutOfCoreSearcher:
                 enc = self._qz.encode(tile_np)
                 codes[start:stop] = np.asarray(enc)
                 enc.delete()
+                continue
+            if self._encode_on == "host":
+                enc_np = _host_encode_tile(self.codec, self._qz, tile_np)
+                codes[start:stop] = enc_np
+                if needs_stats:
+                    vsq, rinv = _host_row_stats(self.codec, self._qz, enc_np)
+                    self._vsq[start:stop] = vsq
+                    self._rinv[start:stop] = rinv
                 continue
             tile = jnp.asarray(tile_np)
             enc = self._qz.encode(tile)

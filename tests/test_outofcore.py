@@ -250,3 +250,32 @@ def test_quantized_tune_rerank_clustered():
     rec = np.mean([len(set(a) & set(b)) / 10
                    for a, b in zip(rows.tolist(), truth.tolist())])
     assert rec >= 0.95, rec
+
+
+@pytest.mark.parametrize("codec", ["int8", "int4", "binary"])
+def test_host_encode_matches_device(qcorpus, codec):
+    """Build-time host (numpy) encoding must be bit-compatible with the
+    device encoders it mirrors (quant/{scalar,int4,binary}.py:_encode) —
+    the streamed tiers default to host encode so building never ships the
+    full f32 corpus across the host<->device link."""
+    v, q, plant = qcorpus
+    sh = QuantizedOutOfCoreSearcher(v, metric="cosine", codec=codec,
+                                    tile_rows=700, rerank=16,
+                                    encode_on="host")
+    sd = QuantizedOutOfCoreSearcher(v, metric="cosine", codec=codec,
+                                    tile_rows=700, rerank=16,
+                                    encode_on="device")
+    ch = np.asarray(sh._codes)
+    cd = np.asarray(sd._codes)
+    assert ch.dtype == cd.dtype and ch.shape == cd.shape
+    # identical f32 arithmetic on both sides; allow <=0.01% one-level
+    # boundary flips from fusion-order ulp differences
+    mism = np.mean(ch != cd)
+    assert mism <= 1e-4, mism
+    if codec in ("int8", "int4"):
+        np.testing.assert_allclose(sh._vsq, sd._vsq, rtol=1e-4)
+        np.testing.assert_allclose(sh._rinv, sd._rinv, rtol=1e-4)
+    vh, rh = sh.search(q, k=5)
+    vd, rd = sd.search(q, k=5)
+    np.testing.assert_array_equal(rh[:, 0], plant)
+    np.testing.assert_array_equal(rd[:, 0], plant)
