@@ -347,3 +347,39 @@ def test_optimize_tiny_corpus_stays_exact():
     assert report["installed"] == "exact"
     assert col.search(rng.standard_normal(8).astype(np.float32),
                       k=3) is not None
+
+
+def test_optimize_picks_ivfpq_as_best_bytes_per_query(tmp_path):
+    """With an IVF-PQ index built, optimize() must rank it cheapest by
+    HBM bytes/query (codes are ~M/D of the store row, and only the
+    probed fraction streams) and install "ann" when it clears the
+    recall target — the memory-bound regime where IVF-PQ is the right
+    serving mode (round-3 verdict item 8; reference scale ladder
+    README.md:571-578).  Choice survives save/load."""
+    from fastpyvectordb_tpu import Collection, CollectionConfig
+    rng = np.random.default_rng(9)
+    n, d = 6000, 64
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    col = Collection(CollectionConfig(name="optpq", dimensions=d,
+                                      metric="l2"),
+                     base_path=tmp_path / "optpq")
+    col.insert_batch(v, [f"v{i}" for i in range(n)])
+    col.enable_quantized_scan("int8")
+    col.build_ann("ivfpq", nlist=64, m=16, tune_target=0.9)
+    report = col.optimize(target_recall=0.9, k=5, build=False)
+    assert "ann" in report and "quantized" in report
+    assert (report["ann"]["bytes_per_query"]
+            < report["quantized"]["bytes_per_query"]
+            < report["exact"]["bytes_per_query"])
+    if report["ann"]["eligible"]:  # tuned IVF-PQ clears 0.9 on Gaussian
+        assert report["installed"] == "ann"
+        hits = col.search(v[42], k=3)
+        assert hits[0].id == "v42"
+        col.save()
+        col2 = Collection(CollectionConfig(name="optpq", dimensions=d,
+                                           metric="l2"),
+                          base_path=tmp_path / "optpq")
+        assert col2._serving_mode == "ann"
+        assert col2.search(v[42], k=3)[0].id == "v42"
+    else:  # recall tuning is data-dependent; the ranking claim must hold
+        assert report["installed"] in ("quantized", "exact")
