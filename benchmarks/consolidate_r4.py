@@ -66,6 +66,11 @@ CAMPAIGNS = [
      "2.9x HBM): steady-state QPS + RSS slope (verdict item 7)"),
     ("ooc16m_int8", "ooc16m_int8.log",
      "QuantizedOutOfCoreSearcher int8 over the same 16M corpus"),
+    # wave F: the deadline-cut int8 run rerun against the salvaged codes
+    # (same group key — later rows refresh the partial wave-E ones)
+    ("ooc16m_int8", "ooc16m_int8_r2.log",
+     "QuantizedOutOfCoreSearcher int8 over the same 16M corpus "
+     "(wave-F rerun on salvaged codes: timed scans + recall pass)"),
     ("ooc16m_binary", "ooc16m_binary.log",
      "QuantizedOutOfCoreSearcher binary over the same 16M corpus"),
     ("ooc16m_pq", "ooc16m_pq.log",
