@@ -157,8 +157,8 @@ def main():
     emit(exp=f"outofcore_search{tag}_{n // 1_000_000}Mx{d}",
          s_per_batch=round(dt, 2),
          qps=round(b / dt, 2),
-         host_to_device_gbps=round(stream_bytes / dt / 2**30, 2),
-         rows_per_s=round(rows_per_s / 1e6, 1))
+         host_to_device_gbps=round(stream_bytes / dt / 2**30, 3),
+         rows_per_s_m=round(rows_per_s / 1e6, 3))
 
     if args.codec and args.recall_vs_exact:
         q = batches[-1]
