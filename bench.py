@@ -14,40 +14,72 @@ exact-search baseline, per BASELINE.json's north star.)
 The measured configuration is the engine's serving path: corpus resident in
 HBM as bfloat16 (storage_dtype=bfloat16, halving bandwidth), fused
 distance-matmul + masked top-k (kernels/distances.py:search_kernel),
-batch=256 queries.  Recall@10 is validated against exact float32
+batch=1024 queries.  Recall@10 is validated against exact float32
 (Precision.HIGHEST) ground truth on a query subsample; the headline QPS
 only counts if recall >= 0.95.
+
+Robustness contract (round-5 redesign after two rc=124 rounds): the
+measurement runs in a CHILD process that appends one JSON row per measured
+candidate to a partial file the moment that candidate finishes.  The parent
+enforces a hard wall-clock budget (BENCH_TIME_BUDGET_S, default 540 s
+total including device wait), kills the child at the deadline, and prints
+the headline line from whatever rows landed.  Candidates run in value
+order — exact bf16 first, the int8 two-stage second (the usual winner),
+int4 / grouped IVF only with time remaining — so a slow or contended chip
+still yields a recorded artifact instead of rc=124.
 """
 
 import json
 import os
+import sys
 import time
 
-import jax
-
-if os.environ.get("BENCH_FORCE_CPU") == "1":
-    # last-resort fallback when the TPU tunnel is down at record time:
-    # the CPU run is honestly labeled (platform field) and FLOPs-scaled,
-    # and beats recording a crashed artifact.  Must precede backend init
-    # (sitecustomize pins the axon platform otherwise).
-    jax.config.update("jax_platforms", "cpu")
-
-# TPU compiles through the axon tunnel are slow (minutes); cache them across
-# bench runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
-import jax.numpy as jnp
-import numpy as np
-
-from fastpyvectordb_tpu.core.types import DistanceMetric
-from fastpyvectordb_tpu.kernels import distances as K
-
 BASELINE_QPS = 10.04  # reference batch-GEMM BLAS scan, FLOPs-scaled to 1Mx768
+_T0 = time.monotonic()
 
 
-def main():
-    import os
+def _budget() -> float:
+    return float(os.environ.get("BENCH_TIME_BUDGET_S", "540"))
+
+
+def _remaining() -> float:
+    return _budget() - (time.monotonic() - _T0)
+
+
+# --------------------------------------------------------------------------
+# child: the actual measurement.  Emits one JSON row per candidate to the
+# file named by BENCH_EMIT_PATH as soon as it is measured, then exits 0.
+# --------------------------------------------------------------------------
+
+def _emit(row: dict) -> None:
+    path = os.environ["BENCH_EMIT_PATH"]
+    with open(path, "a") as f:
+        f.write(json.dumps(row) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def child_main() -> None:
+    import jax
+
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        # last-resort fallback when the TPU tunnel is down at record time:
+        # the CPU run is honestly labeled (platform field) and FLOPs-scaled,
+        # and beats recording a crashed artifact.  Must precede backend init
+        # (sitecustomize pins the axon platform otherwise).
+        jax.config.update("jax_platforms", "cpu")
+
+    # TPU compiles through the axon tunnel are slow (minutes); cache them
+    # across bench runs.  The round primes this cache early (prime.py).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fastpyvectordb_tpu.core.types import DistanceMetric
+    from fastpyvectordb_tpu.kernels import distances as K
+
     platform = jax.devices()[0].platform
     on_accelerator = platform in ("tpu", "axon")
     # BENCH_ALL=1 exercises every candidate on the CPU fallback (testing)
@@ -89,9 +121,13 @@ def main():
                                    k=k, compute_dtype="bfloat16", approx=True)
     rows_exact = np.asarray(rows_exact)
     rows_fast = np.asarray(rows_fast)
-    recall = float(np.mean([
-        len(set(a.tolist()) & set(e.tolist())) / k
-        for a, e in zip(rows_fast, rows_exact)]))
+
+    def recall_of(rows) -> float:
+        return float(np.mean([
+            len(set(a.tolist()) & set(e.tolist())) / k
+            for a, e in zip(np.asarray(rows), rows_exact)]))
+
+    recall = recall_of(rows_fast)
 
     # serving config: fastest mode that clears the 0.95 recall bar
     if recall >= 0.95:
@@ -100,18 +136,59 @@ def main():
         compute_dtype, vv, approx = "float32", v32, False
         recall = 1.0
 
+    # measurement harness -------------------------------------------------
+    iters = 16 if on_accelerator else 3
+    qbatches = []
+    for i in range(iters + 1):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(100 + i))
+        qa = jax.random.randint(k1, (batch,), 0, n_centers)
+        # DISTINCT query batches: the axon runtime deduplicates identical
+        # dispatches, which would inflate QPS
+        qbatches.append(centers[qa] + 0.5 * jax.random.normal(
+            k2, (batch, d), dtype=jnp.float32))
+
+    def fetch1(o):
+        # true barrier: block_until_ready is unreliable through the axon
+        # tunnel (measured returning before execution — see
+        # benchmarks/ivfg_pallas_lab.py); fetching one element of the LAST
+        # output drains the in-order dispatch queue
+        np.asarray(jax.device_get(
+            jax.tree_util.tree_leaves(o)[0].ravel()[:1]))
+
+    scale = n / 1_000_000  # FLOPs-scale small-corpus fallback QPS to 1Mx768
+
+    def measure(mode: str, run, rec: float) -> None:
+        out0 = run(qbatches[0])
+        fetch1(out0)
+        t0 = time.perf_counter()
+        fetch1(out0)
+        rtt = time.perf_counter() - t0      # tunnel round-trip floor
+        t0 = time.perf_counter()
+        outs = [run(qb) for qb in qbatches[1:]]
+        fetch1(outs[-1])
+        wall = time.perf_counter() - t0
+        # subtract at most half the wall: if the RTT floor dominates, the
+        # measurement is RTT-bound and a full subtraction would underflow
+        # to absurd QPS and mis-pick the winning mode
+        dt = wall - min(rtt, 0.5 * wall)
+        _emit({"mode": mode, "qps": iters * batch / dt * scale,
+               "recall": rec, "dt": dt, "corpus": n, "dims": d,
+               "batch": batch, "iters": iters, "platform": platform,
+               "ms_per_query": 1000.0 * dt / (iters * batch)})
+
+    # candidate 1: the exact scan — ALWAYS measured first so a partial run
+    # still records a valid headline
     def run_exact(q):
         return K.search_kernel(q, vv, sq, rinv, mask, metric=metric, k=k,
                                compute_dtype=compute_dtype, approx=approx)
 
-    candidates = {"exact_" + compute_dtype: (run_exact, recall)}
+    measure("exact_" + compute_dtype, run_exact, recall)
 
-    # second candidate (accelerator only): the fused int8 two-stage
-    # pipeline — s8xs8 MXU coarse scan over 4x-smaller codes, then an
-    # exact bf16 re-rank of the top-4k candidates.  On chip this streams
-    # a quarter of the bytes of the bf16 scan and measured FASTER than it
-    # at every batch size (r2 kernel crossover: 13.2 ms vs 23.0 ms at
-    # B=1024 over an f32 store); recall is gated the same way.
+    # candidate 2 (accelerator only): the fused int8 two-stage pipeline —
+    # s8xs8 MXU coarse scan over 4x-smaller codes, then an exact bf16
+    # re-rank of the top-4k.  The usual winner (r4logs/bench.log: 133k QPS
+    # vs exact's 117k), so it runs SECOND, before any optional candidate.
+    min_left = float(os.environ.get("BENCH_MIN_CANDIDATE_S", "60"))
     if (on_accelerator or force_all) and recall >= 0.95:
         try:
             from fastpyvectordb_tpu.quant.scalar import ScalarQuantizer
@@ -127,21 +204,17 @@ def main():
                     rerank_dtype="bfloat16")
 
             _, rows_i8 = run_int8(qchk)
-            recall_i8 = float(np.mean([
-                len(set(a.tolist()) & set(e.tolist())) / k
-                for a, e in zip(np.asarray(rows_i8), rows_exact)]))
+            recall_i8 = recall_of(rows_i8)
             if recall_i8 >= 0.95:
-                candidates["int8_2stage"] = (run_int8, recall_i8)
+                measure("int8_2stage", run_int8, recall_i8)
         except Exception as e:  # noqa: BLE001 - degrade to exact, not fail
             print(f"int8 candidate skipped ({type(e).__name__}: {e})",
-                  file=__import__("sys").stderr)
+                  file=sys.stderr)
 
-    # int4 candidate (accelerator only): the fused int4 two-stage — the
-    # Pallas kernel unpacks nibbles in VMEM so the coarse scan streams
-    # HALF of int8's HBM bytes (quant/int4.py).  The 16-level ordering is
-    # coarser, so the candidate pool is 2x deeper (c=8k vs int8's 4k);
-    # recall is gated the same way.
-    if (on_accelerator or force_all) and recall >= 0.95:
+    # optional candidates: only attempted with wall-clock budget remaining
+    # (each can cost minutes of encode/build on a cold or contended chip)
+    if (on_accelerator or force_all) and recall >= 0.95 \
+            and _remaining() > 2 * min_left:
         try:
             from fastpyvectordb_tpu.quant.int4 import Int4Quantizer
             from fastpyvectordb_tpu.quant.scan import _int4_two_stage
@@ -159,31 +232,27 @@ def main():
                     rerank_dtype="bfloat16", use_pallas=on_accelerator)
 
             _, rows_i4 = run_int4(qchk)
-            recall_i4 = float(np.mean([
-                len(set(a.tolist()) & set(e.tolist())) / k
-                for a, e in zip(np.asarray(rows_i4), rows_exact)]))
+            recall_i4 = recall_of(rows_i4)
             if recall_i4 >= 0.95:
-                candidates["int4_2stage"] = (run_int4, recall_i4)
+                measure("int4_2stage", run_int4, recall_i4)
             else:
                 print(f"int4 candidate recall {recall_i4:.4f} < 0.95; "
-                      "skipped", file=__import__("sys").stderr)
-        except Exception as e:  # noqa: BLE001 - degrade to exact, not fail
+                      "skipped", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
             print(f"int4 candidate skipped ({type(e).__name__}: {e})",
-                  file=__import__("sys").stderr)
+                  file=sys.stderr)
 
-    # third candidate (accelerator only): grouped (cell-major) IVF over
-    # int8 cells with an exact bf16 re-rank — prunes ~nprobe/nlist of the
-    # corpus reads instead of scanning everything.  At 4M x 768 this
-    # measured 3.1x the exact bf16 scan (benchmarks/results_r3_tpu.json
-    # ivf_grouped_4m); the recall gate below decides whether the pruned
-    # candidate set survives on this corpus.
-    if (on_accelerator or force_all) and recall >= 0.95:
+    # grouped (cell-major) IVF over int8 cells + exact bf16 re-rank — the
+    # most expensive build (a 6-iter 1M k-means), so it goes LAST and only
+    # with generous budget left
+    if (on_accelerator or force_all) and recall >= 0.95 \
+            and _remaining() > 3 * min_left:
         try:
             from fastpyvectordb_tpu.ann.ivf import (
                 _assign_topm, _balanced_assignment, _encode_cells,
                 kmeans_fit)
             from fastpyvectordb_tpu.ann.ivf_grouped import (
-                grouped_ivf_search_kernel)
+                grouped_ivf_search_kernel, grouped_qcap)
             from fastpyvectordb_tpu.quant.scalar import _train
 
             nlist, nprobe, rr = 2048, 8, 4
@@ -193,9 +262,9 @@ def main():
             cap = int(max(128, -(-int(1.25 * n / nlist) // 128) * 128))
             table, _counts, overflow = _balanced_assignment(topm, nlist, cap)
             safe = jnp.maximum(jnp.asarray(table), 0)
-            vmin, scale = _train(v32[:: max(1, n // 200_000)][:200_000])
+            vmin, scale8 = _train(v32[:: max(1, n // 200_000)][:200_000])
             blk = max(1, min(nlist, -(-100_000 // cap)))
-            cells_i8, cnorms = _encode_cells(v32, safe, vmin, scale, blk=blk)
+            cells_i8, cnorms = _encode_cells(v32, safe, vmin, scale8, blk=blk)
             tbl_d = jnp.asarray(table)
             cnorms = jnp.where(tbl_d >= 0, cnorms, 0.0)
             opad = (-overflow.size) % 8
@@ -208,89 +277,96 @@ def main():
                      if orows.size else jnp.zeros((0, d), jnp.bfloat16))
             okc = tbl_d >= 0            # bench corpus has no tombstones
             oko = orows_d >= 0
-            from fastpyvectordb_tpu.ann.ivf_grouped import grouped_qcap
             qcap = grouped_qcap(batch, nprobe, nlist, cap)
 
             def run_ivfg(q):
                 return grouped_ivf_search_kernel(
                     q, cents, cells_i8, tbl_d, ovecs, orows_d, okc, oko,
-                    vmin, scale, cnorms, v16, metric=metric, k=k,
+                    vmin, scale8, cnorms, v16, metric=metric, k=k,
                     nprobe=nprobe, qcap=qcap, compute_dtype="bfloat16",
                     rerank=rr)
 
             _, rows_g, _ = run_ivfg(qchk)
-            recall_g = float(np.mean([
-                len(set(a.tolist()) & set(e.tolist())) / k
-                for a, e in zip(np.asarray(rows_g), rows_exact)]))
+            recall_g = recall_of(rows_g)
             if recall_g >= 0.95:
-                candidates["ivf_grouped_int8_rr4"] = (run_ivfg, recall_g)
+                measure("ivf_grouped_int8_rr4", run_ivfg, recall_g)
             else:
                 print(f"ivf_grouped candidate recall {recall_g:.4f} < 0.95;"
-                      " skipped", file=__import__("sys").stderr)
-        except Exception as e:  # noqa: BLE001 - degrade, not fail
+                      " skipped", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
             print(f"ivf_grouped candidate skipped ({type(e).__name__}: {e})",
-                  file=__import__("sys").stderr)
+                  file=sys.stderr)
 
-    del v32  # 3 GB: serving uses the bf16 copy / int8 codes only
 
-    # warm up compile + measure over DISTINCT query batches (the runtime
-    # deduplicates identical dispatches, which would inflate QPS)
-    iters = 16 if on_accelerator else 3
-    qbatches = []
-    for i in range(iters + 1):
-        k1, k2 = jax.random.split(jax.random.PRNGKey(100 + i))
-        qa = jax.random.randint(k1, (batch,), 0, n_centers)
-        qbatches.append(centers[qa] + 0.5 * jax.random.normal(
-            k2, (batch, d), dtype=jnp.float32))
-    def fetch1(o):
-        # true barrier: block_until_ready is unreliable through the axon
-        # tunnel (measured returning before execution — see
-        # benchmarks/ivfg_pallas_lab.py); fetching one element of the LAST
-        # output drains the in-order dispatch queue
-        np.asarray(jax.device_get(
-            jax.tree_util.tree_leaves(o)[0].ravel()[:1]))
+# --------------------------------------------------------------------------
+# parent: budget enforcement + headline assembly
+# --------------------------------------------------------------------------
 
-    results = {}
-    for mode, (run, rec) in candidates.items():
-        out0 = run(qbatches[0])
-        fetch1(out0)
-        t0 = time.perf_counter()
-        fetch1(out0)
-        rtt = time.perf_counter() - t0      # tunnel round-trip floor
-        t0 = time.perf_counter()
-        outs = [run(qb) for qb in qbatches[1:]]
-        fetch1(outs[-1])
-        wall = time.perf_counter() - t0
-        # subtract at most half the wall: if the RTT floor dominates, the
-        # measurement is RTT-bound and a full subtraction would underflow
-        # to absurd QPS and mis-pick the winning mode
-        dt = wall - min(rtt, 0.5 * wall)
-        results[mode] = (iters * batch / dt, rec, dt)
+def _read_rows(path: str) -> list:
+    rows = []
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rows.append(json.loads(line))
+                except json.JSONDecodeError:
+                    pass  # torn tail from a killed child
+    except FileNotFoundError:
+        pass
+    return rows
 
-    best = max(results, key=lambda m: results[m][0])
-    qps, recall, dt = results[best]
 
-    # scale the measured QPS to the canonical 1Mx768 config when running on
-    # a small-corpus fallback host so vs_baseline stays comparable
-    scale = n / 1_000_000
-    qps_canonical = qps * scale
-
+def _print_headline(rows: list) -> None:
+    best = max(rows, key=lambda r: r["qps"])
     print(json.dumps({
         "metric": "search_qps_1Mx768_recall@10>=0.95",
-        "value": round(qps_canonical, 2),
+        "value": round(best["qps"], 2),
         "unit": "qps",
-        "vs_baseline": round(qps_canonical / BASELINE_QPS, 2),
-        "recall_at_10": round(recall, 4),
+        "vs_baseline": round(best["qps"] / BASELINE_QPS, 2),
+        "recall_at_10": round(best["recall"], 4),
         "corpus_kind": "clustered_1024c",
-        "mode": best,
-        "all_modes_qps": {m: round(v[0] * scale, 1)
-                          for m, v in results.items()},
-        "corpus": n,
-        "dims": d,
-        "batch": batch,
-        "ms_per_query": round(1000.0 * dt / (iters * batch), 4),
-        "platform": platform,
-    }))
+        "mode": best["mode"],
+        "all_modes_qps": {r["mode"]: round(r["qps"], 1) for r in rows},
+        "corpus": best["corpus"],
+        "dims": best["dims"],
+        "batch": best["batch"],
+        "ms_per_query": round(best["ms_per_query"], 4),
+        "platform": best["platform"],
+    }), flush=True)
+
+
+def _run_child(env_extra: dict, deadline_s: float, emit_path: str) -> list:
+    """Run the measurement child under a hard deadline; return its rows."""
+    import signal
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(env_extra)
+    env["BENCH_EMIT_PATH"] = emit_path
+    # the child budgets its OPTIONAL candidates against the same clock the
+    # parent kills on, minus a safety margin for the kill itself
+    env["BENCH_TIME_BUDGET_S"] = str(max(30.0, deadline_s - 30.0))
+    try:
+        os.remove(emit_path)
+    except FileNotFoundError:
+        pass
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child"], env=env,
+        start_new_session=True)
+    try:
+        proc.wait(timeout=max(10.0, deadline_s))
+    except subprocess.TimeoutExpired:
+        print(f"bench child exceeded {deadline_s:.0f}s deadline; killing "
+              "and recording partial results", file=sys.stderr)
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        proc.wait(timeout=30)
+    return _read_rows(emit_path)
 
 
 def _wait_for_device(max_wait_s: float) -> bool:
@@ -298,66 +374,79 @@ def _wait_for_device(max_wait_s: float) -> bool:
 
     Probes in a SUBPROCESS so a dead tunnel cannot poison this process's
     backend state (the round-1/2 MULTICHIP artifacts died to exactly that).
-    The round-3 outage showed the tunnel can stay down for hours — a single
-    120 s retry is not enough insurance for the recorded run.  Returns
-    whether the device answered.
+    Returns whether the device answered.
     """
     import subprocess
-    import sys
-    import time as _t
 
     if max_wait_s <= 0:
         return True
     probe = ("import jax, numpy as np; "
              "np.asarray(jax.device_get(jax.numpy.ones((8, 8)).sum()))")
-    deadline = _t.monotonic() + max_wait_s
+    # the probe's own tiny compile goes through the remote tunnel and can
+    # take 60-120+ s COLD; route it through the persistent cache (warm
+    # probes then cost one RTT) and size the timeout for the cold case
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    deadline = time.monotonic() + max_wait_s
     while True:
+        left = deadline - time.monotonic()
+        if left <= 0:
+            print("device probe still failing at deadline", file=sys.stderr)
+            return False
         try:
             rc = subprocess.run([sys.executable, "-c", probe],
-                                capture_output=True, timeout=120).returncode
+                                capture_output=True, env=env,
+                                timeout=min(180, max(10, left))).returncode
         except subprocess.TimeoutExpired:
             rc = -1
         if rc == 0:
             return True
-        if _t.monotonic() >= deadline:
-            print("device probe still failing at deadline",
-                  file=sys.stderr)
+        if time.monotonic() >= deadline:
+            print("device probe still failing at deadline", file=sys.stderr)
             return False
-        wait = min(60.0, max(1.0, deadline - _t.monotonic()))
+        wait = min(30.0, max(1.0, deadline - time.monotonic()))
         print(f"device down; re-probing in {wait:.0f}s", file=sys.stderr)
-        _t.sleep(wait)
+        time.sleep(wait)
+
+
+def parent_main() -> None:
+    emit_path = os.environ.get(
+        "BENCH_PARTIAL_PATH", f"/tmp/bench_partial_{os.getpid()}.jsonl")
+
+    force_cpu = os.environ.get("BENCH_FORCE_CPU") == "1"
+    if not force_cpu:
+        # bounded device wait: an honestly-labeled CPU line beats a
+        # timed-out run, so the wait shares the TOTAL budget rather than
+        # adding to it
+        wait_s = float(os.environ.get("BENCH_DEVICE_WAIT_S", "150"))
+        up = _wait_for_device(min(wait_s, max(0.0, _remaining() - 120.0)))
+        if up:
+            rows = _run_child({}, max(30.0, _remaining() - 45.0), emit_path)
+            if rows:
+                _print_headline(rows)
+                return
+            print("accelerator run produced no rows; falling back to CPU",
+                  file=sys.stderr)
+        else:
+            print("falling back to the CPU backend for the recorded line",
+                  file=sys.stderr)
+
+    # CPU fallback (or forced): small corpus, FLOPs-scaled, honest platform
+    rows = _run_child({"BENCH_FORCE_CPU": "1"},
+                      max(60.0, _remaining() - 15.0), emit_path)
+    if rows:
+        _print_headline(rows)
+        return
+    # absolute last resort: a valid JSON line that says the run failed —
+    # parseable beats rc=124
+    print(json.dumps({
+        "metric": "search_qps_1Mx768_recall@10>=0.95", "value": 0.0,
+        "unit": "qps", "vs_baseline": 0.0, "error": "no_candidate_measured",
+    }), flush=True)
 
 
 if __name__ == "__main__":
-    import os as _os
-    import time as _time
-
-    # the TPU tunnel occasionally drops mid-compile ("broken pipe") and
-    # recovers within minutes — or, once observed, hours.  Wait (bounded)
-    # for the device before burning the recorded attempt, then keep the
-    # one-retry policy for mid-run drops.
-    # Default wait is deliberately SHORT: the round-3 artifact died rc=124
-    # because a 30-min wait out-lived the driver's own kill budget.  9 min
-    # of probing + the CPU fallback run stays inside any sane driver
-    # timeout; an honestly-labeled CPU line beats a timed-out run.
-    up = _wait_for_device(float(_os.environ.get("BENCH_DEVICE_WAIT_S", 540)))
-    if not up and _os.environ.get("BENCH_FORCE_CPU") != "1":
-        # the recorded artifact must be a valid JSON line even through a
-        # tunnel outage: re-exec on the CPU backend (honestly labeled via
-        # the "platform" field; value FLOPs-scaled like any CPU run)
-        import subprocess as _sp
-        import sys as _sys
-        env = dict(_os.environ)
-        env["BENCH_FORCE_CPU"] = "1"
-        env["BENCH_DEVICE_WAIT_S"] = "0"
-        print("falling back to the CPU backend for the recorded line",
-              file=_sys.stderr)
-        raise SystemExit(_sp.run([_sys.executable, __file__],
-                                 env=env).returncode)
-    try:
-        main()
-    except Exception as e:  # noqa: BLE001 - transient backend errors vary
-        print(f"bench attempt 1 failed ({type(e).__name__}: {e}); "
-              "retrying in 120s", file=__import__("sys").stderr)
-        _time.sleep(120)
-        main()
+    if "--child" in sys.argv:
+        child_main()
+    else:
+        parent_main()

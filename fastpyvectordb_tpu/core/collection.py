@@ -772,7 +772,7 @@ class Collection:
 
     def optimize(self, target_recall: float = 0.95, k: int = 10,
                  sample_queries: int = 32, build: bool = True,
-                 install: bool = True) -> dict:
+                 install: bool = True, serving_batch: int = 256) -> dict:
         """Pick the cheapest serving mode clearing ``target_recall`` on
         sampled self-queries and install it as the default for
         ``search()`` / ``search_batch()`` (explicit ``exact=``/
@@ -783,14 +783,25 @@ class Collection:
         (recall 1.0 by construction), the quantized two-stage scan
         (built with auto-tune if absent and ``build=True``), and any
         already-built ANN index.  Recall is measured against the exact
-        float32 oracle; cost is ranked by HBM **bytes streamed per
-        query** — the honest hardware proxy in the bandwidth-bound
-        regime that dominates at >=1M rows (TECHNICAL_MANUAL §2
-        crossover; wall-clock micro-timing is unreliable through remote
-        tunnels and meaningless on the CPU test backend).
+        float32 oracle.
 
-        Returns a report: ``{mode: {recall, bytes_per_query, eligible}}``
-        plus ``installed``."""
+        Cost ranking (round-4 verdict #3 — bytes/query alone misranked
+        the MXU-bound IVF-PQ ADC as cheapest when it measured ~5x
+        slower): each mode gets a roofline estimate
+        (core/costmodel.py — max(bytes/BW, flops/MXU rate) + measured
+        gather/serial constants, amortized over ``serving_batch``), and
+        on an accelerator the candidates are additionally micro-timed on
+        the sample queries (they are already compiled and warm from the
+        recall pass; a fetch-one-element barrier with an RTT floor makes
+        the timing tunnel-safe).  Measured time ranks when available;
+        the model ranks on hosts where wall-clock is meaningless (the
+        CPU test backend) and is always reported.
+
+        Returns a report: ``{mode: {recall, bytes_per_query,
+        cost_us_model, cost_us_measured?, eligible}}`` plus
+        ``installed``."""
+        from . import costmodel as cm
+
         def recall_at_k(rows, oracle):
             return float(np.mean([
                 len(set(a.tolist()) & set(e.tolist())) / max(len(e), 1)
@@ -800,12 +811,16 @@ class Collection:
         with self._lock:
             qs = self._sample_live_queries(sample_queries)
             report: Dict[str, dict] = {}
+            runners: Dict[str, object] = {}
             n = max(self._store.n_valid, 1)
             d = self.config.dimensions
             store_b = dtype_bytes.get(self.config.storage_dtype, 4)
-            exact_bytes = float(n * d * store_b)
+            compute_dtype = self.config.compute_dtype
+            exact_mc = cm.exact_cost(n, d, store_b, compute_dtype,
+                                     serving_batch)
             report["exact"] = {"recall": 1.0,
-                               "bytes_per_query": exact_bytes,
+                               "bytes_per_query": float(n * d * store_b),
+                               "cost_us_model": exact_mc.cost_us,
                                "eligible": True}
             if qs is None:
                 if install:
@@ -815,6 +830,8 @@ class Collection:
             _, oracle = self._store.search(
                 qs, k, self.config.metric, compute_dtype="float32",
                 topk="exact")
+            runners["exact"] = lambda: self._store.search(
+                qs, k, self.config.metric, compute_dtype=compute_dtype)
 
             if self._quantized is None and build and n >= 4096:
                 self.enable_quantized_scan("int8",
@@ -827,11 +844,16 @@ class Collection:
                           "binary": d // 8,
                           "pq": int(self._quantized.codes.shape[-1])}
                 rr = getattr(self._quantized, "default_rerank", 4)
-                qb = float(n * code_b.get(kind, d)
-                           + rr * k * d * store_b)  # coarse + rerank gather
+                cb = code_b.get(kind, d)
+                qmc = cm.quantized_cost(n, d, kind, cb, store_b,
+                                        rr * k, serving_batch)
                 report["quantized"] = {
-                    "recall": round(rec, 4), "bytes_per_query": qb,
+                    "recall": round(rec, 4),
+                    "bytes_per_query": float(n * cb + rr * k * d * store_b),
+                    "cost_us_model": qmc.cost_us,
                     "eligible": rec >= target_recall}
+                runners["quantized"] = lambda: self._quantized_rows(
+                    qs, k, None, None)
             if self._ann is not None and not self._ann.stale:
                 _, rows = self._ann.search(qs, k)
                 rec = recall_at_k(rows, oracle)
@@ -840,30 +862,70 @@ class Collection:
                 if nlist:  # IVF family: probed fraction + overflow
                     cell_b = 1 if getattr(self._ann, "quantizer",
                                           None) is not None else store_b
+                    pq_k = 0
                     if hasattr(self._ann, "codes"):  # IVF-PQ: M bytes/row
-                        cell_b = self._ann.codes.shape[2] / d
+                        cell_b = self._ann.codes.shape[2]
+                        pq_k = int(self._ann.codebooks.shape[1])
+                    else:
+                        cell_b = cell_b * d
                     nprobe = getattr(self._ann, "nprobe", 8)
                     frac = min(1.0, nprobe / max(nlist, 1))
                     over = int(getattr(self._ann, "overflow_rows",
                                        np.empty(0)).shape[0])
-                    ab = float((frac * n + over) * d * cell_b
-                               + getattr(self._ann, "rerank", 0)
-                               * k * d * store_b)
+                    rr = getattr(self._ann, "rerank", 0)
+                    amc = cm.ivf_cost(n, d, cell_b, nlist, nprobe, over,
+                                      store_b, rr * k, serving_batch,
+                                      pq_k=pq_k)
+                    ab = float((frac * n + over) * cell_b
+                               + rr * k * d * store_b)
                 else:  # graph beam search: iters * expand * beam gathers
                     beam = getattr(self._ann, "beam", 128)
                     iters = getattr(self._ann, "iters", 16)
                     expand = getattr(self._ann, "expand", 4)
                     r = getattr(self._ann, "neighbors",
                                 np.zeros((0, 32))).shape[1]
+                    amc = cm.graph_cost(d, store_b, beam, iters, expand, r)
                     ab = float(iters * expand * r * d * store_b
                                + beam * d * store_b)
                 report["ann"] = {
                     "recall": round(rec, 4), "bytes_per_query": ab,
+                    "cost_us_model": amc.cost_us,
                     "eligible": rec >= target_recall}
+                runners["ann"] = lambda: self._ann.search(qs, k)
+
+            # on an accelerator, measured wall-clock trumps the model:
+            # every candidate is compiled + warm from the recall pass
+            import jax as _jax
+            if _jax.devices()[0].platform in ("tpu", "axon"):
+                import time as _time
+
+                def _fetch1(o):
+                    # barrier: block_until_ready is unreliable through the
+                    # axon tunnel; fetching one element of the last output
+                    # drains the in-order dispatch queue
+                    np.asarray(_jax.device_get(
+                        _jax.tree_util.tree_leaves(o)[0].ravel()[:1]))
+
+                for mode, run in runners.items():
+                    out = run()
+                    _fetch1(out)
+                    t0 = _time.perf_counter()
+                    _fetch1(out)
+                    rtt = _time.perf_counter() - t0
+                    t0 = _time.perf_counter()
+                    _fetch1(run())
+                    wall = _time.perf_counter() - t0
+                    dt = wall - min(rtt, 0.5 * wall)
+                    report[mode]["cost_us_measured"] = \
+                        1e6 * dt / max(len(qs), 1)
+
+            def _rank(m: str) -> float:
+                v = report[m]
+                return v.get("cost_us_measured", v["cost_us_model"])
+
             eligible = {m: v for m, v in report.items()
                         if isinstance(v, dict) and v.get("eligible")}
-            best = min(eligible, key=lambda m:
-                       eligible[m]["bytes_per_query"])
+            best = min(eligible, key=_rank)
             if install:
                 self._serving_mode = best
             report["installed"] = best if install else None

@@ -302,9 +302,12 @@ def test_prewarm_covers_non_pow2_max_batch():
 
 
 def test_optimize_installs_cheapest_eligible_mode(tmp_path):
-    """optimize() picks the mode with the fewest HBM bytes/query among
-    those clearing the recall target, installs it as the search()
-    default, and the choice survives save/load."""
+    """optimize() picks the mode with the lowest roofline cost estimate
+    among those clearing the recall target, installs it as the search()
+    default, and the choice survives save/load.  (Round-4 verdict #3:
+    ranking switched from bytes/query to a compute-aware cost — at this
+    tiny 5k x 32 profile the exact GEMM is honestly the cheapest mode,
+    where the old bytes-only ranking claimed the two-stage scan was.)"""
     from fastpyvectordb_tpu import Collection, CollectionConfig
     rng = np.random.default_rng(7)
     n, d = 5000, 32
@@ -315,13 +318,18 @@ def test_optimize_installs_cheapest_eligible_mode(tmp_path):
     col.insert_batch(v, [f"v{i}" for i in range(n)])
     report = col.optimize(target_recall=0.9, k=5)
     assert report["exact"]["eligible"]
-    # int8 codes stream 4x fewer bytes than the f32 store; on Gaussian
-    # data int8+rerank clears 0.9 easily, so quantized must win
-    assert report["installed"] == "quantized"
     assert report["quantized"]["recall"] >= 0.9
-    assert (report["quantized"]["bytes_per_query"]
-            < report["exact"]["bytes_per_query"])
-    # the installed default actually routes search() through the scan
+    # every mode carries both cost fields the report contract promises
+    for mode in ("exact", "quantized"):
+        assert report[mode]["cost_us_model"] > 0
+        assert report[mode]["bytes_per_query"] > 0
+    # the installed mode is the argmin of the ranking cost among eligible
+    eligible = {m: v for m, v in report.items()
+                if isinstance(v, dict) and v.get("eligible")}
+    rank = lambda m: eligible[m].get(  # noqa: E731
+        "cost_us_measured", eligible[m]["cost_us_model"])
+    assert report["installed"] == min(eligible, key=rank)
+    # the installed default actually routes search() correctly
     hits = col.search(v[11], k=3)
     assert hits[0].id == "v11"
     # explicit exact still overrides
@@ -331,7 +339,7 @@ def test_optimize_installs_cheapest_eligible_mode(tmp_path):
     col2 = Collection(CollectionConfig(name="opt", dimensions=d,
                                        metric="l2"),
                       base_path=tmp_path / "opt")
-    assert col2._serving_mode == "quantized"
+    assert col2._serving_mode == report["installed"]
     assert col2.search(v[11], k=3)[0].id == "v11"
 
 
@@ -349,13 +357,14 @@ def test_optimize_tiny_corpus_stays_exact():
                       k=3) is not None
 
 
-def test_optimize_picks_ivfpq_as_best_bytes_per_query(tmp_path):
-    """With an IVF-PQ index built, optimize() must rank it cheapest by
-    HBM bytes/query (codes are ~M/D of the store row, and only the
-    probed fraction streams) and install "ann" when it clears the
-    recall target — the memory-bound regime where IVF-PQ is the right
-    serving mode (round-3 verdict item 8; reference scale ladder
-    README.md:571-578).  Choice survives save/load."""
+def test_optimize_ranks_ivfpq_by_cost_not_bytes(tmp_path):
+    """With an IVF-PQ index built, optimize() must report BOTH the bytes
+    estimate (where IVF-PQ looks cheapest — codes are ~M/D of the store
+    row and only the probed fraction streams) and the roofline cost
+    (where the ADC one-hot's M*K MACs/row count), and rank by the
+    latter (round-4 verdict #3: the bytes-only ranking installed a ~5x
+    slower default at 1M x 768 on chip).  Whatever wins, the installed
+    choice must be the cost argmin and survive save/load."""
     from fastpyvectordb_tpu import Collection, CollectionConfig
     rng = np.random.default_rng(9)
     n, d = 6000, 64
@@ -368,18 +377,47 @@ def test_optimize_picks_ivfpq_as_best_bytes_per_query(tmp_path):
     col.build_ann("ivfpq", nlist=64, m=16, tune_target=0.9)
     report = col.optimize(target_recall=0.9, k=5, build=False)
     assert "ann" in report and "quantized" in report
+    # bytes view: IVF-PQ is the smallest stream (that part was true)
     assert (report["ann"]["bytes_per_query"]
             < report["quantized"]["bytes_per_query"]
             < report["exact"]["bytes_per_query"])
-    if report["ann"]["eligible"]:  # tuned IVF-PQ clears 0.9 on Gaussian
-        assert report["installed"] == "ann"
-        hits = col.search(v[42], k=3)
-        assert hits[0].id == "v42"
-        col.save()
-        col2 = Collection(CollectionConfig(name="optpq", dimensions=d,
-                                           metric="l2"),
-                          base_path=tmp_path / "optpq")
-        assert col2._serving_mode == "ann"
-        assert col2.search(v[42], k=3)[0].id == "v42"
-    else:  # recall tuning is data-dependent; the ranking claim must hold
-        assert report["installed"] in ("quantized", "exact")
+    # ...but the ranking must be the cost estimate, not bytes
+    eligible = {m: v for m, v in report.items()
+                if isinstance(v, dict) and v.get("eligible")}
+    rank = lambda m: eligible[m].get(  # noqa: E731
+        "cost_us_measured", eligible[m]["cost_us_model"])
+    assert report["installed"] == min(eligible, key=rank)
+    hits = col.search(v[42], k=3)
+    assert hits[0].id == "v42"
+    col.save()
+    col2 = Collection(CollectionConfig(name="optpq", dimensions=d,
+                                       metric="l2"),
+                      base_path=tmp_path / "optpq")
+    assert col2._serving_mode == report["installed"]
+    assert col2.search(v[42], k=3)[0].id == "v42"
+
+
+def test_costmodel_matches_r4_measured_ordering():
+    """The roofline model must reproduce the round-4 CHIP ordering at the
+    1M x 768 / B=1024 headline profile (benchmarks/results_r4_tpu.json):
+    int8 two-stage (7.5 us/q measured) ≈ exact bf16 (8.5) both far below
+    IVF-PQ deep-rerank (53 us/q, np16 rr128 m=192 K=16) — the exact
+    misranking the bytes-only model produced.  Graph beam search must
+    rank worst (65 ms B=1 measured)."""
+    from fastpyvectordb_tpu.core import costmodel as cm
+    n, d, b = 1_000_000, 768, 1024
+    exact = cm.exact_cost(n, d, 2, "bfloat16", b).cost_us
+    int8 = cm.quantized_cost(n, d, "int8", d, 2, 40, b).cost_us
+    ivfpq = cm.ivf_cost(n, d, 192, 2048, 16, 0, 2, 1280, b,
+                        pq_k=16).cost_us
+    graph = cm.graph_cost(d, 2, 128, 16, 4, 32).cost_us
+    # ordering: the two scan modes are within 2x of each other and both
+    # at least 3x cheaper than IVF-PQ deep; graph is worst by far
+    assert max(exact, int8) < 2 * min(exact, int8)
+    assert ivfpq > 3 * max(exact, int8)
+    assert graph > ivfpq
+    # absolute anchors stay within 2x of the measured chip numbers so the
+    # constants cannot silently drift into fiction
+    assert 4 < exact < 17      # measured 8.5 us/q
+    assert 4 < int8 < 15       # measured 7.5 us/q
+    assert 20 < ivfpq < 106    # measured 53 us/q
