@@ -139,6 +139,25 @@ def main(argv=None):
         g["rows"].update(rows)
         added += len(rows)
 
+    # addendum (r4 advisor): the wave-F 16M int8 headline row predates the
+    # zero-rounding emit fix (outofcore_20m.py:160-161), so rows_per_s /
+    # host_to_device_gbps were rounded to 0.0/0.02 at print time and the
+    # true throughput is only recoverable from s_per_batch.  Derive the
+    # fields here rather than leaving the zeroed row as the record.
+    for gk in ("ooc16m", "ooc16m_int8", "ooc16m_binary", "ooc16m_pq"):
+        g = groups.get(gk)
+        if not g:
+            continue
+        for row in g["rows"].values():
+            spb = row.get("s_per_batch")
+            rows_n = groups.get(gk, {}).get("rows", {}).get(
+                "setup", {}).get("rows") or 16_000_000
+            if spb and not row.get("rows_per_s"):
+                row["rows_per_s_derived"] = round(rows_n / spb, 1)
+                row["_derived"] = ("rows_per_s/link gbps re-derived from "
+                                   "s_per_batch (pre-fix emit rounded them "
+                                   "to zero — r4 advisor finding)")
+
     out_path.write_text(json.dumps(out, indent=1))
     n = sum(len(g["rows"]) for g in groups.values())
     print(f"wrote {out_path}: {n} experiments in {len(groups)} groups "

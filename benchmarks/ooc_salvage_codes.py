@@ -37,11 +37,19 @@ from fastpyvectordb_tpu.core.outofcore import (  # noqa: E402
     _host_row_stats,
 )
 
-NPY_HEADER = 128  # np.lib.format.open_memmap's fixed-size v1 header
+def npy_header_len(path: str) -> int:
+    """The actual .npy header length (r4 advisor: v1 headers are 64-byte
+    aligned — 64 for short dtype dicts, >128 for large shapes; a
+    hardcoded 128 silently mis-computes the resume frontier)."""
+    with open(path, "rb") as f:
+        version = np.lib.format.read_magic(f)
+        np.lib.format._read_array_header(f, version)
+        return f.tell()
 
 
 def first_hole_row(path: str, dims: int) -> int:
     """First row whose bytes are not yet allocated on disk."""
+    header = npy_header_len(path)
     fd = os.open(path, os.O_RDONLY)
     try:
         try:
@@ -50,7 +58,7 @@ def first_hole_row(path: str, dims: int) -> int:
             return 0
     finally:
         os.close(fd)
-    return max(0, (off - NPY_HEADER)) // dims
+    return max(0, (off - header)) // dims
 
 
 def main() -> None:
@@ -83,14 +91,12 @@ def main() -> None:
     print(f"codes frontier ~row {hole_row:,}; re-encoding from "
           f"{resume:,} / {n:,}", flush=True)
 
-    # --- reproduce training (deterministic block sample + device fit)
+    # --- reproduce training: the SAME shared block sampler the searcher
+    # trains with (core/outofcore.py:block_sample) — any drift between
+    # the two would make salvaged codes inconsistent with the prefix
+    from fastpyvectordb_tpu.core.outofcore import block_sample  # noqa: E402
     train_rows = min(args.train_rows, n)
-    blocks = min(16, max(1, n // max(train_rows, 1)))
-    per = max(1, train_rows // blocks)
-    starts = np.linspace(0, max(n - per, 0), blocks).astype(np.int64)
-    sample = np.concatenate([
-        np.asarray(corpus[int(s):int(s) + per], dtype=np.float32)
-        for s in starts], axis=0)
+    sample = block_sample(corpus, n, train_rows)
     if args.codec == "int8":
         from fastpyvectordb_tpu.quant.scalar import ScalarQuantizer
         qz = ScalarQuantizer().train(sample)

@@ -43,5 +43,14 @@ run ooc16m_int8 3300 python benchmarks/outofcore_20m.py --rows 16000000 \
     --memmap /tmp/ooc_corpus.f32 --scans 2 --codec int8 --rerank 16 \
     --recall-vs-exact
 
+# preserve the expensive artifacts under the keep names BEFORE cleanup so
+# queue F's salvage/reuse path (ooc_keep.f32*) works from the checked-in
+# scripts alone (r4 advisor: the hardlinks were previously created by a
+# manual step / queue F's watcher racing this rm)
+ln -f /tmp/ooc_corpus.f32 /tmp/ooc_keep.f32 2>/dev/null || true
+for f in /tmp/ooc_corpus.f32.*.npy /tmp/ooc_corpus.f32.*.npz; do
+  [ -f "$f" ] && ln -f "$f" "/tmp/ooc_keep.f32${f#/tmp/ooc_corpus.f32}" \
+    2>/dev/null
+done
 rm -f /tmp/ooc_corpus.f32 /tmp/ooc_corpus.f32.*.npy /tmp/ooc_corpus.f32.*.npz
 echo "$(date +%H:%M:%S) R4 QUEUE-E COMPLETE" >&2

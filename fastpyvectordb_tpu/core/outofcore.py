@@ -216,6 +216,22 @@ def _pq_tile_step(lut, tile_codes, tile_mask, row_offset,
     return -neg, jnp.take_along_axis(all_rows, pos, axis=1)
 
 
+def block_sample(corpus, n: int, train_rows: int) -> np.ndarray:
+    """Deterministic quantizer-training sample: contiguous blocks spread
+    over the file — memmap-friendly (16 sequential reads) yet covering
+    the corpus distribution (a single head slice would mis-train on
+    row-ordered corpora).  Shared by the searcher's ``_train`` AND the
+    codes-salvage tool (benchmarks/ooc_salvage_codes.py): both must
+    produce bit-identical samples or salvaged codes silently diverge
+    from the on-disk prefix (r4 advisor finding)."""
+    blocks = min(16, max(1, n // max(train_rows, 1)))
+    per = max(1, train_rows // blocks)
+    starts = np.linspace(0, max(n - per, 0), blocks).astype(np.int64)
+    return np.concatenate([
+        np.asarray(corpus[int(s):int(s) + per], dtype=np.float32)
+        for s in starts], axis=0)
+
+
 def _host_encode_tile(codec: str, qz, tile_np: np.ndarray) -> np.ndarray:
     """Numpy mirror of the scalar codecs' device encoders.
 
@@ -348,15 +364,7 @@ class QuantizedOutOfCoreSearcher:
 
     # ------------------------------------------------------------------
     def _train(self, train_rows: int) -> None:
-        # contiguous block sampling spread over the file: memmap-friendly
-        # (16 sequential reads) yet covers the corpus distribution — a
-        # single head slice would mis-train on row-ordered corpora.
-        blocks = min(16, max(1, self.n // max(train_rows, 1)))
-        per = max(1, train_rows // blocks)
-        starts = np.linspace(0, max(self.n - per, 0), blocks).astype(np.int64)
-        sample = np.concatenate([
-            np.asarray(self.corpus[int(s):int(s) + per], dtype=np.float32)
-            for s in starts], axis=0)
+        sample = block_sample(self.corpus, self.n, train_rows)
         if self.codec == "int8":
             from ..quant.scalar import ScalarQuantizer
             self._qz = ScalarQuantizer().train(sample)
