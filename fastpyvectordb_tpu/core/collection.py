@@ -690,15 +690,30 @@ class Collection:
     def build_ann(self, kind: str = "ivf", tune: Optional[bool] = None,
                   tune_target: float = 0.95, tune_queries: int = 32,
                   **kwargs) -> None:
-        """Build an approximate index: "ivf" (ann/ivf.py), "ivfpq", or
-        "graph" (ann/graph_ann.py — the hnswlib-equivalent beam-search
-        index).
+        """Build an approximate index: "ivf" (ann/ivf.py) or "ivfpq"
+        (ann/ivfpq.py, ~30x index compression).
+
+        "graph" (ann/graph_ann.py) is accepted for compatibility but
+        EXPERIMENTAL and demoted from the advertised kinds: on chip it
+        loses to both the exact scan and IVF at every measured operating
+        point (1M x 768: B=1 65 ms vs IVF's sub-ms probe and the exact
+        scan's 2.15 ms; B=8 7.7 ms/query — benchmarks/results_r4_tpu.json
+        b1_latency_1m, ROADMAP #5/#22).  The serial beam iterations leave
+        the MXU idle; use "ivf" (low latency AND high batch throughput)
+        or "ivfpq" (memory-bound regimes) instead.
 
         By default (``tune=None``) corpora >= 4096 rows auto-tune the
         index's recall knobs (nprobe / rerank / beam) against the exact
         path on a sampled self-query set right after the build — untuned
         defaults can silently serve <=0.74 recall on clustered corpora
         (round-2 crossover measurements). Pass ``tune=False`` to skip."""
+        if kind == "graph":
+            import warnings
+            warnings.warn(
+                "build_ann(kind='graph') is experimental and measured "
+                "slower than both the exact scan and IVF at every "
+                "operating point on TPU; prefer kind='ivf' "
+                "(see ann/graph_ann.py docstring)", stacklevel=2)
         with self._lock:
             if kind == "ivf":
                 from ..ann.ivf import IVFIndex
