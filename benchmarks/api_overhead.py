@@ -132,6 +132,37 @@ def main():
         row["api_over_kernel"] = round(row["api_ms"] / row["kernel_ms"], 2)
         row["api_qps"] = round(b / (row["api_ms"] / 1e3), 1)
         row["kernel_qps"] = round(b / (row["kernel_ms"] / 1e3), 1)
+
+        # pipelined stream (round-4 verdict #5): depth-2 upload/compute
+        # overlap; amortized per-batch over a longer stream so the fill
+        # bubble washes out
+        def stream_amortized(wire):
+            stream_n = 3 * nb
+            seq = [host_batches[i % nb] for i in range(stream_n)]
+            g = col.search_arrays_stream(iter(seq), 10, wire_dtype=wire)
+            next(g)  # warm-up: includes any remaining compile
+            t0 = time.perf_counter()
+            got = sum(1 for _ in g)
+            return (time.perf_counter() - t0) / max(got, 1)
+
+        row2 = {"exp": f"stream_b{b}"}
+        row2["stream_ms"] = round(stream_amortized(None) * 1e3, 2)
+        row2["stream_over_kernel"] = round(
+            row2["stream_ms"] / row["kernel_ms"], 2)
+        row2["stream_qps"] = round(b / (row2["stream_ms"] / 1e3), 1)
+        row2["stream_int8_ms"] = round(stream_amortized("int8") * 1e3, 2)
+        row2["stream_int8_over_kernel"] = round(
+            row2["stream_int8_ms"] / row["kernel_ms"], 2)
+        row2["stream_int8_qps"] = round(b / (row2["stream_int8_ms"] / 1e3), 1)
+        # int8 query-wire fidelity: overlap@10 vs the default wire on the
+        # same batch (one probe per batch size)
+        _, _, r_ref = col.search_arrays(host_batches[0], 10)
+        _, _, r_i8 = next(col.search_arrays_stream(
+            iter([host_batches[0]]), 10, wire_dtype="int8"))
+        row2["int8_wire_overlap_at_10"] = round(float(np.mean([
+            len(set(a.tolist()) & set(e.tolist())) / 10
+            for a, e in zip(r_i8, r_ref)])), 4)
+        print(json.dumps(row2), flush=True)
         print(json.dumps(row), flush=True)
 
 

@@ -299,6 +299,69 @@ class Collection:
             dists, rows = self._search_rows(q, k, filter, exact)
             return self._arrays_of(dists, rows, k)
 
+    def search_arrays_stream(self, batches, k: int = 10,
+                             filter: Optional[Filter] = None,
+                             depth: int = 2,
+                             wire_dtype: Optional[str] = None):
+        """Pipelined ``search_arrays`` over an iterable of query batches:
+        yields one (ids, scores, rows) triple per batch, keeping up to
+        ``depth`` batches in flight so batch i+1's host->device upload and
+        kernel dispatch overlap batch i's result fetch and assembly.
+
+        Exists because the synchronous API path at B=1024 on a
+        remote-attached chip is upload-bound (benchmarks/api_overhead.py
+        r4: 77.7 ms upload + 38.2 ms kernel serialized per call = 3.19x
+        the kernel), while JAX transfers and dispatches are async — a
+        depth-2 pipeline runs the tunnel and the MXU concurrently, the
+        steady-state per-batch cost dropping to ~max(upload, kernel).
+        The reference's analogue is hnswlib's batch ``knn_query``
+        returning raw label arrays (vectordb_optimized.py:610).
+
+        wire_dtype: forwarded to the store ("int8" ships 4x-compressed
+        query codes; None = bf16 when compute is bf16).  Pipelines the
+        exact scan; if a quantized/ANN serving mode is installed the
+        stream degrades to per-batch synchronous calls (still one triple
+        per batch, no pipelining) rather than silently changing mode.
+        """
+        serving_exact = (self._serving_mode in (None, "exact")
+                         and (self.config.index == "flat"
+                              or self._ann is None))
+        if not serving_exact:
+            for q in batches:
+                yield self.search_arrays(q, k, filter)
+            return
+        from collections import deque
+        inflight: deque = deque()
+        for q in batches:
+            q = as_f32_matrix(q, self.config.dimensions, allow_device=True)
+            with self._lock:
+                if self._store.n_valid == 0:
+                    b = q.shape[0]
+                    inflight.append((None, b))
+                else:
+                    mask = self._filter_mask(filter)
+                    dv, rv = self._store.search(
+                        q, k, self.config.metric, extra_mask=mask,
+                        compute_dtype=self.config.compute_dtype,
+                        topk=self.config.topk, return_device=True,
+                        wire_dtype=wire_dtype)
+                    inflight.append(((dv, rv), q.shape[0]))
+            if len(inflight) >= max(1, depth):
+                yield self._drain_one(inflight, k)
+        while inflight:
+            yield self._drain_one(inflight, k)
+
+    def _drain_one(self, inflight, k: int):
+        head, b = inflight.popleft()
+        if head is None:
+            return (np.full((b, k), None, dtype=object),
+                    np.full((b, k), np.inf, dtype=np.float32),
+                    np.full((b, k), -1, dtype=np.int32))
+        import jax as _jax
+        dists, rows = _jax.device_get(head)
+        with self._lock:
+            return self._arrays_of(dists, rows, k)
+
     def _arrays_of(self, dists, rows, k: int):
         """(dists, rows) -> the (ids, scores, rows) array triple of
         ``search_arrays``.  Caller holds the lock."""

@@ -168,12 +168,19 @@ class DeviceVectorStore:
         compute_dtype: str = "float32",
         topk: str = "exact",
         return_device: bool = False,
+        wire_dtype: Optional[str] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Masked top-k over the live rows.
 
         queries: (B, D) float32. extra_mask: optional host bool mask over
         rows [0, count) (a compiled Filter mask).  topk: "exact" | "approx"
         | "auto" (hardware approximate reduction on TPU past 128k rows).
+        wire_dtype: host->device query encoding — None picks bfloat16
+        when compute is bfloat16 (half the upload bytes, free accuracy);
+        "int8" ships 4x-compressed codes + a per-batch scale and dequants
+        in-graph (the tunnel upload dominates the B=1024 API path —
+        benchmarks/api_overhead.py r4: 77.7 ms of 121.8 — at a small,
+        measured recall cost; opt-in for throughput callers).
         Returns (dists (B, k'), rows (B, k')) with k' = min(k, capacity) —
         callers trim masked-out sentinel hits via kernels.topk.valid_hits.
         """
@@ -186,7 +193,13 @@ class DeviceVectorStore:
                 q = jnp.pad(q, ((0, bp - b), (0, 0)))
         else:
             qh = pad_rows(np.ascontiguousarray(queries, dtype=np.float32), bp)
-            if compute_dtype == "bfloat16":
+            if wire_dtype == "int8":
+                # symmetric per-batch scale: codes = round(q/s), s sized so
+                # the max magnitude lands on ±127; dequant in-graph
+                s = float(np.abs(qh).max()) / 127.0 or 1.0
+                codes = np.clip(np.rint(qh / s), -127, 127).astype(np.int8)
+                q = jnp.asarray(codes).astype(jnp.float32) * jnp.float32(s)
+            elif compute_dtype == "bfloat16":
                 # bf16 serving: demote the query block on the HOST so the
                 # upload moves half the bytes — on a remote-attached chip
                 # the transfer link (~45 MB/s tunnel) dominates the API
@@ -194,7 +207,9 @@ class DeviceVectorStore:
                 # B=1024 f32).  The kernel computes in bf16 either way.
                 import ml_dtypes
                 qh = qh.astype(ml_dtypes.bfloat16)
-            q = jnp.asarray(qh)
+                q = jnp.asarray(qh)
+            else:
+                q = jnp.asarray(qh)
         mask = self._combined_mask(extra_mask)
         kk = min(k, self.capacity)
         if topk == "auto":

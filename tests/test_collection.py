@@ -421,3 +421,67 @@ def test_costmodel_matches_r4_measured_ordering():
     assert 4 < exact < 17      # measured 8.5 us/q
     assert 4 < int8 < 15       # measured 7.5 us/q
     assert 20 < ivfpq < 106    # measured 53 us/q
+
+
+def test_search_arrays_stream_matches_sync(rng):
+    """The pipelined stream yields exactly search_arrays' triples, in
+    input order, across uneven batch sizes (round-4 verdict #5)."""
+    col = make_collection(dims=24)
+    col.insert_batch(rng.standard_normal((300, 24), dtype=np.float32),
+                     [f"v{i}" for i in range(300)])
+    batches = [rng.standard_normal((b, 24), dtype=np.float32)
+               for b in (1, 7, 32, 3)]
+    got = list(col.search_arrays_stream(iter(batches), k=5, depth=2))
+    assert len(got) == len(batches)
+    for q, (ids, scores, rows) in zip(batches, got):
+        eids, escores, erows = col.search_arrays(q, k=5)
+        assert (ids == eids).all()
+        np.testing.assert_allclose(scores, escores, rtol=1e-5)
+        assert (rows == erows).all()
+
+
+def test_search_arrays_stream_empty_and_filtered(rng):
+    col = make_collection(dims=8)
+    # empty store: placeholder triples of the right shape
+    (ids, scores, rows), = col.search_arrays_stream(
+        iter([np.zeros((2, 8), np.float32)]), k=4)
+    assert ids.shape == (2, 4) and (rows == -1).all()
+    col.insert_batch(rng.standard_normal((50, 8), dtype=np.float32),
+                     [f"v{i}" for i in range(50)],
+                     [{"grp": i % 2} for i in range(50)])
+    q = rng.standard_normal((3, 8), dtype=np.float32)
+    flt = Filter().eq("grp", 1)
+    (sids, _, srows), = col.search_arrays_stream(iter([q]), k=6, filter=flt)
+    eids, _, erows = col.search_arrays(q, k=6, filter=flt)
+    assert (srows == erows).all() and (sids == eids).all()
+
+
+def test_search_arrays_stream_int8_wire_high_overlap(rng):
+    """int8 query-wire codes perturb ordering only marginally: overlap@10
+    vs the default wire stays >= 0.9 on a random corpus."""
+    col = make_collection(dims=32)
+    col.insert_batch(rng.standard_normal((2000, 32), dtype=np.float32),
+                     [f"v{i}" for i in range(2000)])
+    q = rng.standard_normal((16, 32), dtype=np.float32)
+    (_, _, r8), = col.search_arrays_stream(iter([q]), k=10,
+                                           wire_dtype="int8")
+    _, _, rref = col.search_arrays(q, k=10)
+    overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                       for a, b in zip(r8, rref)])
+    assert overlap >= 0.9
+
+
+def test_search_arrays_stream_ann_fallback(rng):
+    """With an installed non-exact serving mode the stream degrades to
+    synchronous per-batch calls but still yields one triple per batch."""
+    col = make_collection(dims=16)
+    col.insert_batch(rng.standard_normal((600, 16), dtype=np.float32),
+                     [f"v{i}" for i in range(600)])
+    col.build_ann("ivf", nlist=8, tune=False)
+    batches = [rng.standard_normal((4, 16), dtype=np.float32)
+               for _ in range(3)]
+    got = list(col.search_arrays_stream(iter(batches), k=5))
+    assert len(got) == 3
+    for q, (ids, scores, rows) in zip(batches, got):
+        eids, _, erows = col.search_arrays(q, k=5)
+        assert (rows == erows).all()
