@@ -51,12 +51,30 @@ def _remaining() -> float:
 # file named by BENCH_EMIT_PATH as soon as it is measured, then exits 0.
 # --------------------------------------------------------------------------
 
+_CHILD_ROWS: list = []
+_PARENT_PID = os.getppid()
+
+
 def _emit(row: dict) -> None:
     path = os.environ["BENCH_EMIT_PATH"]
     with open(path, "a") as f:
         f.write(json.dumps(row) + "\n")
         f.flush()
         os.fsync(f.fileno())
+    # ALSO print the best-so-far headline to stdout immediately: if the
+    # DRIVER's own timeout kills the parent before the run completes, the
+    # last line already printed is a valid recorded artifact (the r3/r4
+    # rc=124 losses both left stdout empty).  The parent re-prints the
+    # final line at the end; a parser taking the last JSON line sees the
+    # same thing either way.
+    _CHILD_ROWS.append(row)
+    _print_headline(_CHILD_ROWS)
+
+
+def _orphaned() -> bool:
+    """Parent gone (driver timeout killed it): stop measuring so the
+    detached child can't squat the chip into the next consumer."""
+    return os.getppid() != _PARENT_PID
 
 
 def child_main() -> None:
@@ -189,7 +207,7 @@ def child_main() -> None:
     # re-rank of the top-4k.  The usual winner (r4logs/bench.log: 133k QPS
     # vs exact's 117k), so it runs SECOND, before any optional candidate.
     min_left = float(os.environ.get("BENCH_MIN_CANDIDATE_S", "60"))
-    if (on_accelerator or force_all) and recall >= 0.95:
+    if (on_accelerator or force_all) and recall >= 0.95 and not _orphaned():
         try:
             from fastpyvectordb_tpu.quant.scalar import ScalarQuantizer
             from fastpyvectordb_tpu.quant.scan import _int8_two_stage
@@ -214,7 +232,7 @@ def child_main() -> None:
     # optional candidates: only attempted with wall-clock budget remaining
     # (each can cost minutes of encode/build on a cold or contended chip)
     if (on_accelerator or force_all) and recall >= 0.95 \
-            and _remaining() > 2 * min_left:
+            and _remaining() > 2 * min_left and not _orphaned():
         try:
             from fastpyvectordb_tpu.quant.int4 import Int4Quantizer
             from fastpyvectordb_tpu.quant.scan import _int4_two_stage
@@ -246,7 +264,7 @@ def child_main() -> None:
     # most expensive build (a 6-iter 1M k-means), so it goes LAST and only
     # with generous budget left
     if (on_accelerator or force_all) and recall >= 0.95 \
-            and _remaining() > 3 * min_left:
+            and _remaining() > 3 * min_left and not _orphaned():
         try:
             from fastpyvectordb_tpu.ann.ivf import (
                 _assign_topm, _balanced_assignment, _encode_cells,

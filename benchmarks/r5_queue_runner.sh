@@ -24,7 +24,10 @@ LOG=${2:-/root/repo/benchmarks/r5logs}
 GUARD_EPOCH=${GUARD_EPOCH:?set GUARD_EPOCH to the no-new-chip-work unix time}
 SLACK=${SLACK:-120}
 mkdir -p "$LOG"
-export PYTHONPATH=${PYTHONPATH:-/root/.axon_site:/root/repo}
+# ALWAYS put the repo on the path: the login profile pre-sets PYTHONPATH
+# (axon site dir only), so a ${PYTHONPATH:-...} default silently keeps a
+# value that cannot import the package (r5 wave-A b1_ivf failure)
+export PYTHONPATH=/root/repo:${PYTHONPATH:-/root/.axon_site}
 
 probe() {
   timeout 180 env JAX_COMPILATION_CACHE_DIR=/tmp/jax_bench_cache \

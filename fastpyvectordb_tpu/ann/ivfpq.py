@@ -372,16 +372,33 @@ class IVFPQIndex:
     @classmethod
     def build(cls, collection, nlist: Optional[int] = None,
               nprobe: Optional[int] = None, m: Optional[int] = None,
-              pq_k: int = 16,
+              pq_k: int = 256,
               iters: int = 10, pq_iters: int = 12, seed: int = 0,
               max_cell_factor: float = 1.5, spill_choices: int = 8,
               train_sample: int = 200_000, rerank: int = 16) -> "IVFPQIndex":
-        """Defaults are the TPU-fast 4-bit layout: K=16 centroids per
-        subspace with M = D/4 subspaces (2x the code bytes of 8-bit
-        M=D/8 — codes stay unpacked uint8 — but the ADC contracts on the
-        MXU via a one-hot einsum instead of per-element gathers; see
-        _adc_sum).  Pass pq_k=256, m=D/8 for classic 8-bit PQ
-        (gather-scored; fine on CPU, slow on TPU)."""
+        """Defaults are classic 8-bit PQ: K=256 centroids per subspace
+        with M = D/8 subspaces (96 bytes/row at 768-d — 32x vs f32).
+
+        Round-5 codebook-quality lab (benchmarks/pq_quality_lab.py, 50k
+        clustered, routing factored out): at EQUAL bits the K=256
+        codebooks order candidates ~2x better than the K=16 4-bit layout
+        the earlier rounds shipped — quantization-error/residual-variance
+        0.295 (m=D/8, K=256) vs 0.366 (m=D/4, K=16) at HALF the bytes,
+        and 0.099 for m=D/4 K=256 at equal bytes (rr3 recall 0.988 vs
+        0.927).  More Lloyd iterations do NOT help (iters=30 ≈ iters=12):
+        the 4-bit layout's collapse (r4 rr0 recall 0.186 at 1M,
+        results_r4 ivfpq_grouped) is a bits-per-codeword floor, not a
+        convergence artifact.  The reference's 90-95% recall@10 claim
+        (/root/reference/README.md:508, quantization.py:414-615) is for
+        exactly this K=256 geometry.
+
+        On TPU both K regimes score on the MXU: the grouped dispatch
+        one-hot-expands each probed cell's codes once per batch in VMEM
+        (kernels/pallas_ivf.py:grouped_cell_scores_pq) — the contraction
+        width is M*K (24,576 at the default; _search_grouped bounds the
+        per-sub-batch slot-LUT tensor so large M*K cannot OOM).  Pass
+        pq_k=16, m=D/4 for the legacy 4-bit layout (lowest ADC FLOPs,
+        needs a deep exact rerank to serve >=0.95 recall)."""
         store = collection._store
         n = store.count
         if n == 0:

@@ -174,11 +174,25 @@ def test_adc_onehot_matches_gather_reference():
     np.testing.assert_allclose(onehot, ref, rtol=2e-2, atol=2e-2)  # bf16 LUT
 
 
-def test_default_4bit_build_recall():
+def test_default_8bit_build_recall():
+    """The round-5 default is classic 8-bit PQ (K=256, m=d/8) — the
+    codebook-quality lab measured it ordering ~2x better per bit than
+    the 4-bit layout (benchmarks/pq_quality_lab.py)."""
     col, v, q = make_col(n=3000, d=32, seed=21)
     col.build_ann(kind="ivfpq", nlist=32, nprobe=8, iters=6, pq_iters=8)
     st = col._ann.stats()
-    assert st["pq_k"] == 16 and st["m"] == 8  # 4-bit default: m = d/4
+    assert st["pq_k"] == 256 and st["m"] == 4  # 8-bit default: m = d/8
+    exact = ids_of(col.search_batch(q, k=10, exact=True))
+    _, rows = col._ann.search(q, 10, rerank=16)
+    assert recall_of(col, rows, exact) >= 0.9
+
+
+def test_legacy_4bit_layout_still_builds():
+    col, v, q = make_col(n=3000, d=32, seed=21)
+    col.build_ann(kind="ivfpq", nlist=32, nprobe=8, iters=6, pq_iters=8,
+                  pq_k=16, m=8)
+    st = col._ann.stats()
+    assert st["pq_k"] == 16 and st["m"] == 8
     exact = ids_of(col.search_batch(q, k=10, exact=True))
     _, rows = col._ann.search(q, 10, rerank=16)
     assert recall_of(col, rows, exact) >= 0.9
