@@ -138,8 +138,13 @@ def main():
              qps=round(B / dt, 1), recall=round(recall_of(run_exact), 4))
 
     t0 = time.perf_counter()
+    build_kw = {}
+    if os.environ.get("PQG_PQK"):
+        build_kw["pq_k"] = int(os.environ["PQG_PQK"])
+    if os.environ.get("PQG_M"):
+        build_kw["m"] = int(os.environ["PQG_M"])
     col.build_ann(kind="ivfpq", nlist=nlist, nprobe=max(nprobes), iters=6,
-                  pq_iters=8, tune=False)
+                  pq_iters=8, tune=False, **build_kw)
     st = col._ann.stats()
     emit(exp="built", s=round(time.perf_counter() - t0, 1), **st)
     emit(exp="memory", **col._ann.memory_usage())
@@ -191,18 +196,34 @@ def main():
                      ms=round(dt * 1e3, 2), qps=round(B / dt, 1),
                      recall=round(recall_of(run_pq), 4))
 
-            def run_g(q, rr=rr, nprobe=nprobe, qcap=qcap):
-                d_, r_, _ = _grouped_ivfpq_search_kernel(
-                    q, idx.centroids, idx.codebooks, codes_t, idx.norms,
-                    idx.row_table, idx.overflow_vecs, idx.overflow_rows,
-                    okc, oko, store.vectors if rr else None,
-                    metric=DistanceMetric.COSINE, k=K, nprobe=nprobe,
-                    qcap=qcap, rerank=rr, compute_dtype="bfloat16",
-                    use_pallas=use_pallas)
-                return d_, r_
+            # grouped lutq bound (same rule as IVFPQIndex._search_grouped):
+            # the (U, qcap, M*K) bf16 slot-LUT tensor scales with M*K, so
+            # large-K codebooks sub-batch the query block
+            sub_lut = max(8, int((2 << 30)
+                                 // max(nprobe * 32 * m * kk * 2, 1))
+                          // 8 * 8)
+            gsub = min(B, sub_lut)
+
+            def run_g(q, rr=rr, nprobe=nprobe, gsub=gsub):
+                outs_d, outs_r = [], []
+                for s in range(0, B, gsub):
+                    sq_ = q[s:s + gsub]
+                    d_, r_, _ = _grouped_ivfpq_search_kernel(
+                        sq_, idx.centroids, idx.codebooks, codes_t,
+                        idx.norms, idx.row_table, idx.overflow_vecs,
+                        idx.overflow_rows, okc, oko,
+                        store.vectors if rr else None,
+                        metric=DistanceMetric.COSINE, k=K, nprobe=nprobe,
+                        qcap=grouped_qcap(int(sq_.shape[0]), nprobe, nlist,
+                                          cmax),
+                        rerank=rr, compute_dtype="bfloat16",
+                        use_pallas=use_pallas)
+                    outs_d.append(d_)
+                    outs_r.append(r_)
+                return jnp.concatenate(outs_d), jnp.concatenate(outs_r)
 
             dt = timed(run_g)
-            emit(exp=f"ivfpq_grouped_np{nprobe}_q{qcap}_rr{rr}_b{B}",
+            emit(exp=f"ivfpq_grouped_np{nprobe}_rr{rr}_b{B}_sub{gsub}",
                  ms=round(dt * 1e3, 2), qps=round(B / dt, 1),
                  recall=round(recall_of(run_g), 4))
 
