@@ -1,0 +1,126 @@
+"""Fold the round-5 campaign logs into benchmarks/results_r5_tpu.json —
+LOSSLESSLY (same merge-never-drop contract as consolidate_r4.py; rows
+carry "_src"; re-running only adds or refreshes evidence).
+
+Inputs: benchmarks/r5logs/<campaign>.log — streams of one-line JSON rows
+keyed by "exp" (bench.py rows key on "metric"/"mode" instead).
+
+Usage: python benchmarks/consolidate_r5.py [--out PATH]
+"""
+
+import argparse
+import json
+from collections import OrderedDict
+from pathlib import Path
+
+HERE = Path(__file__).parent
+LOGS = HERE / "r5logs"
+
+CAMPAIGNS = [
+    ("bench_headline", "bench_prime.log",
+     "bench.py full run (cache-priming pass): all four candidate modes "
+     "measured on the clustered 1M x 768 corpus at B=1024"),
+    ("bench_headline", "bench_prime_rows.jsonl",
+     "bench.py per-candidate measurement rows from the priming pass "
+     "(exact bf16 / int8 two-stage / int4 two-stage / grouped IVF)"),
+    ("bench_headline", "bench_warm.log",
+     "bench.py warm re-run through the primed compile cache — the "
+     "driver-path timing evidence (6m41s wall, rc=0)"),
+    ("b1_ivf_1m", "b1_ivf_1m.log",
+     "B=1 per-query IVF dispatch at 1M x 768 vs the exact-scan floor "
+     "(r4 verdict missing #2): scan-chain on-device latency per nprobe "
+     "+ small-batch crossover"),
+    ("api_overhead_r5", "api_overhead.log",
+     "layer-by-layer API overhead with the round-5 pipelined "
+     "search_arrays_stream (depth-2 upload/compute overlap) and the "
+     "int8 query wire (r4 verdict weak #4: b1024 api/kernel was 3.19)"),
+    ("ivfpq_k256", "ivfpq_k256.log",
+     "grouped IVF-PQ with classic 8-bit K=256 codebooks at 1M x 768 "
+     "(the round-5 default geometry; r4 verdict missing #3 — does the "
+     "codebook order candidates without a deep rerank?)"),
+    ("pq_quality_lab", "pq_quality_lab_cpu.log",
+     "codebook-quality lab (CPU, 50k clustered, routing factored out): "
+     "ordering recall per rerank depth + err/resid variance for PQ "
+     "4-bit/8-bit geometries and scalar-residual int4/int8"),
+    ("serving_r5", "serving_r5_verdict.json",
+     "singles-ceiling verdict: nproc=1 host makes the separated-core "
+     "re-run impossible; documented host-bound (ROADMAP #38 RESOLVED)"),
+]
+
+
+def read_rows(path: Path) -> "OrderedDict[str, dict]":
+    rows: "OrderedDict[str, dict]" = OrderedDict()
+    if not path.exists():
+        return rows
+    for line in path.read_text().splitlines():
+        line = line.strip()
+        if not line or not line.startswith("{"):
+            continue
+        try:
+            row = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        exp = row.pop("exp", None)
+        if exp is not None and row.get("variant"):
+            exp = f"{exp}_{row['variant']}"  # lab rows: one row per variant
+        if exp is None and row.get("metric"):
+            # bench.py headline lines: key on the winning mode so the
+            # per-candidate best-so-far lines don't clobber one another
+            exp = f"headline_{row.get('mode', 'unknown')}"
+        if exp is None and row.get("variant"):
+            exp = f"variant_{row['variant']}"
+        if exp is None and row.get("mode"):
+            exp = f"mode_{row['mode']}"  # bench.py per-candidate rows
+        if exp:
+            row["_src"] = f"r5logs/{path.name}"
+            rows[exp] = row  # last occurrence in one log wins (re-runs)
+    return rows
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(HERE / "results_r5_tpu.json"))
+    args = ap.parse_args(argv)
+
+    out_path = Path(args.out)
+    if out_path.exists():  # merge, never regenerate-and-drop
+        out = json.loads(out_path.read_text(),
+                         object_pairs_hook=OrderedDict)
+    else:
+        out = OrderedDict([
+            ("round", 5),
+            ("hardware", "1x TPU v5e (16 GB HBM) via remote tunnel; "
+             "per-dispatch latency ~20-30 ms and ~30-45 MB/s host->device "
+             "bandwidth are tunnel artifacts — local PCIe-attached chips "
+             "see sub-ms transfers. Host: 1 CPU core (nproc=1)."),
+            ("note", "rows carry _src pointing at their committed log; "
+             "consolidation only adds or refreshes rows, never drops"),
+            ("reference_baselines", OrderedDict([
+                ("blas_exact_100kx128", "1.66 ms/query "
+                 "(notes_benchmark.txt)"),
+                ("hnsw_serving_qps", 8498),
+                ("hnsw_single_p50_ms", 0.110),
+                ("sq_scan_qps", 167),
+            ])),
+            ("groups", OrderedDict()),
+        ])
+
+    groups = out["groups"]
+    added = 0
+    for key, fname, title in CAMPAIGNS:
+        rows = read_rows(LOGS / fname)
+        if not rows:
+            continue
+        g = groups.setdefault(key, {"title": title, "rows": OrderedDict()})
+        g["title"] = title
+        g["rows"].update(rows)
+        added += len(rows)
+
+    out_path.write_text(json.dumps(out, indent=1))
+    n = sum(len(g["rows"]) for g in groups.values())
+    print(f"wrote {out_path}: {n} experiments in {len(groups)} groups "
+          f"({added} refreshed this run)")
+
+
+if __name__ == "__main__":
+    main()
