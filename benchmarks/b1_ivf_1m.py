@@ -71,6 +71,9 @@ def main():
     ap.add_argument("--scan-len", type=int, default=128)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--batches", default="8,64")
+    ap.add_argument("--diag", action="store_true",
+                    help="run the fixed-cost isolation chains (approx "
+                         "selection / rr0 / int8-two-stage at B=1)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -162,6 +165,76 @@ def main():
     emit(exp="b1_exact_floor", n=n, d=d, device_b1_ms=round(exact_ms, 4),
          rtt_ms=round(rtt * 1e3, 3), scan_len=args.scan_len,
          platform=platform)
+
+    # --- diagnostic chains (--diag): isolate the fixed ~3.2 ms the first
+    # r5 run measured FLAT across nprobe 4..32 (vs the 2.08 ms exact
+    # floor).  Suspects: (a) exact lax.top_k over ~56k candidate columns
+    # (np*cmax + 51k overflow rows scanned per query) while the exact
+    # scan gets approx_max_k; (b) the fused rerank's row gather.
+    if args.diag:
+        from fastpyvectordb_tpu.quant.scalar import ScalarQuantizer
+        from fastpyvectordb_tpu.quant.scan import _int8_two_stage
+        for name, kw in (
+                ("approx_rr4", dict(approx=True, rerank=args.rerank)),
+                ("approx_rr0", dict(approx=True, rerank=0)),
+                ("exact_rr0", dict(approx=False, rerank=0))):
+            def diag_fn(q0, cents_, cells_, tbl_, ovecs_, orows_, okc_,
+                        oko_, vmin_, scale_, cnorms_, vv, *, kw=tuple(
+                            sorted(kw.items()))):
+                kw_ = dict(kw)
+                def body(q, _):
+                    dists, rows = _ivf_search_kernel(
+                        q[None], cents_, cells_, tbl_, ovecs_, orows_,
+                        okc_, oko_, vmin_, scale_, cnorms_, vv,
+                        metric=metric, k=k, nprobe=8,
+                        compute_dtype="bfloat16", **kw_)
+                    safe_row = jnp.maximum(rows[0, 0], 0)
+                    top = jnp.take(vv, safe_row, axis=0).astype(jnp.float32)
+                    qn = q + 1e-3 * top + 1e-6 * dists[0, 0]
+                    return qn / jnp.linalg.norm(qn), dists[0, 0]
+                return jax.lax.scan(body, q0, None, length=args.scan_len)
+            ms = chain_time(jax.jit(diag_fn), qchk[0], cents, cells_i8,
+                            tbl_d, ovecs, orows_d, okc, oko, vmin, scale,
+                            cnorms, v16)
+            dd, rr_rows = _ivf_search_kernel(
+                jnp.asarray(qchk), cents, cells_i8, tbl_d, ovecs, orows_d,
+                okc, oko, vmin, scale, cnorms, v16, metric=metric, k=k,
+                nprobe=8, compute_dtype="bfloat16",
+                **dict(tuple(sorted(kw.items()))))
+            emit(exp=f"b1_ivf_diag_{name}", n=n, nprobe=8,
+                 device_b1_ms=round(ms, 4),
+                 recall_at_10=round(recall_of(rr_rows, rows_exact, k), 4),
+                 vs_exact_floor=round(exact_ms / max(ms, 1e-9), 2),
+                 platform=platform)
+
+        # int8 flat two-stage at B=1: 768 MB of codes + rerank — the
+        # serving default's own single-query latency
+        qz = ScalarQuantizer().train(np.asarray(v32[:200_000]))
+        codes8 = qz.encode(np.asarray(v32))
+        cvsq, crinv = qz.corpus_stats(codes8)
+
+        @jax.jit
+        def i8_chain(q0, codes_, v_):
+            def body(q, _):
+                dists, rows = _int8_two_stage(
+                    q[None], codes_, qz.vmin, qz.scale, cvsq, crinv, v_,
+                    fullmask, metric=metric, k=k, c=4 * k, approx=True,
+                    rerank_dtype="bfloat16")
+                safe_row = jnp.maximum(rows[0, 0], 0)
+                top = jnp.take(v_, safe_row, axis=0).astype(jnp.float32)
+                qn = q + 1e-3 * top + 1e-6 * dists[0, 0]
+                return qn / jnp.linalg.norm(qn), dists[0, 0]
+            return jax.lax.scan(body, q0, None, length=args.scan_len)
+
+        ms = chain_time(i8_chain, qchk[0], codes8, v16)
+        _, r8 = _int8_two_stage(jnp.asarray(qchk), codes8, qz.vmin,
+                                qz.scale, cvsq, crinv, v16, fullmask,
+                                metric=metric, k=k, c=4 * k, approx=True,
+                                rerank_dtype="bfloat16")
+        emit(exp="b1_int8_2stage", n=n, device_b1_ms=round(ms, 4),
+             recall_at_10=round(recall_of(r8, rows_exact, k), 4),
+             vs_exact_floor=round(exact_ms / max(ms, 1e-9), 2),
+             platform=platform)
 
     # --- per-query IVF chains, one per (nprobe) ---------------------------
     for nprobe in (int(x) for x in args.nprobes.split(",")):
