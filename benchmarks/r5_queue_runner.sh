@@ -78,5 +78,9 @@ while IFS= read -r line; do
   timeout "$TIMEOUT_S" bash -c "$CMD" > "$LOG/$NAME.log" 2>&1
   RC=$?
   echo "$(date +%H:%M:%S) DONE  $NAME rc=$RC" | tee -a "$LOG/runner.log" >&2
+  # cool-down between chip processes: attaching a new client while the
+  # previous one tears down can crash the remote-compile relay (the r4
+  # runner slept 10 s; the r5 wave-B probe at 04:57 hit exactly this)
+  sleep 30
 done < "$JOBS"
 echo "$(date +%H:%M:%S) queue complete" | tee -a "$LOG/runner.log" >&2
