@@ -207,6 +207,62 @@ def main():
                  vs_exact_floor=round(exact_ms / max(ms, 1e-9), 2),
                  platform=platform)
 
+        # no-overflow variant: round-2 diag showed the 3.2 ms is flat
+        # across nprobe AND selection algorithm AND rerank — the one
+        # np-independent stage left is the 51k-row overflow block scanned
+        # exactly per query.  Slice it off (recall drops, that's fine for
+        # a diagnostic) and re-measure.
+        empty_o = jnp.zeros((0, d), jnp.bfloat16)
+        empty_r = jnp.zeros((0,), jnp.int32)
+        empty_ok = jnp.zeros((0,), bool)
+
+        @jax.jit
+        def noov_chain(q0, cents_, cells_, tbl_, okc_, vmin_, scale_,
+                       cnorms_, vv):
+            def body(q, _):
+                dists, rows = _ivf_search_kernel(
+                    q[None], cents_, cells_, tbl_, empty_o, empty_r,
+                    okc_, empty_ok, vmin_, scale_, cnorms_, vv,
+                    metric=metric, k=k, nprobe=8,
+                    compute_dtype="bfloat16", approx=True, rerank=4)
+                safe_row = jnp.maximum(rows[0, 0], 0)
+                top = jnp.take(vv, safe_row, axis=0).astype(jnp.float32)
+                qn = q + 1e-3 * top + 1e-6 * dists[0, 0]
+                return qn / jnp.linalg.norm(qn), dists[0, 0]
+            return jax.lax.scan(body, q0, None, length=args.scan_len)
+
+        ms = chain_time(noov_chain, qchk[0], cents, cells_i8, tbl_d, okc,
+                        vmin, scale, cnorms, v16)
+        _, r_no = _ivf_search_kernel(
+            jnp.asarray(qchk), cents, cells_i8, tbl_d, empty_o, empty_r,
+            okc, empty_ok, vmin, scale, cnorms, v16, metric=metric, k=k,
+            nprobe=8, compute_dtype="bfloat16", approx=True, rerank=4)
+        emit(exp="b1_ivf_diag_no_overflow", n=n, nprobe=8,
+             device_b1_ms=round(ms, 4),
+             recall_at_10=round(recall_of(r_no, rows_exact, k), 4),
+             vs_exact_floor=round(exact_ms / max(ms, 1e-9), 2),
+             platform=platform)
+
+        # routing-only floor: centroid matmul + top-nprobe, no gather,
+        # no scoring — the irreducible per-dispatch cost of the kernel's
+        # stage 1 inside the same chain harness
+        @jax.jit
+        def route_chain(q0, cents_):
+            cn_ = cents_ / jnp.maximum(
+                jnp.linalg.norm(cents_, axis=1, keepdims=True), 1e-30)
+            def body(q, _):
+                r = jnp.dot(q[None] / jnp.linalg.norm(q), cn_.T,
+                            preferred_element_type=jnp.float32)
+                _, probe = jax.lax.top_k(r, 8)
+                top = jnp.take(cn_, probe[0, 0], axis=0)
+                qn = q + 1e-3 * top
+                return qn / jnp.linalg.norm(qn), probe[0, 0]
+            return jax.lax.scan(body, q0, None, length=args.scan_len)
+
+        ms = chain_time(route_chain, qchk[0], cents)
+        emit(exp="b1_ivf_diag_route_only", n=n,
+             device_b1_ms=round(ms, 4), platform=platform)
+
         # int8 flat two-stage at B=1: 768 MB of codes + rerank — the
         # serving default's own single-query latency
         qz = ScalarQuantizer().train(np.asarray(v32[:200_000]))
