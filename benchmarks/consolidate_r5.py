@@ -26,6 +26,10 @@ CAMPAIGNS = [
     ("bench_headline", "bench_warm.log",
      "bench.py warm re-run through the primed compile cache — the "
      "driver-path timing evidence (6m41s wall, rc=0)"),
+    ("b1_ivf_1m", "b1_ivf_diag.log",
+     "B=1 fixed-cost isolation (round 2): selection algorithm and "
+     "rerank depth are NOT the 3.2 ms — and the int8 flat two-stage "
+     "serves B=1 at 1.13 ms @ recall 0.986, 1.86x the exact floor"),
     ("b1_ivf_1m", "b1_ivf_1m.log",
      "B=1 per-query IVF dispatch at 1M x 768 vs the exact-scan floor "
      "(r4 verdict missing #2): scan-chain on-device latency per nprobe "
