@@ -26,6 +26,7 @@ Run serially on the chip:  python benchmarks/int4_tpu.py
 import json
 import os
 import time
+import sys
 
 import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
@@ -74,6 +75,10 @@ def timed(run, qbatches):
 
 
 def main():
+    if "--cpu" in sys.argv:
+        # sitecustomize pins the axon backend; only jax.config can force
+        # CPU (and only before backend init) — needed for smoke tests
+        jax.config.update("jax_platforms", "cpu")
     platform = jax.devices()[0].platform
     on_accel = platform in ("tpu", "axon")
     emit(exp="config", n=N, d=D, bs=BS, platform=platform)
@@ -149,10 +154,34 @@ def main():
                     for a, e in zip(rr, g)]))
             return round(float(np.mean(recs)), 4)
 
+        # HBM cap on the (B, N) score block: at 5M a B=1024 dispatch is
+        # 20 GB (the pallas kernel writes scores as a kernel output, so
+        # fusion cannot elide it — r5 int4_5m rc=1).  Mirror the serving
+        # path's fix (QuantizedScan._score_hbm_budget): pow2 sub-batches
+        # under ~4 GB, chained per client batch (1M x 1024 = 4 GB
+        # stays single-dispatch as measured in r4/r5).
+        cap = max(8, int((4 << 30) // (N * 4)))
+        sub = 8
+        while sub * 2 <= min(B, cap):
+            sub *= 2
+
+        def chunked(fn):
+            if B <= sub:
+                return fn
+            def run(q):
+                outs = [fn(q[s:s + sub]) for s in range(0, B, sub)]
+                return (jnp.concatenate([o[0] for o in outs]),
+                        jnp.concatenate([o[1] for o in outs]))
+            return run
+        if sub < B:
+            emit(exp=f"sub_batch_b{B}", sub=sub,
+                 note="score-block HBM cap (serving splits identically)")
+
         def run_exact(q):
             return Kd.search_kernel(q, v16, sq, rinv, mask, metric=METRIC,
                                     k=K, compute_dtype="bfloat16",
                                     approx=True)
+        run_exact = chunked(run_exact)
         dt = timed(run_exact, qbatches)
         emit(exp=f"exact_bf16_b{B}", ms=round(dt * 1e3, 2),
              qps=round(B / dt, 1), recall=recall_of(run_exact))
@@ -163,6 +192,7 @@ def main():
                     q, codes8, qz8.vmin, qz8.scale, vsq8, rinv8, v16, mask,
                     metric=METRIC, k=K, c=4 * K, approx=True,
                     rerank_dtype="bfloat16")
+            run_i8 = chunked(run_i8)
             dt = timed(run_i8, qbatches)
             emit(exp=f"int8_2stage_rr4_b{B}", ms=round(dt * 1e3, 2),
                  qps=round(B / dt, 1), recall=recall_of(run_i8))
@@ -174,6 +204,7 @@ def main():
                     q, q_lay, lay4[0], lay4[1], lay4[2], vsq4, rinv4,
                     v16, mask, metric=METRIC, k=K, c=rr * K, approx=True,
                     rerank_dtype="bfloat16", use_pallas=on_accel)
+            run_i4 = chunked(run_i4)
             dt = timed(run_i4, qbatches)
             emit(exp=f"int4_2stage_rr{rr}_b{B}", ms=round(dt * 1e3, 2),
                  qps=round(B / dt, 1), recall=recall_of(run_i4))

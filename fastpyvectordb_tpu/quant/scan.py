@@ -279,6 +279,13 @@ def _binary_two_stage(q, thresholds, codes_t, vectors, mask, *, dims: int,
 class QuantizedScan:
     """Compressed snapshot of a collection's live rows + 2-stage search."""
 
+    # per-dispatch budget for the coarse (B, N) f32 score matrix; class
+    # attr so tests can shrink it to force sub-batch splitting.  4 GB
+    # keeps the proven 1M x B=1024 single-dispatch path intact (4 GB
+    # score block, measured green in r4/r5 headlines) while splitting
+    # the 5M x B=1024 shape that OOMed (20 GB)
+    _score_hbm_budget = 4 << 30
+
     def __init__(self, kind: str, quantizer, codes: jnp.ndarray,
                  store, metric: DistanceMetric):
         self.kind = kind
@@ -416,6 +423,22 @@ class QuantizedScan:
         if q.ndim == 1:
             q = q[None, :]
         b = q.shape[0]
+        # HBM cap on the coarse (B, N) f32 score matrix: at 5M x 768 a
+        # B=1024 dispatch would materialize 20 GB and OOM the 16 GB chip
+        # (r5 int4_5m log: 'Allocation size=20480786432 would exceed
+        # memory').  Split into pow2 sub-batches that keep the score
+        # block under the budget; each sub-batch still runs the fused
+        # single-dispatch pipeline and shares its compile bucket.
+        n_rows = max(int(self.codes.shape[0]), 1)
+        cap = max(8, int(self._score_hbm_budget // (n_rows * 4)))
+        sub = 8
+        while sub * 2 <= cap:
+            sub *= 2
+        if b > sub:
+            parts = [self.search(q[s:s + sub], k, rerank, mask)
+                     for s in range(0, b, sub)]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
         # pad the batch to a power-of-two bucket (>=8) so repeated serving
         # batch sizes share one compile (mirrors DeviceVectorStore.search)
         bp = max(8, 1 << (b - 1).bit_length())

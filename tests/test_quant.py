@@ -468,3 +468,23 @@ def test_tune_rerank_oracle_excludes_post_build_tail():
     # int8 coarse ordering is near-exact on Gaussian data: a correctly
     # scoped oracle converges at the first factor, not max_rerank
     assert rr <= 8, rr
+
+
+def test_score_matrix_hbm_cap_splits_batches(monkeypatch):
+    """A query batch whose coarse (B, N) f32 score matrix would exceed
+    the per-dispatch budget splits into pow2 sub-batches with identical
+    results (r5: a 5M x B=1024 dispatch allocated 20 GB and OOMed the
+    16 GB chip — benchmarks/r5logs/int4_5m.log)."""
+    from fastpyvectordb_tpu.quant.scan import QuantizedScan
+    rng = np.random.default_rng(3)
+    col = Collection(CollectionConfig(name="cap", dimensions=16))
+    col.insert_batch(rng.standard_normal((500, 16), dtype=np.float32),
+                     [f"v{i}" for i in range(500)])
+    scan = col.enable_quantized_scan("int8", tune=False)
+    q = rng.standard_normal((40, 16), dtype=np.float32)
+    d_full, r_full = scan.search(q, 5)
+    # budget for <= 8 queries: 8 * 500 * 4 bytes
+    monkeypatch.setattr(QuantizedScan, "_score_hbm_budget", 8 * 500 * 4)
+    d_split, r_split = scan.search(q, 5)
+    np.testing.assert_array_equal(r_full, r_split)
+    np.testing.assert_allclose(d_full, d_split, rtol=1e-5, atol=1e-5)
