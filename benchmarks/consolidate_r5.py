@@ -42,6 +42,22 @@ CAMPAIGNS = [
      "grouped IVF-PQ with classic 8-bit K=256 codebooks at 1M x 768 "
      "(the round-5 default geometry; r4 verdict missing #3 — does the "
      "codebook order candidates without a deep rerank?)"),
+    ("bench_headline", "bench_final.log",
+     "bench.py end-of-round warm validation (wave C)"),
+    ("b1_ivf_1m", "b1_ivf_diag2.log",
+     "B=1 fixed-cost isolation round 3: no-overflow kernel vs "
+     "routing-only chain (is the flat 3.2 ms the 51k-row overflow "
+     "block or the stage-1 floor?)"),
+    ("ivfpq_k256", "ivfpq_k256_m192.log",
+     "16x geometry (m=192, K=256) at 1M — equal bytes to the legacy "
+     "4-bit layout, 49,152-wide ADC"),
+    ("ivfpq_k256", "ivfpq_k256_deep.log",
+     "K=256 deep-rerank serving point (np8, rr 64/128/256) vs the "
+     "4-bit layout's r4 operating point (18.7k QPS @ 0.949 rr128)"),
+    ("int4_5m", "int4_5m.log",
+     "the 5M int4 validation (r4 weak #7): does halving the coarse "
+     "bytes beat int8/exact where HBM dominates? (first attempt OOMed "
+     "a 20 GB score block — fixed by the serving-path sub-batch cap)"),
     ("pq_quality_lab", "pq_quality_lab_cpu.log",
      "codebook-quality lab (CPU, 50k clustered, routing factored out): "
      "ordering recall per rerank depth + err/resid variance for PQ "
