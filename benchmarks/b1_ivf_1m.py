@@ -263,6 +263,47 @@ def main():
         emit(exp="b1_ivf_diag_route_only", n=n,
              device_b1_ms=round(ms, 4), platform=platform)
 
+        # grouped (cell-major pallas) kernel in the same B=1 chain:
+        # round-3 diag showed the per-query path's ~3.1 ms survives
+        # removing overflow, rerank, and exact selection — the XLA
+        # cell gather + scoring stage itself carries the fixed cost.
+        # The grouped kernel DMAs cells into VMEM by prefetched cell id
+        # (kernels/pallas_ivf.py) instead of an XLA gather; if it is
+        # fast at B=1, the serving dispatch just flips its heuristic.
+        from fastpyvectordb_tpu.ann.ivf_grouped import (
+            grouped_ivf_search_kernel, grouped_qcap)
+        qcap1 = grouped_qcap(8, 8, nlist, int(cells_i8.shape[1]))
+
+        @jax.jit
+        def grouped_chain(q0, cents_, cells_, tbl_, ovecs_, orows_, okc_,
+                          oko_, vmin_, scale_, cnorms_, vv):
+            def body(q, _):
+                dists, rows, _drop = grouped_ivf_search_kernel(
+                    jnp.broadcast_to(q[None], (8, q.shape[0])), cents_,
+                    cells_, tbl_, ovecs_, orows_, okc_, oko_, vmin_,
+                    scale_, cnorms_, vv, metric=metric, k=k, nprobe=8,
+                    qcap=qcap1, compute_dtype="bfloat16", rerank=4)
+                safe_row = jnp.maximum(rows[0, 0], 0)
+                top = jnp.take(vv, safe_row, axis=0).astype(jnp.float32)
+                qn = q + 1e-3 * top + 1e-6 * dists[0, 0]
+                return qn / jnp.linalg.norm(qn), dists[0, 0]
+            return jax.lax.scan(body, q0, None, length=args.scan_len)
+
+        ms = chain_time(grouped_chain, qchk[0], cents, cells_i8, tbl_d,
+                        ovecs, orows_d, okc, oko, vmin, scale, cnorms,
+                        v16)
+        dd_g, rr_g, _ = grouped_ivf_search_kernel(
+            jnp.asarray(qchk), cents, cells_i8, tbl_d, ovecs, orows_d,
+            okc, oko, vmin, scale, cnorms, v16, metric=metric, k=k,
+            nprobe=8, qcap=grouped_qcap(qchk.shape[0], 8, nlist,
+                                        int(cells_i8.shape[1])),
+            compute_dtype="bfloat16", rerank=4)
+        emit(exp="b1_ivf_diag_grouped", n=n, nprobe=8,
+             device_b1_ms=round(ms, 4),
+             recall_at_10=round(recall_of(rr_g, rows_exact, k), 4),
+             vs_exact_floor=round(exact_ms / max(ms, 1e-9), 2),
+             platform=platform)
+
         # int8 flat two-stage at B=1: 768 MB of codes + rerank — the
         # serving default's own single-query latency
         qz = ScalarQuantizer().train(np.asarray(v32[:200_000]))

@@ -54,6 +54,9 @@ CAMPAIGNS = [
     ("ivfpq_k256", "ivfpq_k256_deep.log",
      "K=256 deep-rerank serving point (np8, rr 64/128/256) vs the "
      "4-bit layout's r4 operating point (18.7k QPS @ 0.949 rr128)"),
+    ("int4_5m", "int4_5m_partial_waveC.log",
+     "wave-C partial (B=64 single-dispatch rows landed before the "
+     "B=1024 score-block OOM)"),
     ("int4_5m", "int4_5m.log",
      "the 5M int4 validation (r4 weak #7): does halving the coarse "
      "bytes beat int8/exact where HBM dominates? (first attempt OOMed "
