@@ -74,6 +74,9 @@ def main():
     ap.add_argument("--diag", action="store_true",
                     help="run the fixed-cost isolation chains (approx "
                          "selection / rr0 / int8-two-stage at B=1)")
+    ap.add_argument("--diag-filter", default="",
+                    help="run only diag variants whose name contains "
+                         "this substring (saves chip time)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -172,12 +175,16 @@ def main():
     # (np*cmax + 51k overflow rows scanned per query) while the exact
     # scan gets approx_max_k; (b) the fused rerank's row gather.
     if args.diag:
+        def _want(tag):
+            return (not args.diag_filter) or args.diag_filter in tag
         from fastpyvectordb_tpu.quant.scalar import ScalarQuantizer
         from fastpyvectordb_tpu.quant.scan import _int8_two_stage
         for name, kw in (
                 ("approx_rr4", dict(approx=True, rerank=args.rerank)),
                 ("approx_rr0", dict(approx=True, rerank=0)),
                 ("exact_rr0", dict(approx=False, rerank=0))):
+            if args.diag_filter and args.diag_filter not in name:
+                continue
             def diag_fn(q0, cents_, cells_, tbl_, ovecs_, orows_, okc_,
                         oko_, vmin_, scale_, cnorms_, vv, *, kw=tuple(
                             sorted(kw.items()))):
@@ -207,131 +214,135 @@ def main():
                  vs_exact_floor=round(exact_ms / max(ms, 1e-9), 2),
                  platform=platform)
 
-        # no-overflow variant: round-2 diag showed the 3.2 ms is flat
-        # across nprobe AND selection algorithm AND rerank — the one
-        # np-independent stage left is the 51k-row overflow block scanned
-        # exactly per query.  Slice it off (recall drops, that's fine for
-        # a diagnostic) and re-measure.
-        empty_o = jnp.zeros((0, d), jnp.bfloat16)
-        empty_r = jnp.zeros((0,), jnp.int32)
-        empty_ok = jnp.zeros((0,), bool)
+        if _want("no_overflow"):
+            # no-overflow variant: round-2 diag showed the 3.2 ms is flat
+            # across nprobe AND selection algorithm AND rerank — the one
+            # np-independent stage left is the 51k-row overflow block scanned
+            # exactly per query.  Slice it off (recall drops, that's fine for
+            # a diagnostic) and re-measure.
+            empty_o = jnp.zeros((0, d), jnp.bfloat16)
+            empty_r = jnp.zeros((0,), jnp.int32)
+            empty_ok = jnp.zeros((0,), bool)
 
-        @jax.jit
-        def noov_chain(q0, cents_, cells_, tbl_, okc_, vmin_, scale_,
-                       cnorms_, vv):
-            def body(q, _):
-                dists, rows = _ivf_search_kernel(
-                    q[None], cents_, cells_, tbl_, empty_o, empty_r,
-                    okc_, empty_ok, vmin_, scale_, cnorms_, vv,
-                    metric=metric, k=k, nprobe=8,
-                    compute_dtype="bfloat16", approx=True, rerank=4)
-                safe_row = jnp.maximum(rows[0, 0], 0)
-                top = jnp.take(vv, safe_row, axis=0).astype(jnp.float32)
-                qn = q + 1e-3 * top + 1e-6 * dists[0, 0]
-                return qn / jnp.linalg.norm(qn), dists[0, 0]
-            return jax.lax.scan(body, q0, None, length=args.scan_len)
+            @jax.jit
+            def noov_chain(q0, cents_, cells_, tbl_, okc_, vmin_, scale_,
+                           cnorms_, vv):
+                def body(q, _):
+                    dists, rows = _ivf_search_kernel(
+                        q[None], cents_, cells_, tbl_, empty_o, empty_r,
+                        okc_, empty_ok, vmin_, scale_, cnorms_, vv,
+                        metric=metric, k=k, nprobe=8,
+                        compute_dtype="bfloat16", approx=True, rerank=4)
+                    safe_row = jnp.maximum(rows[0, 0], 0)
+                    top = jnp.take(vv, safe_row, axis=0).astype(jnp.float32)
+                    qn = q + 1e-3 * top + 1e-6 * dists[0, 0]
+                    return qn / jnp.linalg.norm(qn), dists[0, 0]
+                return jax.lax.scan(body, q0, None, length=args.scan_len)
 
-        ms = chain_time(noov_chain, qchk[0], cents, cells_i8, tbl_d, okc,
-                        vmin, scale, cnorms, v16)
-        _, r_no = _ivf_search_kernel(
-            jnp.asarray(qchk), cents, cells_i8, tbl_d, empty_o, empty_r,
-            okc, empty_ok, vmin, scale, cnorms, v16, metric=metric, k=k,
-            nprobe=8, compute_dtype="bfloat16", approx=True, rerank=4)
-        emit(exp="b1_ivf_diag_no_overflow", n=n, nprobe=8,
-             device_b1_ms=round(ms, 4),
-             recall_at_10=round(recall_of(r_no, rows_exact, k), 4),
-             vs_exact_floor=round(exact_ms / max(ms, 1e-9), 2),
-             platform=platform)
+            ms = chain_time(noov_chain, qchk[0], cents, cells_i8, tbl_d, okc,
+                            vmin, scale, cnorms, v16)
+            _, r_no = _ivf_search_kernel(
+                jnp.asarray(qchk), cents, cells_i8, tbl_d, empty_o, empty_r,
+                okc, empty_ok, vmin, scale, cnorms, v16, metric=metric, k=k,
+                nprobe=8, compute_dtype="bfloat16", approx=True, rerank=4)
+            emit(exp="b1_ivf_diag_no_overflow", n=n, nprobe=8,
+                 device_b1_ms=round(ms, 4),
+                 recall_at_10=round(recall_of(r_no, rows_exact, k), 4),
+                 vs_exact_floor=round(exact_ms / max(ms, 1e-9), 2),
+                 platform=platform)
 
-        # routing-only floor: centroid matmul + top-nprobe, no gather,
-        # no scoring — the irreducible per-dispatch cost of the kernel's
-        # stage 1 inside the same chain harness
-        @jax.jit
-        def route_chain(q0, cents_):
-            cn_ = cents_ / jnp.maximum(
-                jnp.linalg.norm(cents_, axis=1, keepdims=True), 1e-30)
-            def body(q, _):
-                r = jnp.dot(q[None] / jnp.linalg.norm(q), cn_.T,
-                            preferred_element_type=jnp.float32)
-                _, probe = jax.lax.top_k(r, 8)
-                top = jnp.take(cn_, probe[0, 0], axis=0)
-                qn = q + 1e-3 * top
-                return qn / jnp.linalg.norm(qn), probe[0, 0]
-            return jax.lax.scan(body, q0, None, length=args.scan_len)
+        if _want("route_only"):
+            # routing-only floor: centroid matmul + top-nprobe, no gather,
+            # no scoring — the irreducible per-dispatch cost of the kernel's
+            # stage 1 inside the same chain harness
+            @jax.jit
+            def route_chain(q0, cents_):
+                cn_ = cents_ / jnp.maximum(
+                    jnp.linalg.norm(cents_, axis=1, keepdims=True), 1e-30)
+                def body(q, _):
+                    r = jnp.dot(q[None] / jnp.linalg.norm(q), cn_.T,
+                                preferred_element_type=jnp.float32)
+                    _, probe = jax.lax.top_k(r, 8)
+                    top = jnp.take(cn_, probe[0, 0], axis=0)
+                    qn = q + 1e-3 * top
+                    return qn / jnp.linalg.norm(qn), probe[0, 0]
+                return jax.lax.scan(body, q0, None, length=args.scan_len)
 
-        ms = chain_time(route_chain, qchk[0], cents)
-        emit(exp="b1_ivf_diag_route_only", n=n,
-             device_b1_ms=round(ms, 4), platform=platform)
+            ms = chain_time(route_chain, qchk[0], cents)
+            emit(exp="b1_ivf_diag_route_only", n=n,
+                 device_b1_ms=round(ms, 4), platform=platform)
 
-        # grouped (cell-major pallas) kernel in the same B=1 chain:
-        # round-3 diag showed the per-query path's ~3.1 ms survives
-        # removing overflow, rerank, and exact selection — the XLA
-        # cell gather + scoring stage itself carries the fixed cost.
-        # The grouped kernel DMAs cells into VMEM by prefetched cell id
-        # (kernels/pallas_ivf.py) instead of an XLA gather; if it is
-        # fast at B=1, the serving dispatch just flips its heuristic.
-        from fastpyvectordb_tpu.ann.ivf_grouped import (
-            grouped_ivf_search_kernel, grouped_qcap)
-        qcap1 = grouped_qcap(8, 8, nlist, int(cells_i8.shape[1]))
+        if _want("grouped"):
+            # grouped (cell-major pallas) kernel in the same B=1 chain:
+            # round-3 diag showed the per-query path's ~3.1 ms survives
+            # removing overflow, rerank, and exact selection — the XLA
+            # cell gather + scoring stage itself carries the fixed cost.
+            # The grouped kernel DMAs cells into VMEM by prefetched cell id
+            # (kernels/pallas_ivf.py) instead of an XLA gather; if it is
+            # fast at B=1, the serving dispatch just flips its heuristic.
+            from fastpyvectordb_tpu.ann.ivf_grouped import (
+                grouped_ivf_search_kernel, grouped_qcap)
+            qcap1 = grouped_qcap(8, 8, nlist, int(cells_i8.shape[1]))
 
-        @jax.jit
-        def grouped_chain(q0, cents_, cells_, tbl_, ovecs_, orows_, okc_,
-                          oko_, vmin_, scale_, cnorms_, vv):
-            def body(q, _):
-                dists, rows, _drop = grouped_ivf_search_kernel(
-                    jnp.broadcast_to(q[None], (8, q.shape[0])), cents_,
-                    cells_, tbl_, ovecs_, orows_, okc_, oko_, vmin_,
-                    scale_, cnorms_, vv, metric=metric, k=k, nprobe=8,
-                    qcap=qcap1, compute_dtype="bfloat16", rerank=4)
-                safe_row = jnp.maximum(rows[0, 0], 0)
-                top = jnp.take(vv, safe_row, axis=0).astype(jnp.float32)
-                qn = q + 1e-3 * top + 1e-6 * dists[0, 0]
-                return qn / jnp.linalg.norm(qn), dists[0, 0]
-            return jax.lax.scan(body, q0, None, length=args.scan_len)
+            @jax.jit
+            def grouped_chain(q0, cents_, cells_, tbl_, ovecs_, orows_, okc_,
+                              oko_, vmin_, scale_, cnorms_, vv):
+                def body(q, _):
+                    dists, rows, _drop = grouped_ivf_search_kernel(
+                        jnp.broadcast_to(q[None], (8, q.shape[0])), cents_,
+                        cells_, tbl_, ovecs_, orows_, okc_, oko_, vmin_,
+                        scale_, cnorms_, vv, metric=metric, k=k, nprobe=8,
+                        qcap=qcap1, compute_dtype="bfloat16", rerank=4)
+                    safe_row = jnp.maximum(rows[0, 0], 0)
+                    top = jnp.take(vv, safe_row, axis=0).astype(jnp.float32)
+                    qn = q + 1e-3 * top + 1e-6 * dists[0, 0]
+                    return qn / jnp.linalg.norm(qn), dists[0, 0]
+                return jax.lax.scan(body, q0, None, length=args.scan_len)
 
-        ms = chain_time(grouped_chain, qchk[0], cents, cells_i8, tbl_d,
-                        ovecs, orows_d, okc, oko, vmin, scale, cnorms,
-                        v16)
-        dd_g, rr_g, _ = grouped_ivf_search_kernel(
-            jnp.asarray(qchk), cents, cells_i8, tbl_d, ovecs, orows_d,
-            okc, oko, vmin, scale, cnorms, v16, metric=metric, k=k,
-            nprobe=8, qcap=grouped_qcap(qchk.shape[0], 8, nlist,
-                                        int(cells_i8.shape[1])),
-            compute_dtype="bfloat16", rerank=4)
-        emit(exp="b1_ivf_diag_grouped", n=n, nprobe=8,
-             device_b1_ms=round(ms, 4),
-             recall_at_10=round(recall_of(rr_g, rows_exact, k), 4),
-             vs_exact_floor=round(exact_ms / max(ms, 1e-9), 2),
-             platform=platform)
+            ms = chain_time(grouped_chain, qchk[0], cents, cells_i8, tbl_d,
+                            ovecs, orows_d, okc, oko, vmin, scale, cnorms,
+                            v16)
+            dd_g, rr_g, _ = grouped_ivf_search_kernel(
+                jnp.asarray(qchk), cents, cells_i8, tbl_d, ovecs, orows_d,
+                okc, oko, vmin, scale, cnorms, v16, metric=metric, k=k,
+                nprobe=8, qcap=grouped_qcap(qchk.shape[0], 8, nlist,
+                                            int(cells_i8.shape[1])),
+                compute_dtype="bfloat16", rerank=4)
+            emit(exp="b1_ivf_diag_grouped", n=n, nprobe=8,
+                 device_b1_ms=round(ms, 4),
+                 recall_at_10=round(recall_of(rr_g, rows_exact, k), 4),
+                 vs_exact_floor=round(exact_ms / max(ms, 1e-9), 2),
+                 platform=platform)
 
-        # int8 flat two-stage at B=1: 768 MB of codes + rerank — the
-        # serving default's own single-query latency
-        qz = ScalarQuantizer().train(np.asarray(v32[:200_000]))
-        codes8 = qz.encode(np.asarray(v32))
-        cvsq, crinv = qz.corpus_stats(codes8)
+        if _want("int8"):
+            # int8 flat two-stage at B=1: 768 MB of codes + rerank — the
+            # serving default's own single-query latency
+            qz = ScalarQuantizer().train(np.asarray(v32[:200_000]))
+            codes8 = qz.encode(np.asarray(v32))
+            cvsq, crinv = qz.corpus_stats(codes8)
 
-        @jax.jit
-        def i8_chain(q0, codes_, v_):
-            def body(q, _):
-                dists, rows = _int8_two_stage(
-                    q[None], codes_, qz.vmin, qz.scale, cvsq, crinv, v_,
-                    fullmask, metric=metric, k=k, c=4 * k, approx=True,
-                    rerank_dtype="bfloat16")
-                safe_row = jnp.maximum(rows[0, 0], 0)
-                top = jnp.take(v_, safe_row, axis=0).astype(jnp.float32)
-                qn = q + 1e-3 * top + 1e-6 * dists[0, 0]
-                return qn / jnp.linalg.norm(qn), dists[0, 0]
-            return jax.lax.scan(body, q0, None, length=args.scan_len)
+            @jax.jit
+            def i8_chain(q0, codes_, v_):
+                def body(q, _):
+                    dists, rows = _int8_two_stage(
+                        q[None], codes_, qz.vmin, qz.scale, cvsq, crinv, v_,
+                        fullmask, metric=metric, k=k, c=4 * k, approx=True,
+                        rerank_dtype="bfloat16")
+                    safe_row = jnp.maximum(rows[0, 0], 0)
+                    top = jnp.take(v_, safe_row, axis=0).astype(jnp.float32)
+                    qn = q + 1e-3 * top + 1e-6 * dists[0, 0]
+                    return qn / jnp.linalg.norm(qn), dists[0, 0]
+                return jax.lax.scan(body, q0, None, length=args.scan_len)
 
-        ms = chain_time(i8_chain, qchk[0], codes8, v16)
-        _, r8 = _int8_two_stage(jnp.asarray(qchk), codes8, qz.vmin,
-                                qz.scale, cvsq, crinv, v16, fullmask,
-                                metric=metric, k=k, c=4 * k, approx=True,
-                                rerank_dtype="bfloat16")
-        emit(exp="b1_int8_2stage", n=n, device_b1_ms=round(ms, 4),
-             recall_at_10=round(recall_of(r8, rows_exact, k), 4),
-             vs_exact_floor=round(exact_ms / max(ms, 1e-9), 2),
-             platform=platform)
+            ms = chain_time(i8_chain, qchk[0], codes8, v16)
+            _, r8 = _int8_two_stage(jnp.asarray(qchk), codes8, qz.vmin,
+                                    qz.scale, cvsq, crinv, v16, fullmask,
+                                    metric=metric, k=k, c=4 * k, approx=True,
+                                    rerank_dtype="bfloat16")
+            emit(exp="b1_int8_2stage", n=n, device_b1_ms=round(ms, 4),
+                 recall_at_10=round(recall_of(r8, rows_exact, k), 4),
+                 vs_exact_floor=round(exact_ms / max(ms, 1e-9), 2),
+                 platform=platform)
 
     # --- per-query IVF chains, one per (nprobe) ---------------------------
     for nprobe in (int(x) for x in args.nprobes.split(",")):
