@@ -181,7 +181,11 @@ def main():
             return Kd.search_kernel(q, v16, sq, rinv, mask, metric=METRIC,
                                     k=K, compute_dtype="bfloat16",
                                     approx=True)
-        run_exact = chunked(run_exact)
+        # exact/int8 stay UNCHUNKED: their XLA matmul->top-k fuses and
+        # the (B, N) scores never materialize (wave-C/E cross-check:
+        # unchunked exact b1024@5M = 43.7 ms vs 82.1 ms chunked).  Only
+        # the pallas int4 kernel writes scores as a kernel output and
+        # must pay the sub-batch cost — that IS its serving cost there.
         dt = timed(run_exact, qbatches)
         emit(exp=f"exact_bf16_b{B}", ms=round(dt * 1e3, 2),
              qps=round(B / dt, 1), recall=recall_of(run_exact))
@@ -192,7 +196,6 @@ def main():
                     q, codes8, qz8.vmin, qz8.scale, vsq8, rinv8, v16, mask,
                     metric=METRIC, k=K, c=4 * K, approx=True,
                     rerank_dtype="bfloat16")
-            run_i8 = chunked(run_i8)
             dt = timed(run_i8, qbatches)
             emit(exp=f"int8_2stage_rr4_b{B}", ms=round(dt * 1e3, 2),
                  qps=round(B / dt, 1), recall=recall_of(run_i8))

@@ -279,11 +279,11 @@ def _binary_two_stage(q, thresholds, codes_t, vectors, mask, *, dims: int,
 class QuantizedScan:
     """Compressed snapshot of a collection's live rows + 2-stage search."""
 
-    # per-dispatch budget for the coarse (B, N) f32 score matrix; class
-    # attr so tests can shrink it to force sub-batch splitting.  4 GB
-    # keeps the proven 1M x B=1024 single-dispatch path intact (4 GB
-    # score block, measured green in r4/r5 headlines) while splitting
-    # the 5M x B=1024 shape that OOMed (20 GB)
+    # per-dispatch budget for the coarse (B, N) score block of the
+    # PALLAS-scored kinds (int4, binary) — their kernels write it to
+    # HBM as a kernel output, so a 5M x B=1024 dispatch allocates 20 GB
+    # and OOMs (r5 int4_5m log).  4 GB keeps the proven 1M x B=1024
+    # single-dispatch path intact.  int8/exact stream and never split.
     _score_hbm_budget = 4 << 30
 
     def __init__(self, kind: str, quantizer, codes: jnp.ndarray,
@@ -434,7 +434,12 @@ class QuantizedScan:
         sub = 8
         while sub * 2 <= cap:
             sub *= 2
-        if b > sub:
+        # int8's fused s8-matmul -> approx-top-k and the exact scan
+        # stream their scores (XLA fuses the reduction; wave-C evidence:
+        # unchunked exact b1024@5M ran in 43.7 ms) — only the pallas
+        # kernels (int4, packed-Hamming) write the (B, N) block as a
+        # kernel output that fusion cannot elide
+        if self.kind in ("int4", "binary") and b > sub:
             parts = [self.search(q[s:s + sub], k, rerank, mask)
                      for s in range(0, b, sub)]
             return (np.concatenate([p[0] for p in parts]),

@@ -480,7 +480,7 @@ def test_score_matrix_hbm_cap_splits_batches(monkeypatch):
     col = Collection(CollectionConfig(name="cap", dimensions=16))
     col.insert_batch(rng.standard_normal((500, 16), dtype=np.float32),
                      [f"v{i}" for i in range(500)])
-    scan = col.enable_quantized_scan("int8", tune=False)
+    scan = col.enable_quantized_scan("int4", tune=False)
     q = rng.standard_normal((40, 16), dtype=np.float32)
     d_full, r_full = scan.search(q, 5)
     # budget for <= 8 queries: 8 * 500 * 4 bytes
