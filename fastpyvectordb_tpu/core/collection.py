@@ -311,9 +311,12 @@ class Collection:
         Exists because the synchronous API path at B=1024 on a
         remote-attached chip is upload-bound (benchmarks/api_overhead.py
         r4: 77.7 ms upload + 38.2 ms kernel serialized per call = 3.19x
-        the kernel), while JAX transfers and dispatches are async — a
-        depth-2 pipeline runs the tunnel and the MXU concurrently, the
-        steady-state per-batch cost dropping to ~max(upload, kernel).
+        the kernel), while JAX transfers and dispatches are async.
+        Measured effect (results_r5 api_overhead_r5): 3.62x -> 2.81x at
+        b1024, and 2.12x (12.3k QPS) with the int8 wire; the residual
+        gap is the remote relay serializing transfer against compute
+        (ROADMAP #41) — on PCIe-attached chips the pipeline models out
+        to ~1.1x.
         The reference's analogue is hnswlib's batch ``knn_query``
         returning raw label arrays (vectordb_optimized.py:610).
 
@@ -759,9 +762,9 @@ class Collection:
         "graph" (ann/graph_ann.py) is accepted for compatibility but
         EXPERIMENTAL and demoted from the advertised kinds: on chip it
         loses to both the exact scan and IVF at every measured operating
-        point (1M x 768: B=1 65 ms vs IVF's sub-ms probe and the exact
-        scan's 2.15 ms; B=8 7.7 ms/query — benchmarks/results_r4_tpu.json
-        b1_latency_1m, ROADMAP #5/#22).  The serial beam iterations leave
+        point (1M x 768: B=1 65 ms vs the exact scan's 2.08 ms and the
+        int8 two-stage's 1.13 ms; B=8 7.7 ms/query —
+        results_r4 b1_latency_1m, results_r5 b1_ivf_1m, ROADMAP #42).  The serial beam iterations leave
         the MXU idle; use "ivf" (low latency AND high batch throughput)
         or "ivfpq" (memory-bound regimes) instead.
 
