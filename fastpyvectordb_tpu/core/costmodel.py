@@ -106,6 +106,17 @@ def ivf_cost(n: int, d: int, cell_bytes: float, nlist: int, nprobe: int,
     is then M).  Routing adds a B x nlist matmul (negligible, included).
     At large batch most cells are touched by some query, so the stream
     term uses min(nprobe/nlist * batch, 1) coverage.
+
+    Known limitation (round 5): the PQ flops term counts ideal
+    rows * M * K MACs; the grouped pallas dispatch additionally pays
+    qcap slot padding and small-tile MXU inefficiency, measured ~10-50x
+    the ideal at the K=256 default (78.8 ms np8/b1024 at 1M vs a ~1 ms
+    ideal — results_r5 ivfpq_k256).  On accelerators optimize() ranks
+    by measured micro-timing, which overrides this model; on CPU-only
+    hosts (test rigs) the model may rank a K=256 IVF-PQ index cheaper
+    than it serves on chip.  Calibrating a per-geometry efficiency
+    factor without breaking the K=16 anchors needs the round-6
+    measurement set.
     """
     frac = min(1.0, nprobe / max(nlist, 1))
     rows = frac * n * slack + overflow
